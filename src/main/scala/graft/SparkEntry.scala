@@ -1,13 +1,47 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented SURVEY §2 operator; `oracleSql`
+  * carries the matching DuckDB SQL (omitted only for the explicit
+  * no-oracle tier). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Canonical map-reduce word count (SURVEY §7.2 step 1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextOps.textWordcount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. scans
+    "scan_parquet" -> (Relational.scanParquet _),
+    "scan_pruned" -> (Relational.scanPruned _),
+    // B. projection / filter
+    "map_project" -> (Relational.mapProject _),
+    "filter_pred" -> (Relational.filterPred _),
+    "flatmap_explode" -> (TextOps.flatmapExplode _),
+    // C. joins
+    "join_inner" -> (Relational.joinInner _),
+    "join_broadcast" -> (Relational.joinBroadcast _),
+    // D. aggregations
+    "agg_pricing_summary" -> (Relational.aggPricingSummary _),
+    "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    // E. windows
+    "win_rownum_topk" -> (Relational.winRownumTopk _),
+    // F. sort / limit / top-k
+    "sort_multi" -> (Relational.sortMulti _),
+    "topk_global" -> (Relational.topkGlobal _),
+    // H. event-time (batch mode)
+    "stream_tumbling" -> (EventOps.streamTumbling _),
+    // I. LLM-pipeline ops
+    "dedup_exact" -> (SimOps.dedupExact _),
+    "sim_cosine_topk" -> (SimOps.simCosineTopk _),
+    "text_wordcount" -> (TextOps.textWordcount _),
+    "text_stats" -> (TextOps.textStats _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

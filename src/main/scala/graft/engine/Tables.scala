@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (schemas: FIXTURES.md).
+  *
+  * Schemas are inferred from parquet footers — the reference framework is
+  * dynamically typed (SURVEY.md §1.3), so the Spark-native equivalent is
+  * DataFrame-first with runtime schemas. No `/root/reference` citations are
+  * possible: the reference tree is empty (SURVEY.md §0).
+  *
+  * 100 TB note: at scale these would be partitioned tables (by date for the
+  * facts, by nothing for the dims) registered in a catalog; `read.parquet`
+  * on a directory plus partition pruning keeps the same call shape.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * as a timestamp; read it as nanos-since-epoch long and truncate to µs
+    * with integer division (exact — a double round-trip would lose ns bits
+    * at 2024-era epochs). DuckDB truncates ns→µs identically (SURVEY §1.2).
+    * timestamp_ntz keeps the written parquet naive, matching the source. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

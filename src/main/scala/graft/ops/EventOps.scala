@@ -1,0 +1,24 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Event-time operators over `events` (SURVEY.md §2.H). Spark's window()
+  * and session_window() aggregates run identically in batch mode, so the
+  * declared queries here are batch (oracle-checkable); the streaming
+  * machinery (watermarks, state) lives in graft.streaming and is unit-tested
+  * with MemoryStream (T3, no oracle). */
+object EventOps {
+
+  /** 1-hour tumbling window: count + sum(value) per event_type.
+    * Same plan in readStream mode; at scale this is one shuffle over
+    * (window, event_type) with partial aggregation. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value_r"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("cnt"), col("sum_value_r"))
+      .orderBy("win_start", "event_type")
+}
