@@ -24,20 +24,15 @@ object SimOps {
       .select("doc_id", "h")
       .orderBy("doc_id")
 
-  /** Sequential double-precision dot product of two double arrays — same
-    * evaluation order as DuckDB's list_sum(list_transform(...)), so results
-    * are bitwise-comparable before rounding. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Vectors with embeddings cast float→double plus precomputed L2 norm.
     * Casting once here (not per pair) keeps the O(n²) join cheap. */
-  private[ops] def normed(s: SparkSession, d: String): DataFrame =
+  private[ops] def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     embeddings(s, d)
       .withColumn("vd", transform(col("embedding"), _.cast("double")))
-      .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
       .select("vec_id", "label", "vd", "nrm")
+  }
 
   /** All unordered pairs (id_a < id_b) with cosine rounded to 4 dp. */
   private[ops] def cosinePairs(s: SparkSession, d: String): DataFrame = {
@@ -47,7 +42,7 @@ object SimOps {
                                 col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-              round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
   }
 
