@@ -124,6 +124,242 @@ object OracleSql {
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  ROUND(AVG(n_chars), 2) AS avg_chars_r,
         |  ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens_r
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // ---- wave 2: joins ----
+
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c_custkey, c_name, o_custkey, n_orders, total_r
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    ROUND(SUM(o_totalprice), 2) AS total_r
+        |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.ts < b.ts
+        |  AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "join_asof" ->
+      """SELECT user_id, p_id, p_ts, c_id, c_ts FROM (
+        |  SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+        |    c.event_id AS c_id, c.ts AS c_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts < p.ts) t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // ---- wave 2: aggregations ----
+
+    "agg_multikey_having" ->
+      """SELECT n_name, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(AVG(o_totalprice), 2) AS avg_price_r
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, o_orderstatus
+        |HAVING COUNT(*) > 20
+        |ORDER BY n_name, o_orderstatus""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT user_id,
+        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_value_r,
+        |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value_r,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty_r
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal_r
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price_r
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // ---- wave 2: windows ----
+
+    "win_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+        |  FROM part) t
+        |WHERE rnk <= 5 ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  ROUND(value - LAG(value, 1) OVER w, 2) AS delta_prev_r,
+        |  LEAD(event_id, 1) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total_r
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg_r
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_ntile_pctrank" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal), 4) AS pct_r
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // ---- wave 2: set ops ----
+
+    "set_union_all" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    // ---- wave 2: scalar function families ----
+
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_type) AS low,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  substring(p_name, 1, 4) AS pre4,
+        |  length(p_name) AS len,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  p_type || ':' || p_brand AS type_brand,
+        |  string_split(p_name, ' ')[2] AS tok2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT event_id,
+        |  year(ts) AS yr, month(ts) AS mo, day(ts) AS dom,
+        |  hour(ts) AS hr, minute(ts) AS mi,
+        |  date_trunc('day', ts) AS day_start,
+        |  ts + INTERVAL 90 MINUTE AS plus90m,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_in
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(sqrt(l_extendedprice), 4) AS sqrt_r,
+        |  ROUND(ln(l_extendedprice), 4) AS ln_r,
+        |  ROUND(exp(l_discount), 4) AS exp_r,
+        |  ROUND(pow(l_quantity, 2), 2) AS pow_r,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  ROUND(abs(l_extendedprice - 1000.0), 2) AS absdiff_r,
+        |  l_orderkey % 7 AS mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        |  least(o_totalprice, 150000.0) AS least_p,
+        |  greatest(o_totalprice, 150000.0) AS greatest_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  ROUND(vd[1], 4) AS first_r,
+        |  ROUND(list_sum(list_transform(vd, x -> x * x)), 4) AS ssq_r,
+        |  ROUND(list_max(vd), 4) AS max_r,
+        |  list_transform(vd[1:3], x -> ROUND(x, 4)) AS head3_r
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd, embedding
+        |      FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(SUM(value), 2) AS sum_value_r
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+        |      FROM events) t
+        |GROUP BY k ORDER BY k""".stripMargin
   )
 }

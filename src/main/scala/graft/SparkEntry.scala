@@ -24,14 +24,44 @@ object SparkEntry {
     // C. joins
     "join_inner" -> (Relational.joinInner _),
     "join_broadcast" -> (Relational.joinBroadcast _),
+    "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_full_outer" -> (Relational.joinFullOuter _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_cross" -> (Relational.joinCross _),
+    "join_theta_range" -> (Relational.joinThetaRange _),
+    "join_asof" -> (Relational.joinAsof _),
     // D. aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    "agg_multikey_having" -> (Relational.aggMultikeyHaving _),
+    "agg_conditional" -> (Relational.aggConditional _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "agg_collect_sorted" -> (Relational.aggCollectSorted _),
     // E. windows
     "win_rownum_topk" -> (Relational.winRownumTopk _),
-    // F. sort / limit / top-k
+    "win_rank_dense" -> (Relational.winRankDense _),
+    "win_lag_lead" -> (Relational.winLagLead _),
+    "win_running_sum" -> (Relational.winRunningSum _),
+    "win_moving_avg" -> (Relational.winMovingAvg _),
+    "win_ntile_pctrank" -> (Relational.winNtilePctrank _),
+    "win_first_last" -> (Relational.winFirstLast _),
+    // F. sort / limit / top-k / set ops
     "sort_multi" -> (Relational.sortMulti _),
     "topk_global" -> (Relational.topkGlobal _),
+    "set_union_all" -> (Relational.setUnionAll _),
+    "set_union_distinct" -> (Relational.setUnionDistinct _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_except" -> (Relational.setExcept _),
+    // G. scalar function families
+    "fn_string" -> (Functions.fnString _),
+    "fn_datetime" -> (Functions.fnDatetime _),
+    "fn_math" -> (Functions.fnMath _),
+    "fn_conditional" -> (Functions.fnConditional _),
+    "fn_array" -> (Functions.fnArray _),
+    "fn_json" -> (Functions.fnJson _),
     // H. event-time (batch mode)
     "stream_tumbling" -> (EventOps.streamTumbling _),
     // I. LLM-pipeline ops

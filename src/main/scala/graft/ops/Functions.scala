@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Scalar-function families (SURVEY.md §2.G) — one query per family, each
+  * exercising several built-ins. All are codegen'd Spark built-ins (no
+  * UDFs in the hot path, SURVEY §4).
+  *
+  * Typing rules for the oracle hash-match: Spark's int-returning functions
+  * (length, year, ceil, ...) are cast to BIGINT to match DuckDB; every
+  * computed floating output is rounded (SURVEY §7.3). */
+object Functions {
+
+  /** upper/lower/trim/substring/length/concat/replace/regexp/split. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_type")).as("low"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      substring(col("p_name"), 1, 4).as("pre4"),
+      length(col("p_name")).cast("long").as("len"),
+      replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+      regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+      concat(col("p_type"), lit(":"), col("p_brand")).as("type_brand"),
+      element_at(split(col("p_name"), " "), 2).as("tok2")
+    ).orderBy("p_partkey")
+
+  /** year/month/day/hour/minute, date_trunc, interval add, day diff. */
+  def fnDatetime(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("yr"),
+      month(col("ts")).cast("long").as("mo"),
+      dayofmonth(col("ts")).cast("long").as("dom"),
+      hour(col("ts")).cast("long").as("hr"),
+      minute(col("ts")).cast("long").as("mi"),
+      date_trunc("day", col("ts")).as("day_start"),
+      (col("ts") + expr("INTERVAL 90 MINUTES")).as("plus90m"),
+      datediff(col("ts"), lit("2024-01-01").cast("timestamp"))
+        .cast("long").as("days_in")
+    ).orderBy("event_id")
+
+  /** round/abs/ceil/floor/sqrt/ln/exp/pow/mod. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(sqrt(col("l_extendedprice")), 4).as("sqrt_r"),
+      round(log(col("l_extendedprice")), 4).as("ln_r"),
+      round(exp(col("l_discount")), 4).as("exp_r"),
+      round(pow(col("l_quantity"), 2), 2).as("pow_r"),
+      ceil(col("l_extendedprice")).as("ceil_p"),
+      floor(col("l_extendedprice")).as("floor_p"),
+      round(abs(col("l_extendedprice") - 1000.0), 2).as("absdiff_r"),
+      (col("l_orderkey") % 7).as("mod7")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE WHEN / coalesce / nullif / least / greatest. */
+  def fnConditional(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000, "big")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("small").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+        .as("status2"),
+      least(col("o_totalprice"), lit(150000.0)).as("least_p"),
+      greatest(col("o_totalprice"), lit(150000.0)).as("greatest_p")
+    ).orderBy("o_orderkey")
+
+  /** size/element_at/slice + higher-order transform/aggregate over the
+    * embedding vectors. */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("vd", transform(col("embedding"), _.cast("double")))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("vd"), 1), 4).as("first_r"),
+        round(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x), 4)
+          .as("ssq_r"),
+        round(array_max(col("vd")), 4).as("max_r"),
+        transform(slice(col("vd"), 1, 3), x => round(x, 4)).as("head3_r")
+      ).orderBy("vec_id")
+
+  /** JSON extraction: group by props.k. */
+  def fnJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+              col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value_r"))
+      .orderBy("k")
+}

@@ -147,4 +147,258 @@ object Relational {
              .as("revenue_r"))
       .orderBy(col("revenue_r").desc, col("l_orderkey").asc)
       .limit(10)
+
+  // ---- C. joins (wave 2) ----
+
+  /** Left outer: keep customers with no matching order rows. Null join
+    * columns sort NULLS FIRST explicitly — Spark and DuckDB defaults
+    * disagree (SURVEY §7.3). */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).where(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Full outer over deliberately disjoint-ish key subsets so rows appear
+    * null on both sides. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).where(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name")
+    val o = orders(s, d).where(col("o_custkey") % 3 === 0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_r"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+              col("n_orders"), col("total_r"))
+      .orderBy(col("c_custkey").asc_nulls_first,
+               col("o_custkey").asc_nulls_first)
+  }
+
+  /** Left semi (EXISTS): customers with at least one big order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).where(col("o_totalprice") > 100000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left anti (NOT EXISTS): parts never shipped. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"),
+            "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  /** Cross join nation × region (25 × 5 — only ever sane on small dims). */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select("n_name")
+      .crossJoin(region(s, d).select("r_name"))
+      .orderBy("n_name", "r_name")
+
+  /** Non-equi range join: event pairs per user within 10 minutes. Executes
+    * as an equi join on user_id with the range as residual condition, so it
+    * shuffles only on user — the scalable shape for self-range-joins. */
+  def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val a = events(s, d).select(col("user_id"), col("event_id").as("id_a"),
+                                col("ts").as("ts_a"))
+    val b = events(s, d).select(col("user_id").as("user_b"),
+                                col("event_id").as("id_b"),
+                                col("ts").as("ts_b"))
+    a.join(b, col("user_id") === col("user_b") &&
+              col("ts_a") < col("ts_b") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "id_a", "id_b")
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
+  /** As-of join: for each purchase, the latest strictly-prior click by the
+    * same user. Composed as equi-join on user + window rank (Spark has no
+    * public joinAsOf); at 100 TB both sides range-partition by user and the
+    * window stays within partitions. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"))
+    val c = events(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("p_ts"),
+           "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "p_id", "p_ts", "c_id", "c_ts")
+      .orderBy("p_id")
+  }
+
+  // ---- D. aggregations (wave 2) ----
+
+  /** Multi-key group + HAVING. */
+  def aggMultikeyHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+           round(avg("o_totalprice"), 2).as("avg_price_r"))
+      .where(col("cnt") > 20)
+      .orderBy("n_name", "o_orderstatus")
+
+  /** Conditional (pivot-style) aggregation: sum(when) per event_type. */
+  def aggConditional(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("event_type") === "click", col("value"))
+          .otherwise(0.0)), 2).as("click_value_r"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("purchase_value_r"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .orderBy("user_id")
+
+  /** GROUPING SETS ((flag), (status), ()). Only natural columns in the
+    * output (no grouping-id bitmaps — engine-specific, SURVEY §7.4). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty_r"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** ROLLUP region → nation, via the SQL entry point: the DataFrame rollup
+    * after a join chain trips Spark's ambiguous-self-join detector on the
+    * Expand duplicates; the SQL path resolves cleanly and plans the same. */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_customer")
+    nation(s, d).createOrReplaceTempView("graft_nation")
+    region(s, d).createOrReplaceTempView("graft_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal_r
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** CUBE (returnflag, linestatus). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+           round(sum("l_extendedprice"), 2).as("sum_price_r"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** Per-customer sorted order-key list (sorted array, never a map —
+    * map iteration order is nondeterministic, SURVEY §7.3). */
+  def aggCollectSorted(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list("o_orderkey")).as("order_keys"))
+      .orderBy("o_custkey")
+
+  // ---- E. windows (wave 2) ----
+
+  /** rank + dense_rank of parts by price per brand, top-5 ranks. Tied
+    * prices share a rank, which is deterministic without a tiebreaker;
+    * the output order uses the unique p_partkey. */
+  def winRankDense(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** lag/lead per user over event time. */
+  def winLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+              round(col("value") - lag("value", 1).over(w), 2)
+                .as("delta_prev_r"),
+              lead("event_id", 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running revenue per customer (ROWS UNBOUNDED PRECEDING). Sequential
+    * accumulation order is fixed by the unique window sort, so doubles
+    * match the oracle bitwise before rounding. */
+  def winRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(sum("o_totalprice").over(w), 2).as("run_total_r"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** 7-row moving average of order totals per customer. Rounded at 4 dp,
+    * not 2: sum/7 of 2-dp money lands on exact half-cent ties where engine
+    * rounding differs (98 rows at sf0.01), while no divisor in 1..7 can
+    * produce an exact 4-dp tie. */
+  def winMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-6, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(avg("o_totalprice").over(w), 4).as("mavg_r"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Quartiles + percent_rank of account balance per market segment. */
+  def winNtilePctrank(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy("c_mktsegment")
+      .orderBy("c_acctbal", "c_custkey")
+    val wp = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              ntile(4).over(wt).cast("long").as("quartile"),
+              round(percent_rank().over(wp), 4).as("pct_r"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** first/last order key per customer via an unbounded frame. */
+  def winFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              first("o_orderkey").over(w).as("first_key"),
+              last("o_orderkey").over(w).as("last_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- F. set ops (wave 2) ----
+
+  private def buildingKeys(s: SparkSession, d: String): DataFrame =
+    customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+  private def richKeys(s: SparkSession, d: String): DataFrame =
+    customer(s, d).where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+
+  def setUnionAll(s: SparkSession, d: String): DataFrame =
+    buildingKeys(s, d).unionAll(richKeys(s, d)).orderBy("k")
+
+  def setUnionDistinct(s: SparkSession, d: String): DataFrame =
+    buildingKeys(s, d).union(richKeys(s, d)).distinct().orderBy("k")
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    buildingKeys(s, d).intersect(richKeys(s, d)).orderBy("k")
+
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    buildingKeys(s, d).except(richKeys(s, d)).orderBy("k")
 }

@@ -49,9 +49,16 @@ def main(sf_dir, out_dir):
             continue
         got = got.reset_index(drop=True)
         want = want.reset_index(drop=True)
+        def canon(s):
+            # list-valued columns come back as numpy arrays / lists; make
+            # them hashable+comparable
+            if s.dtype == object:
+                return s.map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                             else (tuple(v) if isinstance(v, list) else v))
+            return s
         bad = None
         for c in got.columns:
-            a, b = got[c], want[c]
+            a, b = canon(got[c]), canon(want[c])
             try:
                 if str(a.dtype) != str(b.dtype):
                     bad = f"dtype[{c}]: {a.dtype} vs {b.dtype}"
