@@ -360,6 +360,126 @@ object OracleSql {
         |  ROUND(SUM(value), 2) AS sum_value_r
         |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
         |      FROM events) t
-        |GROUP BY k ORDER BY k""".stripMargin
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    // ---- wave 3: event-time windows ----
+
+    "stream_sliding" ->
+      """WITH slotted AS (
+        |  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS slot,
+        |    event_type, value
+        |  FROM events
+        |), ex AS (
+        |  SELECT unnest([slot, slot - INTERVAL 30 MINUTE]) AS win_start,
+        |    event_type, value
+        |  FROM slotted
+        |)
+        |SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(SUM(value), 2) AS sum_value_r
+        |FROM ex GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts, value,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events) t
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value_r
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // ---- wave 3: similarity / text ----
+
+    "sim_knn_label" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, vd,
+        |    sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |        FROM embeddings) v
+        |), pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+        |    ROUND(list_sum(list_transform(list_zip(a.vd, b.vd),
+        |          p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos_r
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |), top5 AS (
+        |  SELECT qid, nlabel FROM (
+        |    SELECT qid, nlabel,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |                         ORDER BY cos_r DESC, nid ASC) AS rn
+        |    FROM pairs) t
+        |  WHERE rn <= 5
+        |), votes AS (
+        |  SELECT qid, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM top5 GROUP BY qid, nlabel
+        |)
+        |SELECT qid AS vec_id, nlabel AS pred_label, votes FROM (
+        |  SELECT qid, nlabel, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY votes DESC, nlabel ASC) AS r
+        |  FROM votes) t
+        |WHERE r = 1 ORDER BY vec_id""".stripMargin,
+
+    "text_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t
+        |)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bigram
+        |ORDER BY cnt DESC, bigram ASC LIMIT 30""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term,
+        |  ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf_r
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY tfidf_r DESC, doc_id ASC, term ASC LIMIT 50""".stripMargin,
+
+    "text_sentiment" ->
+      """SELECT doc_id,
+        |  CAST(SUM(CASE WHEN term IN ('fast', 'big') THEN 1
+        |                WHEN term IN ('slow', 'small') THEN -1
+        |                ELSE 0 END) AS BIGINT) AS sentiment
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents) t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- wave 3: UDF / UDAF ----
+
+    "udf_scalar" ->
+      """SELECT p_partkey,
+        |  regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS norm_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4) AS wavg_r
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "udaf_topk_acc" ->
+      """SELECT o_custkey,
+        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:5]
+        |    AS top_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

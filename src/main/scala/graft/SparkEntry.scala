@@ -64,11 +64,24 @@ object SparkEntry {
     "fn_json" -> (Functions.fnJson _),
     // H. event-time (batch mode)
     "stream_tumbling" -> (EventOps.streamTumbling _),
+    "stream_sliding" -> (EventOps.streamSliding _),
+    "stream_session" -> (EventOps.streamSession _),
     // I. LLM-pipeline ops
     "dedup_exact" -> (SimOps.dedupExact _),
+    "dedup_minhash" -> (SimOps.dedupMinhash _),
     "sim_cosine_topk" -> (SimOps.simCosineTopk _),
+    "sim_knn_label" -> (SimOps.simKnnLabel _),
     "text_wordcount" -> (TextOps.textWordcount _),
-    "text_stats" -> (TextOps.textStats _)
+    "text_stats" -> (TextOps.textStats _),
+    "text_ngrams" -> (TextOps.textNgrams _),
+    "text_tfidf" -> (TextOps.textTfidf _),
+    "text_sentiment" -> (TextOps.textSentiment _),
+    // D (T3). approx aggregates
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    // J. UDF / UDAF surface
+    "udf_scalar" -> (Udfs.udfScalar _),
+    "udaf_weighted_avg" -> (Udfs.udafWeightedAvg _),
+    "udaf_topk_acc" -> (Udfs.udafTopkAcc _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -21,4 +21,28 @@ object EventOps {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("cnt"), col("sum_value_r"))
       .orderBy("win_start", "event_type")
+
+  /** 1-hour window sliding every 30 minutes — each event lands in two
+    * windows. Identical plan under readStream. */
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value_r"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("cnt"), col("sum_value_r"))
+      .orderBy("win_start", "event_type")
+
+  /** Gap-based sessionization (30-min gap) per user. session_window end =
+    * last event + gap; a new session starts when ts >= prev + gap (merge
+    * requires strict overlap) — the oracle's island emulation uses the same
+    * comparison (SURVEY §7.4.2). Runs identically over a stream with
+    * watermark + mergeable session state. */
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value_r"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("n_events"),
+              col("sum_value_r"))
+      .orderBy("user_id", "session_start")
 }

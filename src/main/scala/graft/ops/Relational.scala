@@ -114,6 +114,14 @@ object Relational {
       countDistinct(col("l_partkey")).as("d_part"),
       countDistinct(col("l_suppkey")).as("d_supp"))
 
+  /** HLL approximate distinct — the 100 TB replacement for exact distinct.
+    * No oracle: HLL sketches differ across engines (SURVEY §2.D); the unit
+    * test bounds relative error against the exact count instead. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("apx_part"),
+      approx_count_distinct(col("l_suppkey")).as("apx_supp"))
+
   // ---- E. windows ----
 
   /** Top-3 orders per customer by date. Unique tiebreaker o_orderkey in the

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables._
 
 /** Similarity + dedup operators (SURVEY.md §2.I): exact dedup, brute-force
@@ -51,4 +52,92 @@ object SimOps {
     cosinePairs(s, d)
       .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
       .limit(10)
+
+  /** kNN (k=5) majority label vote per vector. The cosine kernel runs once
+    * per unordered pair and is mirrored into both directions — half the
+    * dot products of a naive directed self-join. */
+  def simKnnLabel(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d)
+    val a = v.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+                     col("vd").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+                     col("vd").as("vb"), col("nrm").as("nb"))
+    val up = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+    val directed = up.select(col("id_a").as("qid"), col("id_b").as("nid"),
+                             col("label_b").as("nlabel"), col("cos_r"))
+      .unionAll(up.select(col("id_b").as("qid"), col("id_a").as("nid"),
+                          col("label_a").as("nlabel"), col("cos_r")))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("nid").asc)
+    val votes = directed
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 5)
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("r", row_number().over(wVote)).where(col("r") === 1)
+      .select(col("qid").as("vec_id"), col("nlabel").as("pred_label"),
+              col("votes"))
+      .orderBy("vec_id")
+  }
+
+  // ---- MinHash + LSH near-duplicate detection (no SQL oracle —
+  // property-tested against exact Jaccard, SURVEY §2.I / §7.4.4) ----
+
+  private val NumHashes = 32  // minhash signature length
+  private val Bands = 8       // LSH bands of 4 rows each: catches J >= ~0.5
+  private val RowsPerBand = NumHashes / Bands
+  private val ShingleLen = 3  // token 3-gram shingles
+
+  /** doc_id -> distinct token-3-gram shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(slice(toks, 1, greatest(size(toks) - ${ShingleLen - 1}, 0)),
+           |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))""".stripMargin))
+        .as("sh"))
+      .distinct()
+
+  /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, sh).
+    * One groupBy computes all 32 mins map-side (partial agg) — the whole
+    * signature pass is a single shuffle of (doc, 32 longs). */
+  private[ops] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    shingles(s, d).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate near-dup pairs from LSH banding + minhash Jaccard estimate.
+    * Only documents sharing at least one band bucket are ever paired — at
+    * 100 TB the band-bucket join replaces the O(n²) scan entirely
+    * (ClusterJoin, VLDB'14; SURVEY §7.5). */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              round(matches.cast("double") / NumHashes, 4).as("est_jaccard_r"))
+      .where(col("est_jaccard_r") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -101,7 +101,7 @@ class Wave1Spec extends SparkTestBase {
   }
 
   test("every oracleSql key has a queries entry and vice versa (no-oracle allowlist)") {
-    val noOracle = Set.empty[String] // grows in later waves (T3 ops)
+    val noOracle = Set("dedup_minhash", "agg_approx_distinct") // T3: no SQL oracle (SURVEY §2)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }

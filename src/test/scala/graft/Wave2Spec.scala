@@ -39,8 +39,6 @@ class Wave2Spec extends SparkTestBase {
   }
 
   test("join_theta_range pairs are strictly time-ordered within 10 min") {
-    import java.time.LocalDateTime
-    val ev = spark.read.parquet(s"$sf/events.parquet") // raw ns read not possible; use op
     val out = Relational.joinThetaRange(spark, sf)
     // id_a != id_b always, and (user, id_a, id_b) unique
     assert(out.count() == out.distinct().count())
