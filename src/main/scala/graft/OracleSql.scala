@@ -480,6 +480,91 @@ object OracleSql {
       """SELECT o_custkey,
         |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:5]
         |    AS top_orders
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // ---- wave 4: training-data pipeline text analysis ----
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN list_contains(toks, 'the') OR list_contains(toks, 'a') THEN 'en'
+        |       WHEN list_contains(toks, 'le') OR list_contains(toks, 'la') THEN 'fr'
+        |       WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
+        |       WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'
+        |       ELSE 'und' END AS pred_lang
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+        |), q AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len_r,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr_r,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio_r,
+        |  CASE WHEN n_tokens BETWEEN 10 AND 200
+        |        AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+        |       THEN 1 ELSE 0 END AS quality_flag
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_tokencount" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- wave 4: near-dup detection ----
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents) t
+        |)
+        |SELECT doc_a, doc_b, jaccard_r FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard_r
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
+        |WHERE jaccard_r >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, vd, sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings) v
+        |)
+        |SELECT id_a, id_b, cos_r FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_sum(list_transform(list_zip(a.vd, b.vd),
+        |          p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos_r
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+        |WHERE cos_r >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- wave 4: multimodal metadata scan ----
+
+    "mm_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin
   )
 }

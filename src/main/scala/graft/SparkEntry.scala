@@ -76,6 +76,15 @@ object SparkEntry {
     "text_ngrams" -> (TextOps.textNgrams _),
     "text_tfidf" -> (TextOps.textTfidf _),
     "text_sentiment" -> (TextOps.textSentiment _),
+    "text_langid" -> (TextOps.textLangid _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_tokencount" -> (TextOps.textTokencount _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
+    "dedup_embedding" -> (SimOps.dedupEmbedding _),
+    "dedup_simhash" -> (SimOps.dedupSimhash _),
+    "sim_ann_bucket" -> (SimOps.simAnnBucket _),
+    "mm_meta" -> (MultimodalOps.mmMeta _),
     // D (T3). approx aggregates
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     // J. UDF / UDAF surface

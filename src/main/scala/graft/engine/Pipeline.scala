@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin map-reduce façade over DataFrame — the engine's public pipeline
+  * API, mirroring the reference framework's verbs (map / filter / flatMap /
+  * keyBy+reduce / join / sink) onto declarative Spark (SURVEY §3.2).
+  *
+  * Every verb only appends to the logical plan; nothing executes until a
+  * sink/action. Catalyst therefore sees the whole pipeline and can push
+  * filters into scans, prune columns, and choose join strategies — the
+  * reason this is a façade and not an operator runtime. */
+final case class Pipeline(df: DataFrame) {
+
+  /** map: per-record projection (expressions, not lambdas — codegen). */
+  def map(cols: Column*): Pipeline = Pipeline(df.select(cols: _*))
+
+  /** filter: keep records matching the predicate. */
+  def filter(cond: Column): Pipeline = Pipeline(df.where(cond))
+
+  /** flatMap: one-to-many on an array expression; other columns kept. */
+  def flatMap(arrayExpr: Column, as: String): Pipeline =
+    Pipeline(df.withColumn(as, explode(arrayExpr)))
+
+  /** reduceByKey: groupBy + aggregates (map-side partial combine free). */
+  def reduceByKey(keys: Seq[String], aggs: Column*): Pipeline =
+    Pipeline(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+
+  /** join by key columns. */
+  def join(other: Pipeline, on: Seq[String], how: String = "inner"): Pipeline =
+    Pipeline(df.join(other.df, on, how))
+
+  def sort(cols: Column*): Pipeline = Pipeline(df.orderBy(cols: _*))
+  def limit(n: Int): Pipeline = Pipeline(df.limit(n))
+
+  /** sink: parquet write (the only action). */
+  def sink(path: String): Unit = df.write.mode("overwrite").parquet(path)
+}
+
+object Pipeline {
+  def source(s: SparkSession, path: String): Pipeline =
+    Pipeline(s.read.parquet(path))
+  def csv(s: SparkSession, path: String, header: Boolean = true): Pipeline =
+    Pipeline(s.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path))
+  def json(s: SparkSession, path: String): Pipeline =
+    Pipeline(s.read.json(path))
+}

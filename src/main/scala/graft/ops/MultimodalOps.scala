@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video as opaque
+  * binary columns with typed metadata. The container has no codec
+  * libraries, so the decode/feature kernels are STUBS — deterministic
+  * fakes clearly marked below — while the Spark-side plumbing (schema,
+  * binary payloads, partition-wise batch processing, UDF signatures) is
+  * real and tested.
+  *
+  * At 100 TB: assets live in parquet with the binary payload column
+  * last (column pruning skips it for metadata-only queries), partitioned
+  * by kind/date; per-partition batch decode amortizes codec init exactly
+  * like the mapPartitions below. */
+object MultimodalOps {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)
+  ))
+
+  /** Synthetic asset table derived from `documents` (no binary testdata
+    * ships): payload = utf8 bytes of the text, kind cycles through the
+    * three modalities, metadata derived deterministically. */
+  def syntheticAssets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms")).as("meta"))
+
+  /** Metadata-only scan: oracle-checked. Column pruning means the binary
+    * payload is read only for the digest/size, never decoded. */
+  def mmMeta(s: SparkSession, d: String): DataFrame =
+    syntheticAssets(s, d)
+      .select(col("asset_id"), col("kind"),
+              length(col("payload")).cast("long").as("n_bytes"),
+              md5(col("payload")).as("digest"),
+              col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("asset_id")
+
+  /** STUB decode + feature extraction. A real implementation decodes the
+    * payload with a codec and runs a vision/audio model per batch; this
+    * deterministic fake hashes payload bytes into an 8-dim feature so the
+    * partition-wise batch shape, schema, and downstream joins are real. */
+  def extractFeaturesStub(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("feature", ArrayType(FloatType), nullable = false)))
+    val rdd = assets.select("asset_id", "kind", "payload").rdd
+      .mapPartitions { it =>
+        // codec/model init happens ONCE per partition (the batch shape
+        // that matters at scale); the per-row body is the stub.
+        it.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val feat = Array.tabulate(8) { i =>
+            var h = 1125899906842597L + i
+            bytes.foreach(b => h = 31 * h + b)
+            ((h % 1000).toFloat / 1000.0f)
+          }
+          Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"), feat.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB resize: a real kernel re-encodes pixels; the fake truncates the
+    * payload and rewrites metadata, keeping the binary-in/binary-out
+    * column contract. */
+  def resizeStub(assets: DataFrame, maxBytes: Int): DataFrame =
+    assets.select(
+      col("asset_id"), col("kind"),
+      expr(s"substring(payload, 1, $maxBytes)").as("payload"),
+      struct(least(col("meta.width"), lit(maxBytes)).as("width"),
+             least(col("meta.height"), lit(maxBytes)).as("height"),
+             col("meta.duration_ms").as("duration_ms")).as("meta"))
+
+  /** STUB frame sampling for video assets: every `stride`-th byte stands
+    * in for every N-th frame; output is one row per sampled frame —
+    * the explode shape a real frame sampler produces. */
+  def frameSampleStub(assets: DataFrame, stride: Int): DataFrame =
+    assets.where(col("kind") === "video")
+      .select(col("asset_id"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(length(payload) div $stride, 1))," +
+          s" i -> substring(payload, (i - 1) * $stride + 1, $stride))")))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_bytes")
+}

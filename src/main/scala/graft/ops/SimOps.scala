@@ -140,4 +140,115 @@ object SimOps {
       .where(col("est_jaccard_r") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup, blocked by (lang, source).
+    * Blocking bounds the pair space to within-block O(b²) — the exact
+    * verifier you run AFTER LSH candidate generation at 100 TB; here it is
+    * also its own oracle-checked operator. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(expr(
+          """transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+            |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))"""
+            .stripMargin)).as("sh"))
+    val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+                      col("sh").as("sha"))
+    val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
+                      col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, col("lang") === col("lang_b") &&
+              col("source") === col("source_b") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb"))), 4).as("jaccard_r"))
+      .where(col("jaccard_r") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold calibrated to this
+    * data: max pair cosine ≈ 0.51 at sf0.01). Same kernel as the top-k
+    * query; at 100 TB the LSH-bucketed ANN path generates candidates
+    * first. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    cosinePairs(s, d)
+      .where(col("cos_r") >= 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit
+    * signature where bit b = sign of Σ_tokens (±1 by bit b of the token
+    * hash); candidates via 4×16-bit band buckets; match = Hamming ≤ 3. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b"))
+    val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+               shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF)
+                 .as("key"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+              col("bb.band").as("band"), col("bb.key").as("key"))
+    val x = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"),
+                          col("simhash").as("sim_a"))
+    val y = banded.select(col("band").as("band_y"), col("key").as("key_y"),
+                          col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    x.join(y, col("band") === col("band_y") && col("key") === col("key_y") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+                .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Approximate nearest neighbor via multi-table axis-aligned LSH: 4 hash
+    * tables, each keying on 4 sign bits of a distinct dimension block;
+    * candidates = union of same-bucket pairs across tables, then exact
+    * top-1 by cosine (no oracle — approximate; recall is property-tested
+    * against brute force). At 100 TB: (table, bucket) becomes the shuffle
+    * key so each bucket's pairs co-locate — the ClusterJoin shape — and
+    * recall tunes with tables × bits, never with data motion. */
+  def simAnnBucket(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d)
+    val tables = (0 until 4).map { t =>
+      val key = (0 until 4).map(j =>
+        when(element_at(col("vd"), t * 8 + j + 1) > 0, lit(1 << j))
+          .otherwise(0)).reduce(_ + _)
+      struct(lit(t).as("tbl"), key.as("key"))
+    }
+    val bucketed = v
+      .select(col("vec_id"), explode(array(tables: _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.key").as("key"))
+    val cand = bucketed.select(col("tbl"), col("key"), col("vec_id").as("qid"))
+      .join(bucketed.select(col("tbl").as("tbl_b"), col("key").as("key_b"),
+                            col("vec_id").as("nid")),
+            col("tbl") === col("tbl_b") && col("key") === col("key_b") &&
+            col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
+                     col("nrm").as("nb"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("nid").asc)
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid"), col("nid"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("nid").as("ann_id"), col("cos_r"))
+      .orderBy("vec_id")
+  }
 }

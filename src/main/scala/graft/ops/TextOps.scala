@@ -79,4 +79,67 @@ object TextOps {
       .agg(sum(coalesce(col("w"), lit(0))).as("sentiment"))
       .orderBy("doc_id")
   }
+
+  // ---- training-data pipeline text analysis (builder brief §extensions) ----
+
+  /** Marker-token language ID heuristic. NOTE: this corpus shares one
+    * vocabulary across langs (verified — every token appears in all 5
+    * langs), so accuracy is meaningless here; the query pins the operator's
+    * determinism, and the marker lists are where a real profile would go. */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(array_contains(col("toks"), "the") ||
+             array_contains(col("toks"), "a"), "en")
+          .when(array_contains(col("toks"), "le") ||
+                array_contains(col("toks"), "la"), "fr")
+          .when(array_contains(col("toks"), "der") ||
+                array_contains(col("toks"), "und"), "de")
+          .when(array_contains(col("toks"), "el") ||
+                array_contains(col("toks"), "los"), "es")
+          .otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: token counts, avg token length, type-token ratio,
+    * stopword ratio, and a pass/fail flag — the standard pre-training
+    * corpus filters (length + repetition + stopword heuristics). */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t === "the" || t === "a")).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len_r"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("ttr_r"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio_r"),
+        when(col("n_tokens").between(10, 200) &&
+             col("n_distinct").cast("double") / col("n_tokens") >= 0.2, 1)
+          .otherwise(0).as("quality_flag"))
+      .orderBy("doc_id")
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * ([a-z]+ / digit-runs / other symbols as separate tokens). */
+  def textTokencount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive content identity (bag-of-words canonical form). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fp"))
+      .orderBy("doc_id")
 }

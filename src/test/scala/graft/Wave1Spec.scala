@@ -101,7 +101,10 @@ class Wave1Spec extends SparkTestBase {
   }
 
   test("every oracleSql key has a queries entry and vice versa (no-oracle allowlist)") {
-    val noOracle = Set("dedup_minhash", "agg_approx_distinct") // T3: no SQL oracle (SURVEY §2)
+    // T3 / approx ops: no SQL oracle (SURVEY §2) — xxhash64 is
+    // Spark-specific, HLL sketches and ANN results are engine-dependent
+    val noOracle = Set("dedup_minhash", "agg_approx_distinct",
+                       "dedup_simhash", "sim_ann_bucket")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
