@@ -35,13 +35,21 @@ object SimOps {
       .select("vec_id", "label", "vd", "nrm")
   }
 
-  /** All unordered pairs (id_a < id_b) with cosine rounded to 4 dp. */
+  /** All unordered pairs (id_a < id_b) with cosine rounded to 4 dp.
+    * Pair enumeration happens on bare ids (cheap BNLJ over longs); the
+    * 64-double vectors are attached afterwards via broadcast hash joins so
+    * the nested loop never copies arrays — measurably faster cold than a
+    * BNLJ that streams the vectors through every candidate pair. */
   private[ops] def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val a = normed(s, d).select(col("vec_id").as("id_a"), col("vd").as("va"),
-                                col("nrm").as("na"))
-    val b = normed(s, d).select(col("vec_id").as("id_b"), col("vd").as("vb"),
-                                col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val v = normed(s, d)
+    val ids = v.select(col("vec_id"))
+    val pairs = ids.select(col("vec_id").as("id_a"))
+      .join(ids.select(col("vec_id").as("id_b")), col("id_a") < col("id_b"))
+    val a = v.select(col("vec_id").as("id_a"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("vd").as("vb"),
+                     col("nrm").as("nb"))
+    pairs.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
       .select(col("id_a"), col("id_b"),
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
@@ -70,10 +78,15 @@ object SimOps {
                              col("label_b").as("nlabel"), col("cos_r"))
       .unionAll(up.select(col("id_b").as("qid"), col("id_a").as("nid"),
                           col("label_a").as("nlabel"), col("cos_r")))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("cos_r").desc, col("nid").asc)
+    // Bounded-heap top-5 per query point (map-side partial aggregation) —
+    // the shuffle carries 5 rows per vector instead of all ~n² pairs, which
+    // a row_number window would have to sort in full.
+    val topk = udaf(Udfs.TopKNeighbors)
     val votes = directed
-      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 5)
+      .groupBy("qid")
+      .agg(topk(col("cos_r"), col("nid"), col("nlabel")).as("nbrs"))
+      .select(col("qid"), explode(col("nbrs")).as("nb"))
+      .select(col("qid"), col("nb._3").as("nlabel"))
       .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
     val wVote = Window.partitionBy("qid")
       .orderBy(col("votes").desc, col("nlabel").asc)
@@ -146,23 +159,34 @@ object SimOps {
     * verifier you run AFTER LSH candidate generation at 100 TB; here it is
     * also its own oracle-checked operator. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    // Shingle sets as SORTED xxhash64 arrays: Jaccard over the hashed sets
+    // equals Jaccard over the strings (64-bit collisions ~1e-13/pair), and
+    // the sorted-merge kernel (graft_jaccard) replaces per-pair
+    // array_intersect/array_union hash-set builds on strings.
     val sh = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(expr(
-          """transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
-            |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))"""
-            .stripMargin)).as("sh"))
+        array_sort(expr(
+          """transform(array_distinct(
+            |    transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+            |      (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))),
+            |  x -> xxhash64(x))""".stripMargin)).as("sh"))
     val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
-                      col("sh").as("sha"))
+                      col("sh").as("sha"), size(col("sh")).as("ns_a"))
     val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
-                      col("doc_id").as("doc_b"), col("sh").as("shb"))
+                      col("doc_id").as("doc_b"), col("sh").as("shb"),
+                      size(col("sh")).as("ns_b"))
+    // Size-ratio prune: J = |∩|/|∪| <= min/max, so max > 2*min can never
+    // reach the 0.5 threshold — skip the merge for those pairs entirely.
+    // Output is provably identical to the unpruned (oracle) computation.
     a.join(b, col("lang") === col("lang_b") &&
               col("source") === col("source_b") &&
-              col("doc_a") < col("doc_b"))
+              col("doc_a") < col("doc_b") &&
+              greatest(col("ns_a"), col("ns_b")) <=
+                least(col("ns_a"), col("ns_b")) * 2)
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-              size(array_union(col("sha"), col("shb"))), 4).as("jaccard_r"))
+              round(expr("graft_jaccard(sha, shb)"), 4).as("jaccard_r"))
       .where(col("jaccard_r") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }

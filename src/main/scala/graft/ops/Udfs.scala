@@ -44,6 +44,38 @@ object Udfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Typed UDAF: bounded top-k neighbor accumulator for the kNN kernel —
+    * keeps the k best (cos desc, id asc) (cos, id, label) triples per
+    * group. Replaces a row_number window over the full pair stream: the
+    * heap aggregates map-side, so the shuffle carries k rows per group
+    * instead of every candidate pair. */
+  object TopKNeighbors extends Aggregator[(Double, Long, Int),
+      Seq[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
+    val k = 5
+    // buffer invariant: sorted by (cos desc, id asc), length <= k.
+    // reduce() is the 4M-calls-per-query hot path: O(k) early-out compare
+    // against the current worst — no per-row sort allocation.
+    private def better(a: (Double, Long, Int), b: (Double, Long, Int)) =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Double, Long, Int)], a: (Double, Long, Int)) = {
+      val i = b.indexWhere(better(a, _))
+      val pos = if (i < 0) b.length else i
+      (b.take(pos) :+ a) ++ b.drop(pos)
+    }
+    override def zero: Seq[(Double, Long, Int)] = Nil
+    override def reduce(b: Seq[(Double, Long, Int)], a: (Double, Long, Int)) =
+      if (b.length < k) insert(b, a)
+      else if (better(a, b.last)) insert(b, a).take(k)
+      else b
+    override def merge(x: Seq[(Double, Long, Int)], y: Seq[(Double, Long, Int)]) =
+      y.foldLeft(x)(reduce)
+    override def finish(r: Seq[(Double, Long, Int)]): Seq[(Double, Long, Int)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Int)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Int)]]()
+  }
+
   /** Scalar UDF: token normalizer (lowercase, strip non-alphanumerics). */
   def udfScalar(s: SparkSession, d: String): DataFrame = {
     val norm = udf((v: String) =>

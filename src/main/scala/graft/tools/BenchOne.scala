@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev tool: time one query N times (default 3) on a given sf dir.
+  * Usage: runMain graft.tools.BenchOne <sfDir> <query> [n] */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val q = args(1)
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"[benchone] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+    }
+    spark.stop()
+  }
+}
