@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~130 query executions (warm-up + timed) generate enough codegen classes
+  // to fill the default 240 MB code cache; once full the JIT disables and
+  // late queries run interpreted (observed: 0.7 s queries taking 8-15 s).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

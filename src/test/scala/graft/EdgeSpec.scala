@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Edge-condition tests: empty inputs, no-match filters, the custom
+  * generator, and plan-shape assertions at the bench scale factor. */
+class EdgeSpec extends SparkTestBase {
+
+  test("graft_ngrams generator emits positioned n-grams, empty when short") {
+    graft.functions.NgramGenerator.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x")).toDF("id", "text")
+      .select(col("id"), expr("graft_ngrams(split(text, ' '), 3)"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+  }
+
+  test("operators on empty input yield empty (not errors)") {
+    val empty = graft.engine.Tables.lineitem(spark, sf).where(lit(false))
+    assert(empty.groupBy("l_returnflag").count().count() == 0)
+    assert(empty.orderBy("l_orderkey").limit(5).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+    assert(empty.withColumn("rn", row_number().over(w)).count() == 0)
+  }
+
+  test("no-match near-dup thresholds return empty deterministically") {
+    val none = SimOps.dedupEmbedding(spark, sf).where(col("cos_r") >= 1.5)
+    assert(none.count() == 0)
+  }
+
+  test("aggregations on a single row behave") {
+    val one = graft.engine.Tables.orders(spark, sf).limit(1)
+    val r = one.agg(round(avg("o_totalprice"), 4).as("a"),
+                    count(lit(1)).as("c")).collect()(0)
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("pricing summary plan uses partial aggregation (two HashAggregates)") {
+    val plan = Relational.aggPricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expect partial + final aggregate")
+  }
+
+  test("tfidf and sentiment plans broadcast their small sides") {
+    Seq(TextOps.textTfidf _, TextOps.textSentiment _).foreach { f =>
+      val plan = f(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("Broadcast"), "small side should broadcast")
+    }
+  }
+}
