@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities (SCALING.md): the three data-layout techniques that
+  * decide whether 100 TB plans shuffle — bucketing for co-located joins,
+  * salting for skewed keys, partition layout for pruning. Each has a
+  * plan-level proof in ScaleSpec (no Exchange / PartitionFilters). */
+object Scale {
+
+  /** Write a DataFrame as a bucketed+sorted table. Joins between two
+    * tables bucketed on the same key with the same bucket count are
+    * shuffle-free (SortMergeJoin reads co-located buckets directly) — the
+    * standard layout for repeated fact-fact joins at scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Skew-resilient equi join: replicate the build side `salt` times and
+    * scatter the probe side across the replicas, so one hot key spreads
+    * over `salt` reducers instead of one. Result is row-identical to the
+    * plain join (inner, single equi key). AQE's skew-join handles most
+    * cases at runtime; explicit salting is for keys AQE cannot split
+    * (a single monster group). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val p = probe.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val b = build.withColumnRenamed(key, "__bkey")
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    p.join(b, col(key) === col("__bkey") && p("__salt") === b("__salt"))
+      .drop("__salt").drop("__bkey")
+  }
+
+  /** Write partitioned parquet (directory layout = partition column), the
+    * layout that turns a predicate into partition pruning at read time. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+}
