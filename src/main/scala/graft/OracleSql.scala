@@ -482,6 +482,18 @@ object OracleSql {
         |    AS top_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "typed_mapgroups" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+        |              CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     // ---- wave 4: training-data pipeline text analysis ----
 
     "text_langid" ->

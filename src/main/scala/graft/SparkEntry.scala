@@ -87,7 +87,8 @@ object SparkEntry {
     "mm_meta" -> (MultimodalOps.mmMeta _),
     // D (T3). approx aggregates
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
-    // J. UDF / UDAF surface
+    // J. UDF / UDAF / typed surface
+    "typed_mapgroups" -> (TypedOps.typedMapgroups _),
     "udf_scalar" -> (Udfs.udfScalar _),
     "udaf_weighted_avg" -> (Udfs.udafWeightedAvg _),
     "udaf_topk_acc" -> (Udfs.udafTopkAcc _)

@@ -34,8 +34,12 @@ final case class Pipeline(df: DataFrame) {
   def sort(cols: Column*): Pipeline = Pipeline(df.orderBy(cols: _*))
   def limit(n: Int): Pipeline = Pipeline(df.limit(n))
 
-  /** sink: parquet write (the only action). */
+  /** sink: parquet write (the default action). */
   def sink(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def sinkCsv(path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+  def sinkJson(path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
 
 object Pipeline {

@@ -139,14 +139,14 @@ class Wave4Spec extends SparkTestBase {
     assert(got == want)
   }
 
-  test("pipeline csv/json sources round-trip") {
+  test("pipeline csv/json sources and sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
-    val df = spark.read.parquet(s"$sf/region.parquet")
-    df.write.option("header", "true").csv(s"$dir/csv")
-    df.write.json(s"$dir/json")
+    val p = Pipeline.source(spark, s"$sf/region.parquet")
+    p.sinkCsv(s"$dir/csv")
+    p.sinkJson(s"$dir/json")
     assert(Pipeline.csv(spark, s"$dir/csv").df.count() == 5)
     val j = Pipeline.json(spark, s"$dir/json").df
-    assert(j.count() == 5 && j.columns.toSet == df.columns.toSet)
+    assert(j.count() == 5 && j.columns.toSet == p.df.columns.toSet)
   }
 
   test("sim_ann_bucket: top-1 within bucket, sane recall vs brute force") {
