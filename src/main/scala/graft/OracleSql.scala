@@ -219,6 +219,20 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_r,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_r
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price_r,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty_r,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp_r,
+        |  ROUND(covar_samp(l_discount, l_tax), 6) AS cov_dt_r
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "agg_collect_sorted" ->
       """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

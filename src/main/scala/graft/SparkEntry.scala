@@ -40,6 +40,8 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_collect_sorted" -> (Relational.aggCollectSorted _),
+    "agg_percentiles" -> (Relational.aggPercentiles _),
+    "agg_stats" -> (Relational.aggStats _),
     // E. windows
     "win_rownum_topk" -> (Relational.winRownumTopk _),
     "win_rank_dense" -> (Relational.winRankDense _),

@@ -114,6 +114,28 @@ object Relational {
       countDistinct(col("l_partkey")).as("d_part"),
       countDistinct(col("l_suppkey")).as("d_supp"))
 
+  /** Exact interpolated percentiles (median, p90) per return flag — both
+    * engines implement linear-interpolation percentile_cont semantics. */
+  def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_r"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_r"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Merge order differs across engines (Welford partials) — rounded. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price_r"),
+           round(var_samp(col("l_quantity")), 4).as("var_qty_r"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+             .as("corr_qp_r"),
+           round(covar_samp(col("l_discount"), col("l_tax")), 6)
+             .as("cov_dt_r"))
+      .orderBy("l_returnflag")
+
   /** HLL approximate distinct — the 100 TB replacement for exact distinct.
     * No oracle: HLL sketches differ across engines (SURVEY §2.D); the unit
     * test bounds relative error against the exact count instead. */
