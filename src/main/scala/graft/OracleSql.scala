@@ -286,6 +286,42 @@ object OracleSql {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "win_dist_nth" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal), 4) AS cdist_r,
+        |  nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_key
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+        |    AS BIGINT) AS click,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+        |    AS BIGINT) AS purchase,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sort_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey, md5(p_name) AS md5_name,
+        |  sha256(p_name) AS sha256_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime_fmt" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt_minute,
+        |  strftime(ts, '%Y-%m') AS fmt_month,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // ---- wave 2: set ops ----
 
     "set_union_all" ->

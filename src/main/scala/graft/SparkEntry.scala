@@ -50,6 +50,11 @@ object SparkEntry {
     "win_moving_avg" -> (Relational.winMovingAvg _),
     "win_ntile_pctrank" -> (Relational.winNtilePctrank _),
     "win_first_last" -> (Relational.winFirstLast _),
+    "win_dist_nth" -> (Relational.winDistNth _),
+    "agg_pivot" -> (Relational.aggPivot _),
+    "sort_pagination" -> (Relational.sortPagination _),
+    "fn_hash" -> (Functions.fnHash _),
+    "fn_datetime_fmt" -> (Functions.fnDatetimeFmt _),
     // F. sort / limit / top-k / set ops
     "sort_multi" -> (Relational.sortMulti _),
     "topk_global" -> (Relational.topkGlobal _),

@@ -43,6 +43,24 @@ object Functions {
         .cast("long").as("days_in")
     ).orderBy("event_id")
 
+  /** Cryptographic/content hashes: md5 + sha256 (hex, both engines). */
+  def fnHash(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      md5(col("p_name").cast("binary")).as("md5_name"),
+      sha2(col("p_name").cast("binary"), 256).as("sha256_name")
+    ).orderBy("p_partkey")
+
+  /** Formatting + epoch conversions: date_format/strftime parity and
+    * unix epoch seconds. */
+  def fnDatetimeFmt(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt_minute"),
+      date_format(col("ts"), "yyyy-MM").as("fmt_month"),
+      unix_timestamp(col("ts").cast("timestamp")).as("epoch_s")
+    ).orderBy("event_id")
+
   /** round/abs/ceil/floor/sqrt/ln/exp/pow/mod. */
   def fnMath(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(

@@ -411,6 +411,42 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** cume_dist + nth_value complete the ranking-function family. */
+  def winDistNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    val wf = Window.partitionBy("c_mktsegment")
+      .orderBy("c_acctbal", "c_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              round(cume_dist().over(w), 4).as("cdist_r"),
+              nth_value(col("c_custkey"), 2).over(wf).as("second_key"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Native pivot: per-user event counts by type. Spark leaves missing
+    * combinations null while DuckDB PIVOT counts 0 — coalesce on the
+    * Spark side pins the shared semantics. */
+  def aggPivot(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(count(lit(1)))
+    p.select(col("user_id"),
+             coalesce(col("click"), lit(0L)).as("click"),
+             coalesce(col("purchase"), lit(0L)).as("purchase"),
+             coalesce(col("view"), lit(0L)).as("view"))
+      .orderBy("user_id")
+  }
+
+  /** Deterministic pagination: global sort + OFFSET/LIMIT page. */
+  def sortPagination(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(100)
+      .limit(20)
+
   // ---- F. set ops (wave 2) ----
 
   private def buildingKeys(s: SparkSession, d: String): DataFrame =
