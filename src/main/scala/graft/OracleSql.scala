@@ -405,6 +405,36 @@ object OracleSql {
         |      FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
 
+    "fn_array_setops" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS ta,
+        |    ['fast', 'slow', 'join', 'table'] AS tb,
+        |    string_split(text, ' ') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_sort(list_intersect(ta, tb)) AS inter,
+        |  list_sort(list_filter(ta, x -> NOT list_contains(tb, x))) AS minus,
+        |  len(list_intersect(ta, tb)) > 0 AS overlaps,
+        |  CAST(list_position(raw, 'fast') AS BIGINT) AS first_fast
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(AVG(o_totalprice), 2) AS avg_price_r
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_brand, 12, '*') AS rp,
+        |  repeat(p_type, 2) AS rep,
+        |  reverse(p_name) AS rev,
+        |  CAST(strpos(p_name, ' ') AS BIGINT) AS space_at,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "fn_json" ->
       """SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  ROUND(SUM(value), 2) AS sum_value_r

@@ -55,6 +55,9 @@ object SparkEntry {
     "sort_pagination" -> (Relational.sortPagination _),
     "fn_hash" -> (Functions.fnHash _),
     "fn_datetime_fmt" -> (Functions.fnDatetimeFmt _),
+    "fn_array_setops" -> (Functions.fnArraySetops _),
+    "fn_string2" -> (Functions.fnString2 _),
+    "agg_histogram" -> (Functions.aggHistogram _),
     // F. sort / limit / top-k / set ops
     "sort_multi" -> (Relational.sortMulti _),
     "topk_global" -> (Relational.topkGlobal _),

@@ -103,6 +103,44 @@ object Functions {
         transform(slice(col("vd"), 1, 3), x => round(x, 4)).as("head3_r")
       ).orderBy("vec_id")
 
+  /** Array set algebra over token sets. Set-op results are sorted before
+    * output: Spark preserves left-operand order, DuckDB does not — sorted
+    * form is the engine-independent contract. Not-found positions are 0
+    * on both sides (array_position / list_position agree). */
+  def fnArraySetops(s: SparkSession, d: String): DataFrame = {
+    val lex = array(lit("fast"), lit("slow"), lit("join"), lit("table"))
+    documents(s, d)
+      .withColumn("ta", array_distinct(split(col("text"), " ")))
+      .withColumn("tb", lex)
+      .select(
+        col("doc_id"),
+        array_sort(array_intersect(col("ta"), col("tb"))).as("inter"),
+        array_sort(array_except(col("ta"), col("tb"))).as("minus"),
+        arrays_overlap(col("ta"), col("tb")).as("overlaps"),
+        array_position(split(col("text"), " "), "fast").as("first_fast"))
+      .orderBy("doc_id")
+  }
+
+  /** Binned aggregation (histogram): fixed-width price buckets. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+           round(avg("o_totalprice"), 2).as("avg_price_r"))
+      .orderBy("bucket")
+
+  /** Padding/repeat/reverse/position/translate string functions. */
+  def fnString2(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("lp"),
+      rpad(col("p_brand"), 12, "*").as("rp"),
+      repeat(col("p_type"), 2).as("rep"),
+      reverse(col("p_name")).as("rev"),
+      instr(col("p_name"), " ").cast("long").as("space_at"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("tr")
+    ).orderBy("p_partkey")
+
   /** JSON extraction: group by props.k. from_json with an explicit schema,
     * not get_json_object — a fixed-schema parse is ~4x faster cold
     * (measured) and the right tool when the shape is known; both are

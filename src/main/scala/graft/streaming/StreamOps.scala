@@ -52,4 +52,40 @@ object StreamOps {
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(path)
       }
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count that survives across microbatches. State is one Long per user,
+    * sharded by the groupByKey shuffle — the arbitrary-state escape hatch
+    * when windowed aggs can't express the logic. */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "running_events")
+  }
+
+  /** Stream-stream inner join: purchases joined to the click that preceded
+    * them by at most 10 minutes, per user. Watermarks on both sides bound
+    * the join state; the time-range condition tells Spark when buffered
+    * rows can be evicted. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id AND
+               |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"""
+          .stripMargin))
+      .select(col("c.user_id").as("user_id"),
+              col("c.event_id").as("click_id"),
+              col("p.event_id").as("purchase_id"),
+              col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
 }

@@ -105,6 +105,46 @@ class Wave4Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps running counts across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.runningUserCounts(in.toDF())
+      .writeStream.format("memory").queryName("runstate")
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, t(0), 7, "click", 0), Ev(2, t(1), 7, "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(3, t(2), 7, "click", 0), Ev(4, t(3), 8, "view", 0))
+      q.processAllAvailable()
+      val byBatch = spark.table("runstate").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // user 7: 2 after batch 1, then 3 after batch 2; user 8: 1
+      assert(byBatch.contains((7L, 2L)) && byBatch.contains((7L, 3L)))
+      assert(byBatch.contains((8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join pairs purchases with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickToPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, t(0), 1, "click", 0), Ev(2, t(100), 2, "click", 0))
+      purchases.addData(Ev(10, t(5), 1, "purchase", 0),   // 5 min after click 1
+                        Ev(11, t(200), 2, "purchase", 0)) // 100 min after click 2
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 10L)),
+        s"only the within-10-min pair joins: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("multimodal: features stub yields one 8-dim vector per asset, deterministic") {
     val assets = MultimodalOps.syntheticAssets(spark, sf)
     val f1 = MultimodalOps.extractFeaturesStub(assets).collect()
