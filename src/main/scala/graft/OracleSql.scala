@@ -615,6 +615,24 @@ object OracleSql {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pipeline_corpus_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents
+        |), kept AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM d
+        |  WHERE n_tokens BETWEEN 10 AND 200 AND ttr >= 0.2
+        |  GROUP BY md5(text)
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(AVG(n_chars), 2) AS avg_chars_r,
+        |  ROUND(AVG(n_tokens), 2) AS avg_tokens_r
+        |FROM d JOIN kept USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ---- wave 4: near-dup detection ----
 
     "dedup_ngram_jaccard" ->

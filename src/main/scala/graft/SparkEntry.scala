@@ -90,6 +90,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_tokencount" -> (TextOps.textTokencount _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),
     "dedup_simhash" -> (SimOps.dedupSimhash _),

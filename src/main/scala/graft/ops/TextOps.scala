@@ -134,6 +134,29 @@ object TextOps {
           .cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus-cleaning composition — the shape of a real
+    * training-data prep job: quality gate (token count + type-token
+    * ratio) → exact dedup (keep min doc_id per content hash) → per-lang
+    * yield stats. One declarative plan; Catalyst fuses the stages. */
+  def pipelineCorpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") /
+                         col("n_tokens"))
+    val kept = docs
+      .where(col("n_tokens").between(10, 200) && col("ttr") >= 0.2)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(kept, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 2).as("avg_chars_r"),
+           round(avg("n_tokens"), 2).as("avg_tokens_r"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * order-insensitive content identity (bag-of-words canonical form). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =

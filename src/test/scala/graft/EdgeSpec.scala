@@ -44,6 +44,27 @@ class EdgeSpec extends SparkTestBase {
       "expect partial + final aggregate")
   }
 
+  test("shuffle budget: hot queries stay within their expected Exchange count") {
+    // Regression guard: an accidental repartition/non-broadcast join shows
+    // up as an extra shuffle. Budgets = current (optimal) plan counts + 0.
+    val budgets = Map(
+      "agg_pricing_summary" -> 2, // groupBy + orderBy
+      "join_broadcast" -> 2,      // groupBy + orderBy (dims broadcast)
+      "topk_global" -> 1,         // groupBy (TakeOrdered needs no sort x-change)
+      "text_wordcount" -> 1,
+      "stream_tumbling" -> 2,
+      "dedup_exact" -> 2,
+      "agg_multikey_having" -> 2  // customer+nation broadcast
+    )
+    budgets.foreach { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size +
+        "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(n <= budget, s"$name shuffles $n times, budget $budget:\n$plan")
+    }
+  }
+
   test("tfidf and sentiment plans broadcast their small sides") {
     Seq(TextOps.textTfidf _, TextOps.textSentiment _).foreach { f =>
       val plan = f(spark, sf).queryExecution.executedPlan.toString
