@@ -24,6 +24,9 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Collect the previous query's garbage outside the timed region so a
+      // heap-heavy predecessor doesn't bill its GC debt to this query.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
