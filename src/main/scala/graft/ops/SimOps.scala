@@ -78,21 +78,16 @@ object SimOps {
                              col("label_b").as("nlabel"), col("cos_r"))
       .unionAll(up.select(col("id_b").as("qid"), col("id_a").as("nid"),
                           col("label_a").as("nlabel"), col("cos_r")))
-    // Bounded-heap top-5 per query point (map-side partial aggregation) —
-    // the shuffle carries 5 rows per vector instead of all ~n² pairs, which
-    // a row_number window would have to sort in full.
-    val topk = udaf(Udfs.TopKNeighbors)
-    val votes = directed
+    // Fused native aggregate (TypedImperativeAggregate): bounded top-5
+    // heap + majority vote in ONE aggregation — update() reads InternalRow
+    // fields directly (no encoder round-trip over the ~n² pair stream),
+    // and the shuffle carries <= 5 neighbors per vector.
+    graft.functions.KnnVote.register(s)
+    directed
       .groupBy("qid")
-      .agg(topk(col("cos_r"), col("nid"), col("nlabel")).as("nbrs"))
-      .select(col("qid"), explode(col("nbrs")).as("nb"))
-      .select(col("qid"), col("nb._3").as("nlabel"))
-      .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
-    val wVote = Window.partitionBy("qid")
-      .orderBy(col("votes").desc, col("nlabel").asc)
-    votes.withColumn("r", row_number().over(wVote)).where(col("r") === 1)
-      .select(col("qid").as("vec_id"), col("nlabel").as("pred_label"),
-              col("votes"))
+      .agg(expr("graft_knn_vote(cos_r, nid, nlabel)").as("vote"))
+      .select(col("qid").as("vec_id"), col("vote.pred_label").as("pred_label"),
+              col("vote.votes").as("votes"))
       .orderBy("vec_id")
   }
 
