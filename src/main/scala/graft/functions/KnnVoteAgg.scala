@@ -106,11 +106,97 @@ case class KnnVote(
     copy(cos = newChildren(0), nid = newChildren(1), label = newChildren(2))
 }
 
+/** argmax neighbor: the (cos DESC, id ASC)-best (nid, cos) pair per group
+  * as struct(nid, cos). A deterministic max_by — ties on cos break toward
+  * the smaller id, which built-in max_by does not guarantee. */
+case class Top1Neighbor(
+    cos: Expression, nid: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(cos, nid)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (cos.dataType == DoubleType && nid.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_top1 expects (DOUBLE, BIGINT)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top1"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def update(buf: ArrayBuffer[(Double, Long)],
+                      input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val c = cos.eval(input)
+    val n = nid.eval(input)
+    if (c != null && n != null) {
+      val a = (c.asInstanceOf[Double], n.asInstanceOf[Long])
+      if (buf.isEmpty) buf += a
+      else if (better(a, buf(0))) buf(0) = a
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Double, Long)],
+                     other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    other.foreach { a =>
+      if (buf.isEmpty) buf += a else if (better(a, buf(0))) buf(0) = a
+    }
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
+    if (buf.isEmpty) null else InternalRow(buf(0)._2, buf(0)._1)
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+    bb.putInt(buf.length)
+    buf.foreach { case (c, n) => bb.putDouble(c); bb.putLong(n) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = ArrayBuffer.empty[(Double, Long)]
+    (0 until n).foreach(_ => buf += ((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): Top1Neighbor =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): Top1Neighbor =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(cos = newChildren(0), nid = newChildren(1))
+}
+
 object KnnVote {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    // ObjectHashAggregate (which runs TypedImperativeAggregates) falls back
+    // to sort-based aggregation past 128 in-memory groups by default — a
+    // disaster for 2000-group kNN (full sort of the pair stream). Buffers
+    // here are <= 100 bytes, so millions of groups fit comfortably.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_knn_vote"),
       new ExpressionInfo(classOf[KnnVote].getCanonicalName, "graft_knn_vote"),
       (children: Seq[Expression]) =>
         KnnVote(children(0), children(1), children(2), k = 5))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_top1"),
+      new ExpressionInfo(classOf[Top1Neighbor].getCanonicalName, "graft_top1"),
+      (children: Seq[Expression]) => Top1Neighbor(children(0), children(1)))
+  }
 }

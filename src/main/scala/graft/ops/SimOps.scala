@@ -260,14 +260,18 @@ object SimOps {
                      col("nrm").as("na"))
     val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
                      col("nrm").as("nb"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cos_r").desc, col("nid").asc)
+    graft.functions.KnnVote.register(s)
     cand.join(a, "qid").join(b, "nid")
       .select(col("qid"), col("nid"),
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("qid").as("vec_id"), col("nid").as("ann_id"), col("cos_r"))
+      // native argmax (graft_top1): deterministic (cos DESC, id ASC) best
+      // neighbor per group — one aggregation instead of a full window sort
+      // over the candidate stream.
+      .groupBy("qid")
+      .agg(expr("graft_top1(cos_r, nid)").as("t"))
+      .select(col("qid").as("vec_id"), col("t.nid").as("ann_id"),
+              col("t.cos").as("cos_r"))
       .orderBy("vec_id")
   }
 }
