@@ -197,20 +197,16 @@ object SimOps {
 
   /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit
     * signature where bit b = sign of Σ_tokens (±1 by bit b of the token
-    * hash); candidates via 4×16-bit band buckets; match = Hamming ≤ 3. */
+    * hash), accumulated by the native graft_simhash sketch aggregate;
+    * candidates via 4×16-bit band buckets; match = Hamming ≤ 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimhashAgg.register(s)
     val tok = documents(s, d)
       .select(col("doc_id"),
               explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$b"))
-    val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val sig = tok.groupBy("doc_id")
+      .agg(expr("graft_simhash(h)").as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
