@@ -109,13 +109,20 @@ object SimOps {
         .as("sh"))
       .distinct()
 
-  /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, sh).
-    * One groupBy computes all 32 mins map-side (partial agg) — the whole
-    * signature pass is a single shuffle of (doc, 32 longs). */
+  /** MinHash signatures: hash each shingle STRING once to a long `x`, then
+    * derive h_i = xxhash64(i, x) by rehashing the fixed 8-byte long — the
+    * expensive variable-length string hash runs once per shingle, and the
+    * 32 per-index hashes are genuinely independent permutations (a
+    * Kirsch-Mitzenmacher h1+i·h2 family is NOT min-wise independent: the
+    * argmin is shared across i, collapsing the signature to ~2 effective
+    * samples). One groupBy computes all 32 mins map-side (partial agg) —
+    * the whole signature pass is a single shuffle of (doc, 32 longs). */
   private[ops] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    shingles(s, d).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("x"))).as(s"h$i"))
+    shingles(s, d)
+      .withColumn("x", xxhash64(col("sh")))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** Candidate near-dup pairs from LSH banding + minhash Jaccard estimate.

@@ -25,8 +25,9 @@ class PropertySpec extends SparkTestBase {
       a.map(t => (i.toLong * 2, t)) ++ b.map(t => (i.toLong * 2 + 1, t))
     }
     val df = rows.toDF("doc_id", "sh")
+    // same hash-once-then-rehash construction as SimOps.minhashSignatures
     val mins = (0 until 32).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(xxhash64(lit(i), xxhash64(col("sh")))).as(s"h$i"))
     val sigs = df.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector)
       .toMap
