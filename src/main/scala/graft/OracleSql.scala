@@ -233,6 +233,24 @@ object OracleSql {
         |  ROUND(covar_samp(l_discount, l_tax), 6) AS cov_dt_r
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2
+        |) WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  (o_orderkey & 15) << 3 AS shl,
+        |  o_orderkey >> 4 AS shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS bcnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "agg_collect_sorted" ->
       """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_collect_sorted" -> (Relational.aggCollectSorted _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_stats" -> (Relational.aggStats _),
+    "agg_mode" -> (Relational.aggMode _),
     // E. windows
     "win_rownum_topk" -> (Relational.winRownumTopk _),
     "win_rank_dense" -> (Relational.winRankDense _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "fn_conditional" -> (Functions.fnConditional _),
     "fn_array" -> (Functions.fnArray _),
     "fn_json" -> (Functions.fnJson _),
+    "fn_bitwise" -> (Functions.fnBitwise _),
     // H. event-time (batch mode)
     "stream_tumbling" -> (EventOps.streamTumbling _),
     "stream_sliding" -> (EventOps.streamSliding _),

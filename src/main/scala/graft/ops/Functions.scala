@@ -154,4 +154,17 @@ object Functions {
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value_r"))
       .orderBy("k")
+
+  /** Bitwise AND/OR/XOR, shifts, popcount over BIGINT keys — all codegen
+    * built-ins; bit_count's int result is widened to match DuckDB's cast. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+      col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+      col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+      shiftleft(col("o_orderkey").bitwiseAND(lit(15L)), 3).as("shl"),
+      shiftright(col("o_orderkey"), 4).as("shr"),
+      bit_count(col("o_orderkey")).cast("long").as("bcnt")
+    ).orderBy("o_orderkey")
 }

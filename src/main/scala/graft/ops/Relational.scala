@@ -467,4 +467,22 @@ object Relational {
 
   def setExcept(s: SparkSession, d: String): DataFrame =
     buildingKeys(s, d).except(richKeys(s, d)).orderBy("k")
+
+  /** Mode (most-frequent value) of o_orderpriority per o_orderstatus,
+    * ties broken by smallest value — count-then-rank, the scalable mode:
+    * one partial-aggregated shuffle on the pair, then a window over the
+    * tiny (status × priority) aggregate, never a per-row sort. */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counted.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderstatus"),
+              col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
 }
