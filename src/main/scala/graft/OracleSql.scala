@@ -241,6 +241,19 @@ object OracleSql {
         |  FROM orders GROUP BY 1, 2
         |) WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "win_cume_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal), 6) AS cd_r
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS band,

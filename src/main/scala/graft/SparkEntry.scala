@@ -43,6 +43,8 @@ object SparkEntry {
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_stats" -> (Relational.aggStats _),
     "agg_mode" -> (Relational.aggMode _),
+    "agg_bool" -> (Relational.aggBool _),
+    "win_cume_dist" -> (Relational.winCumeDist _),
     // E. windows
     "win_rownum_topk" -> (Relational.winRownumTopk _),
     "win_rank_dense" -> (Relational.winRankDense _),

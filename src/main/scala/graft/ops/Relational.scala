@@ -468,6 +468,26 @@ object Relational {
   def setExcept(s: SparkSession, d: String): DataFrame =
     buildingKeys(s, d).except(richKeys(s, d)).orderBy("k")
 
+  /** Boolean aggregates: bool_and / bool_or per group — partial-aggregable
+    * (AND/OR are associative), so they map-side combine like sum. */
+  def aggBool(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+           expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+           count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** cume_dist: fraction of rows at-or-below each acctbal per segment. */
+  def winCumeDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      round(cume_dist().over(w), 6).as("cd_r")
+    ).orderBy("c_custkey")
+  }
+
   /** Mode (most-frequent value) of o_orderpriority per o_orderstatus,
     * ties broken by smallest value — count-then-rank, the scalable mode:
     * one partial-aggregated shuffle on the pair, then a window over the
