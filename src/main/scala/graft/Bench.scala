@@ -34,7 +34,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only a bounded tail of stdout: the full ~3 KB
+    // per-query JSON got truncated mid-object in round 1 (BENCH_r01
+    // parsed:null). Emit the detail line first, persist it to a file, and
+    // end with a compact summary line that fits any tail buffer.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), full + "\n")
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

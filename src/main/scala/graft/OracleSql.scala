@@ -225,13 +225,27 @@ object OracleSql {
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_r
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // agg_stats: moments as exact decimal sums, final algebra in double with
+    // the formula textually identical to the Spark side — bitwise match.
     "agg_stats" ->
-      """SELECT l_returnflag,
-        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price_r,
-        |  ROUND(var_samp(l_quantity), 4) AS var_qty_r,
-        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp_r,
-        |  ROUND(covar_samp(l_discount, l_tax), 6) AS cov_dt_r
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS st,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sdt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND(sqrt((spp - sp * sp / n) / (n - 1)), 4) + 0.0 AS sd_price_r,
+        |  ROUND((sqq - sq * sq / n) / (n - 1), 4) + 0.0 AS var_qty_r,
+        |  ROUND((sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 4) + 0.0 AS corr_qp_r,
+        |  ROUND((sdt - sd * st / n) / (n - 1), 6) + 0.0 AS cov_dt_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
@@ -265,7 +279,8 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      """SELECT o_custkey,
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // ---- wave 2: windows ----
@@ -431,7 +446,8 @@ object OracleSql {
         |  ROUND(vd[1], 4) AS first_r,
         |  ROUND(list_sum(list_transform(vd, x -> x * x)), 4) AS ssq_r,
         |  ROUND(list_max(vd), 4) AS max_r,
-        |  list_transform(vd[1:3], x -> ROUND(x, 4)) AS head3_r
+        |  array_to_string(list_transform(vd[1:3],
+        |    x -> printf('%.4f', ROUND(x, 4))), ',') AS head3_r
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd, embedding
         |      FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
@@ -444,8 +460,9 @@ object OracleSql {
         |    string_split(text, ' ') AS raw
         |  FROM documents)
         |SELECT doc_id,
-        |  list_sort(list_intersect(ta, tb)) AS inter,
-        |  list_sort(list_filter(ta, x -> NOT list_contains(tb, x))) AS minus,
+        |  COALESCE(array_to_string(list_sort(list_intersect(ta, tb)), ','), '') AS inter,
+        |  COALESCE(array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ','), '')
+        |    AS minus,
         |  len(list_intersect(ta, tb)) > 0 AS overlaps,
         |  CAST(list_position(raw, 'fast') AS BIGINT) AS first_fast
         |FROM t ORDER BY doc_id""".stripMargin,
@@ -589,7 +606,8 @@ object OracleSql {
 
     "udaf_topk_acc" ->
       """SELECT o_custkey,
-        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:5]
+        |  array_to_string(
+        |    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:5], ',')
         |    AS top_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

@@ -182,13 +182,17 @@ case class Top1Neighbor(
 }
 
 object KnnVote {
-  def register(spark: SparkSession): Unit = {
-    // ObjectHashAggregate (which runs TypedImperativeAggregates) falls back
-    // to sort-based aggregation past 128 in-memory groups by default — a
-    // disaster for 2000-group kNN (full sort of the pair stream). Buffers
-    // here are <= 100 bytes, so millions of groups fit comfortably.
+  /** ObjectHashAggregate (which runs TypedImperativeAggregates) falls back
+    * to sort-based aggregation past 128 in-memory groups by default — a
+    * disaster for 2000-group kNN (full sort of the pair stream). Buffers
+    * here are <= 100 bytes, so millions of groups fit comfortably. Applied
+    * explicitly by the operators that aggregate with these functions
+    * (SimOps.simKnnLabel / simAnnBucket), not as a register() side effect. */
+  def raiseHashAggFallback(spark: SparkSession): Unit =
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_knn_vote"),
       new ExpressionInfo(classOf[KnnVote].getCanonicalName, "graft_knn_vote"),

@@ -89,7 +89,9 @@ object Functions {
     ).orderBy("o_orderkey")
 
   /** size/element_at/slice + higher-order transform/aggregate over the
-    * embedding vectors. */
+    * embedding vectors. head3_r is serialized to a fixed-format string —
+    * the driver comparator cannot hash array cells, and %.4f of an
+    * already-4dp-rounded double is identical in both engines. */
   def fnArray(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .withColumn("vd", transform(col("embedding"), _.cast("double")))
@@ -100,7 +102,8 @@ object Functions {
         round(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x), 4)
           .as("ssq_r"),
         round(array_max(col("vd")), 4).as("max_r"),
-        transform(slice(col("vd"), 1, 3), x => round(x, 4)).as("head3_r")
+        concat_ws(",", transform(slice(col("vd"), 1, 3),
+          x => format_string("%.4f", round(x, 4)))).as("head3_r")
       ).orderBy("vec_id")
 
   /** Array set algebra over token sets. Set-op results are sorted before
@@ -114,8 +117,10 @@ object Functions {
       .withColumn("tb", lex)
       .select(
         col("doc_id"),
-        array_sort(array_intersect(col("ta"), col("tb"))).as("inter"),
-        array_sort(array_except(col("ta"), col("tb"))).as("minus"),
+        concat_ws(",", array_sort(array_intersect(col("ta"), col("tb"))))
+          .as("inter"),
+        concat_ws(",", array_sort(array_except(col("ta"), col("tb"))))
+          .as("minus"),
         arrays_overlap(col("ta"), col("tb")).as("overlaps"),
         array_position(split(col("text"), " "), "fast").as("first_fast"))
       .orderBy("doc_id")

@@ -124,16 +124,40 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Statistical aggregates: stddev/variance/correlation/covariance.
-    * Merge order differs across engines (Welford partials) — rounded. */
+    * NOT the built-in stddev/corr: Welford partials merge in a different
+    * order per engine, so values landing near a round(·,4) boundary flip a
+    * digit and break the hash-match. Instead the moments are accumulated as
+    * EXACT decimal sums (inputs are fixed-dp, so Σx/Σx²/Σxy are exact in
+    * both engines regardless of merge order), and the final algebra runs in
+    * double with the textually identical formula as the oracle SQL —
+    * bitwise-identical IEEE results. Same single-shuffle partial-agg plan
+    * as the built-ins. */
   def aggStats(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price_r"),
-           round(var_samp(col("l_quantity")), 4).as("var_qty_r"),
-           round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-             .as("corr_qp_r"),
-           round(covar_samp(col("l_discount"), col("l_tax")), 6)
-             .as("cov_dt_r"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
+          .cast("double").as("sp"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+          .cast("double").as("spp"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sq"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
+          .cast("double").as("sqq"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+          .cast("double").as("sqp"),
+        sum(expr("CAST(l_discount AS DECIMAL(18,2))")).cast("double").as("sd"),
+        sum(expr("CAST(l_tax AS DECIMAL(18,2))")).cast("double").as("st"),
+        sum(expr("CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))"))
+          .cast("double").as("sdt"))
+      .select(col("l_returnflag"),
+        // + 0.0 normalizes IEEE -0.0 (ROUND of a tiny negative) to +0.0 —
+        // the driver comparator hashes raw float bits, so -0.0 != 0.0 there.
+        expr("ROUND(sqrt((spp - sp * sp / n) / (n - 1)), 4) + 0.0").as("sd_price_r"),
+        expr("ROUND((sqq - sq * sq / n) / (n - 1), 4) + 0.0").as("var_qty_r"),
+        expr("ROUND((sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 4) + 0.0")
+          .as("corr_qp_r"),
+        expr("ROUND((sdt - sd * st / n) / (n - 1), 6) + 0.0").as("cov_dt_r"))
       .orderBy("l_returnflag")
 
   /** HLL approximate distinct — the 100 TB replacement for exact distinct.
@@ -330,11 +354,16 @@ object Relational {
                col("l_linestatus").asc_nulls_first)
 
   /** Per-customer sorted order-key list (sorted array, never a map —
-    * map iteration order is nondeterministic, SURVEY §7.3). */
+    * map iteration order is nondeterministic, SURVEY §7.3). Output is the
+    * comma-joined string form: the driver comparator hashes cell values and
+    * cannot hash array cells, so the engine-independent contract is the
+    * serialized list (Spark concat_ws ↔ DuckDB array_to_string). */
   def aggCollectSorted(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list("o_orderkey")).as("order_keys"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list("o_orderkey")), _.cast("string")))
+        .as("order_keys"))
       .orderBy("o_custkey")
 
   // ---- E. windows (wave 2) ----

@@ -83,6 +83,7 @@ object SimOps {
     // fields directly (no encoder round-trip over the ~n² pair stream),
     // and the shuffle carries <= 5 neighbors per vector.
     graft.functions.KnnVote.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
     directed
       .groupBy("qid")
       .agg(expr("graft_knn_vote(cos_r, nid, nlabel)").as("vote"))
@@ -264,6 +265,7 @@ object SimOps {
     val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
                      col("nrm").as("nb"))
     graft.functions.KnnVote.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
     cand.join(a, "qid").join(b, "nid")
       .select(col("qid"), col("nid"),
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)

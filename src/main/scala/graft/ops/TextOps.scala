@@ -52,13 +52,16 @@ object TextOps {
 
   /** TF-IDF per (doc, term), top-50 by score. df and N are computed as
     * aggregates and joined back — no driver-side collect (SURVEY §4:
-    * driver loops are the anti-pattern). */
+    * driver loops are the anti-pattern). The df side is vocab-sized
+    * (≪ corpus) and the natural-language `term` key is Zipf-skewed
+    * ("the" is in every doc), so df is BROADCAST: the skewed shuffle
+    * join disappears and tf never moves. */
   def textTfidf(s: SparkSession, d: String): DataFrame = {
     val tok = tokens(s, d).withColumnRenamed("token", "term")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
               round(col("tf") * log(col("n").cast("double") / col("df")), 4)
                 .as("tfidf_r"))

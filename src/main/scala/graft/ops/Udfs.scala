@@ -96,12 +96,16 @@ object Udfs {
   }
 
   /** Top-5 order keys per customer by total price via the bounded-heap
-    * UDAF. */
+    * UDAF. The key list is serialized to a comma-joined string (the driver
+    * comparator cannot hash array cells). */
   def udafTopkAcc(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(TopKOrders)
     orders(s, d)
       .groupBy("o_custkey")
-      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("tk"))
+      .select(col("o_custkey"),
+              concat_ws(",", transform(col("tk"), _.cast("string")))
+                .as("top_orders"))
       .orderBy("o_custkey")
   }
 }

@@ -82,7 +82,8 @@ class Wave3Spec extends SparkTestBase {
         k -> rs.map(r => (r.getDouble(2), r.getLong(1)))
           .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSeq }
     Udfs.udafTopkAcc(spark, sf).collect().foreach { r =>
-      assert(r.getSeq[Long](1) == naive(r.getLong(0)), s"cust ${r.getLong(0)}")
+      val got = r.getString(1).split(",").map(_.toLong).toSeq
+      assert(got == naive(r.getLong(0)), s"cust ${r.getLong(0)}")
     }
   }
 }

@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's t2 check (dev tool, not library code).
 
-Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
-<sfDir> parquet tables and compares against the Spark parquet output in
-<outDir>/<name>/ — columns sorted by name, values compared exactly
-(mimics the driver's hash compare).
+Replicates the driver comparator EXACTLY (VERDICT r1 item 4): columns
+sorted by name, rows re-sorted with pandas sort_values over all columns
+(this is the step that raises TypeError on array-typed cells — that
+failure mode must reproduce locally), then a row/schema/hash compare of
+the sorted frames.
 
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
@@ -14,6 +15,22 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def driver_canon(df):
+    """The driver's canonical form: name-sorted columns, then sort_values
+    over every column. Raises on unhashable (array) cells, as the driver
+    does — do NOT pre-stringify here, or the pre-flight green-lights
+    queries the driver will ERR on."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def frame_hash(df):
+    return pd.util.hash_pandas_object(df, index=False).sum()
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -36,8 +53,13 @@ def main(sf_dir, out_dir):
             print(f"ERROR    {name}: {e}")
             n_fail += 1
             continue
-        got = got[sorted(got.columns)]
-        want = want[sorted(want.columns)]
+        try:
+            got = driver_canon(got)
+            want = driver_canon(want)
+        except Exception as e:
+            print(f"ERR      {name}: comparator failed: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if list(got.columns) != list(want.columns):
             print(f"SCHEMA   {name}: spark={list(got.columns)} "
                   f"oracle={list(want.columns)}")
@@ -47,31 +69,26 @@ def main(sf_dir, out_dir):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
             n_fail += 1
             continue
-        got = got.reset_index(drop=True)
-        want = want.reset_index(drop=True)
-        def canon(s):
-            # list-valued columns come back as numpy arrays / lists; make
-            # them hashable+comparable
-            if s.dtype == object:
-                return s.map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                             else (tuple(v) if isinstance(v, list) else v))
-            return s
-        bad = None
-        for c in got.columns:
-            a, b = canon(got[c]), canon(want[c])
-            try:
-                if str(a.dtype) != str(b.dtype):
-                    bad = f"dtype[{c}]: {a.dtype} vs {b.dtype}"
-                    break
-                if not a.equals(b):
-                    neq = (a != b) & ~(a.isna() & b.isna())
+        try:
+            hashes_match = frame_hash(got) == frame_hash(want)
+        except Exception as e:
+            print(f"ERR      {name}: hash failed: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if not hashes_match:
+            # diagnostic detail (not part of the driver check): first cell diff
+            bad = "hash mismatch"
+            for c in got.columns:
+                a, b = got[c], want[c]
+                try:
+                    neq = ~((a == b) | (a.isna() & b.isna()))
+                except Exception:
+                    continue
+                if neq.any():
                     i = neq.idxmax()
-                    bad = f"value[{c}] row {i}: {a[i]!r} vs {b[i]!r} ({int(neq.sum())} diffs)"
+                    bad = (f"value[{c}] row {i}: {a[i]!r} vs {b[i]!r} "
+                           f"({int(neq.sum())} diffs)")
                     break
-            except Exception as e:
-                bad = f"compare[{c}]: {e}"
-                break
-        if bad:
             print(f"VALUE    {name}: {bad}")
             n_fail += 1
         else:
@@ -79,6 +96,7 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
