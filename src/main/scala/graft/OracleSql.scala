@@ -19,6 +19,33 @@ object OracleSql {
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // scan_csv: both engines read the same committed fixture file; ints are
+    // cast to BIGINT (each CSV sniffer picks its own integer width).
+    "scan_csv" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM read_csv('/root/repo/fixtures/nation.csv')
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_in" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F'
+        |                          AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "map_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -17,6 +17,7 @@ object SparkEntry {
     // A. scans
     "scan_parquet" -> (Relational.scanParquet _),
     "scan_pruned" -> (Relational.scanPruned _),
+    "scan_csv" -> (Relational.scanCsv _),
     // B. projection / filter
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),
@@ -102,6 +103,10 @@ object SparkEntry {
     "mm_meta" -> (MultimodalOps.mmMeta _),
     // D (T3). approx aggregates
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
+    // D'. subqueries
+    "sub_scalar" -> (Relational.subScalar _),
+    "sub_in" -> (Relational.subIn _),
     // J. UDF / UDAF / typed surface
     "typed_mapgroups" -> (TypedOps.typedMapgroups _),
     "udf_scalar" -> (Udfs.udfScalar _),

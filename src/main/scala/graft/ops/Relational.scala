@@ -34,6 +34,18 @@ object Relational {
              col("l_quantity") < 10)
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** CSV source through the Pipeline façade (header + schema inference) —
+    * the declared non-parquet scan. Reads a committed one-time export of
+    * the sf0.001 nation table (fixtures/nation.csv); the oracle reads the
+    * same file via DuckDB read_csv. Integer columns are cast to BIGINT on
+    * both sides because each engine's CSV sniffer picks its own width. */
+  def scanCsv(s: SparkSession, d: String): DataFrame =
+    graft.engine.Pipeline.csv(s, "/root/repo/fixtures/nation.csv").df
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+              col("n_name"),
+              col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("n_nationkey")
+
   // ---- B. projection / filter ----
 
   /** Per-record map: arithmetic + string expressions (the map verb).
@@ -167,6 +179,61 @@ object Relational {
     lineitem(s, d).agg(
       approx_count_distinct(col("l_partkey")).as("apx_part"),
       approx_count_distinct(col("l_suppkey")).as("apx_supp"))
+
+  /** Approximate percentiles per return flag — the other must-have sketch
+    * at 100 TB (quantile over a column too big to sort). Spark's
+    * approx_percentile is a mergeable KLL/GK-style sketch: partial
+    * aggregation per partition, one small-state merge at the reducer — no
+    * global sort. No oracle: sketch internals differ across engines; the
+    * unit test bounds the result against the exact percentile instead
+    * (accuracy 10000 → rank error <= n/10000). */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
+      .orderBy("l_returnflag")
+
+  // ---- D'. subqueries (Catalyst rewrite path) ----
+
+  /** Correlated scalar subquery: orders priced above their customer's
+    * average order value. Written as SQL because this exercises Catalyst's
+    * RewriteCorrelatedScalarSubquery — the subquery is decorrelated into an
+    * aggregate joined back on o_custkey (one shuffle on the key, no
+    * per-row re-execution), which is how EXISTS/IN-style analytics scale.
+    * The average is the exact DECIMAL sum cast to double, divided by the
+    * count with the formula textually identical to the oracle SQL, so the
+    * boundary comparison is IEEE-identical across engines. */
+  def subScalar(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("sq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM sq_orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN + NOT IN subqueries: customers with an urgent order and no large
+    * finished order. Catalyst rewrites IN → left-semi join and NOT IN →
+    * null-aware left-anti join; both shuffle once on the key (o_custkey is
+    * non-null here, so the null-aware path degenerates to a plain anti
+    * join at runtime). */
+  def subIn(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("sq_orders")
+    customer(s, d).createOrReplaceTempView("sq_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM sq_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM sq_orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM sq_orders
+        |                        WHERE o_orderstatus = 'F'
+        |                          AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
 
   // ---- E. windows ----
 

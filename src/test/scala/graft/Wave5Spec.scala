@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Wave-5 tests: subquery rewrite path, approx percentile bound, CSV scan. */
+class Wave5Spec extends SparkTestBase {
+
+  test("sub_scalar equals the decorrelated join formulation") {
+    val out = Relational.subScalar(spark, sf)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val avg = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double") /
+            count(lit(1))).as("cavg"))
+    val naive = o.join(avg, col("o_custkey") === col("k"))
+      .where(col("o_totalprice") > col("cavg"))
+    assert(out.count() == naive.count())
+    // a customer's max-priced order is above its avg iff it has >1 distinct price
+    assert(out.count() > 0 && out.count() < o.count())
+  }
+
+  test("sub_scalar plan is decorrelated (no per-row subquery)") {
+    val plan = Relational.subScalar(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"),
+           "correlated scalar subquery must be rewritten to an agg+join")
+  }
+
+  test("sub_in matches set-algebra formulation") {
+    val out = Relational.subIn(spark, sf).collect().map(_.getLong(0)).toSet
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val bigF = o.where(col("o_orderstatus") === "F" &&
+                       col("o_totalprice") > 300000)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expect = c.collect().map(_.getLong(0)).toSet
+      .intersect(urgent).diff(bigF)
+    assert(out == expect)
+  }
+
+  test("agg_approx_percentile lands within rank-error bound of exact") {
+    val apx = Relational.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    apx.foreach { case (flag, (p50, p90)) =>
+      val vals = li.where(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      // accuracy=10000 → rank error <= n/10000; generous 2x slack
+      val tol = math.max(2 * n / 10000, 2)
+      def rankOf(v: Double): Int = vals.count(_ <= v)
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= tol,
+             s"$flag p50 rank off: ${rankOf(p50)} vs ${0.5 * n}")
+      assert(math.abs(rankOf(p90) - 0.9 * n) <= tol,
+             s"$flag p90 rank off: ${rankOf(p90)} vs ${0.9 * n}")
+    }
+  }
+
+  test("scan_csv round-trips the committed nation fixture") {
+    val out = Relational.scanCsv(spark, sf).collect()
+    assert(out.length == 25)
+    assert(out.head.getLong(0) == 0L && out.last.getLong(0) == 24L)
+    assert(out.forall(r => r.getString(1) == s"NATION_${r.getLong(0)}"))
+  }
+}
