@@ -98,6 +98,7 @@ object SparkEntry {
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),
+    "dedup_embedding_ann" -> (SimOps.dedupEmbeddingAnn _),
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
     "mm_meta" -> (MultimodalOps.mmMeta _),

@@ -195,13 +195,121 @@ object SimOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold calibrated to this
-    * data: max pair cosine ≈ 0.51 at sf0.01). Same kernel as the top-k
-    * query; at 100 TB the LSH-bucketed ANN path generates candidates
-    * first. */
+    * data: max pair cosine ≈ 0.51 at sf0.01). Deliberately the EXACT
+    * kernel, and that is the scale-correct call for THIS workload shape:
+    * the testdata embeddings are isotropic (typical pair cos ≈ 0, σ=1/8),
+    * so τ=0.45 "near-dups" sit only 3.6σ out — hyperplane-LSH agreement is
+    * p₁=1-acos(0.45)/π≈0.65 for qualifying pairs vs p₂=0.5 for noise, and
+    * with that amplification gap a candidate generator that provably keeps
+    * every qualifying pair enumerates ≥ n²/2 pairs at every (bands, rows)
+    * parameterization — more than the exact join it would replace. True
+    * near-dup corpora (cos ≥ 0.9, p₁ ≈ 0.94) invert the math; that path is
+    * [[dedupEmbeddingAnn]], which buckets and reranks with the identical
+    * rerank kernel. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     cosinePairs(s, d)
       .where(col("cos_r") >= 0.45)
       .orderBy("id_a", "id_b")
+
+  // ---- random-hyperplane LSH (signature → bucket join → exact rerank) ----
+
+  /** Deterministic Gaussian hyperplanes, `tables` × `bits` directions.
+    * Seeded PRNG (never Math.random): signatures must be identical across
+    * runs, sessions, and executors. */
+  private def planes(tables: Int, bits: Int, dim: Int,
+                     seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-vector LSH signature rows (vec_id, tbl, key): key bit j =
+    * sign(r_{t,j} · v). Hyperplanes enter the plan as literal arrays, so
+    * Catalyst constant-folds them and each signature costs `bits` codegen'd
+    * graft_dot calls per table — a narrow map, no shuffle. */
+  private def sigRows(v: DataFrame, pl: Array[Array[Array[Double]]]): DataFrame = {
+    val tableCols = pl.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("tbl"),
+        tp.zipWithIndex.map { case (r, j) =>
+          when(call_function("graft_dot", col("vd"), lit(r)) > 0, lit(1 << j))
+            .otherwise(lit(0))
+        }.reduce(_ + _).as("key"))
+    }
+    v.select(col("vec_id"), explode(array(tableCols.toIndexedSeq: _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.key").as("key"))
+  }
+
+  /** Directed candidate pairs (qid, nid) from a multi-table bucket join
+    * with optional Hamming-≤1 multi-probe on the query side. The join key
+    * is (tbl, key) — at 100 TB that is the shuffle key, so each bucket's
+    * pairs co-locate (ClusterJoin shape) and cost per query is
+    * O(tables · probes · bucket), logarithmic-ish in n via `bits`. */
+  private def annCandidates(v: DataFrame, tables: Int, bits: Int,
+                            probe: Boolean, seed: Long): DataFrame = {
+    val pl = planes(tables, bits, 64, seed)
+    val sig = sigRows(v, pl)
+    val probes =
+      if (!probe) sig.withColumn("pkey", col("key"))
+      else sig.select(col("vec_id"), col("tbl"),
+          explode(array((col("key") +:
+            (0 until bits).map(j => col("key").bitwiseXOR(lit(1 << j)))
+          ).toIndexedSeq: _*)).as("pkey"))
+    // NOT distinct'ed: a pair colliding in several tables/probes appears
+    // several times. Deduplicating here would shuffle the full candidate
+    // stream; both consumers tolerate duplicates instead — argmax rerank is
+    // idempotent, threshold rerank dedupes after the τ filter (tiny).
+    probes.select(col("tbl"), col("pkey"), col("vec_id").as("qid"))
+      .join(sig.select(col("tbl").as("tbl_i"), col("key").as("key_i"),
+                       col("vec_id").as("nid")),
+            col("tbl") === col("tbl_i") && col("pkey") === col("key_i") &&
+            col("qid") =!= col("nid"))
+      .select("qid", "nid")
+  }
+
+  /** bits so the expected bucket occupancy stays ≈ targetBucket as n grows
+    * — candidates per query then scale with log n, not n. */
+  private def bitsFor(n: Long, targetBucket: Int): Int =
+    math.max(3, math.min(16,
+      math.ceil(math.log(math.max(n, 2).toDouble / targetBucket) /
+                math.log(2)).toInt))
+
+  /** Embedding near-dup via LSH candidates + exact cosine rerank — the
+    * 100 TB dedup path. Bucketed, never all-pairs: candidates come from
+    * [[annCandidates]], the rerank reuses the exact graft_dot kernel, so
+    * precision is 1.0 by construction and recall is governed by
+    * (tables, bits, probe) — property-tested at 100% on planted near-dups
+    * (cos ≥ 0.95, the real near-dup regime). No SQL oracle: candidate
+    * membership is probabilistic in the hash draw (sanctioned no-oracle
+    * tier, like dedup_minhash). */
+  def dedupEmbeddingAnnOn(v: DataFrame, tau: Double, tables: Int,
+                          targetBucket: Int, n: Long,
+                          seed: Long = 42L): DataFrame = {
+    val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
+                             probe = true, seed)
+      .where(col("qid") < col("nid"))
+    val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
+                     col("nrm").as("nb"))
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid").as("id_a"), col("nid").as("id_b"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .where(col("cos_r") >= tau)
+      .distinct() // multi-table collisions; post-filter, so rows are few
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Declared dedup_embedding_ann query: the ANN dedup path on the
+    * testdata embeddings at the same τ=0.45 as the exact operator.
+    * 4 tables are sized for the true near-dup regime (cos ≥ 0.95 →
+    * per-table catch ≈ 0.98, miss ≈ 2e-7); on the isotropic testdata the
+    * same configuration recovers ~85% of the out-of-regime τ=0.45 pairs —
+    * exactly the documented trade against [[dedupEmbedding]]. */
+  def dedupEmbeddingAnn(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d)
+    dedupEmbeddingAnnOn(v, tau = 0.45, tables = 4, targetBucket = 32,
+                        n = v.count())
+  }
 
   /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit
     * signature where bit b = sign of Σ_tokens (±1 by bit b of the token
@@ -236,30 +344,27 @@ object SimOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Approximate nearest neighbor via multi-table axis-aligned LSH: 4 hash
-    * tables, each keying on 4 sign bits of a distinct dimension block;
-    * candidates = union of same-bucket pairs across tables, then exact
-    * top-1 by cosine (no oracle — approximate; recall is property-tested
-    * against brute force). At 100 TB: (table, bucket) becomes the shuffle
-    * key so each bucket's pairs co-locate — the ClusterJoin shape — and
-    * recall tunes with tables × bits, never with data motion. */
+  /** Approximate nearest neighbor via multi-table random-hyperplane LSH
+    * with Hamming-≤1 multi-probe, then exact top-1 cosine rerank (no
+    * oracle — approximate; recall is property-tested against brute force).
+    * Parametric where it matters at scale: `bits` grows as
+    * log2(n/targetBucket) so bucket occupancy — and with it candidates per
+    * query, ≈ tables·(bits+1)·targetBucket — stays flat as n grows;
+    * recall tunes with `tables` × probing, never with data motion. At
+    * 100 TB (tbl, key) is the shuffle key, co-locating each bucket's pairs
+    * (ClusterJoin shape). */
   def simAnnBucket(s: SparkSession, d: String): DataFrame = {
     val v = normed(s, d)
-    val tables = (0 until 4).map { t =>
-      val key = (0 until 4).map(j =>
-        when(element_at(col("vd"), t * 8 + j + 1) > 0, lit(1 << j))
-          .otherwise(0)).reduce(_ + _)
-      struct(lit(t).as("tbl"), key.as("key"))
-    }
-    val bucketed = v
-      .select(col("vec_id"), explode(array(tables: _*)).as("b"))
-      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.key").as("key"))
-    val cand = bucketed.select(col("tbl"), col("key"), col("vec_id").as("qid"))
-      .join(bucketed.select(col("tbl").as("tbl_b"), col("key").as("key_b"),
-                            col("vec_id").as("nid")),
-            col("tbl") === col("tbl_b") && col("key") === col("key_b") &&
-            col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+    simAnnBucketP(s, v, tables = 6, targetBucket = 32, n = v.count())
+  }
+
+  /** Parametric core of [[simAnnBucket]]: per-vector best neighbor among
+    * the LSH candidates (exact cosine, deterministic tie-break). */
+  def simAnnBucketP(s: SparkSession, v: DataFrame, tables: Int,
+                    targetBucket: Int, n: Long,
+                    seed: Long = 7L): DataFrame = {
+    val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
+                             probe = true, seed)
     val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
                      col("nrm").as("na"))
     val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),

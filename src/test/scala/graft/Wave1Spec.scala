@@ -104,7 +104,8 @@ class Wave1Spec extends SparkTestBase {
     // T3 / approx ops: no SQL oracle (SURVEY §2) — xxhash64 is
     // Spark-specific, HLL sketches and ANN results are engine-dependent
     val noOracle = Set("dedup_minhash", "agg_approx_distinct",
-                       "dedup_simhash", "sim_ann_bucket")
+                       "dedup_simhash", "sim_ann_bucket",
+                       "agg_approx_percentile", "dedup_embedding_ann")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
