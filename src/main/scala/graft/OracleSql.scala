@@ -27,6 +27,22 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    // agg_decimal: exact integer-scaled arithmetic, every intermediate
+    // pinned to an explicit (precision, scale) — matches Spark's casts.
+    "agg_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |    AS sum_base,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,4))
+        |    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))
+        |    AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "sub_scalar" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_stats" -> (Relational.aggStats _),
     "agg_mode" -> (Relational.aggMode _),
+    "agg_decimal" -> (Relational.aggDecimal _),
     "agg_bool" -> (Relational.aggBool _),
     "win_cume_dist" -> (Relational.winCumeDist _),
     // E. windows

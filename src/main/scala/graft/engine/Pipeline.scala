@@ -34,6 +34,20 @@ final case class Pipeline(df: DataFrame) {
   def sort(cols: Column*): Pipeline = Pipeline(df.orderBy(cols: _*))
   def limit(n: Int): Pipeline = Pipeline(df.limit(n))
 
+  /** cache: pin this pipeline stage for interactive re-query (SURVEY
+    * §7.5). Spark's lazy MEMORY_AND_DISK cache — the first action
+    * materializes, later queries over the same stage read the cached
+    * columnar batches (InMemoryTableScan) instead of recomputing. */
+  def cache(): Pipeline = Pipeline(df.cache())
+
+  /** Drop this stage's cached data (no-op if never cached). */
+  def unpersist(): Pipeline = Pipeline(df.unpersist())
+
+  /** checkpoint: truncate the lineage by materializing to local disk —
+    * the restart-safe variant of cache for long iterative pipelines
+    * (a 100-stage plan re-optimized per action is itself a cost). */
+  def localCheckpoint(): Pipeline = Pipeline(df.localCheckpoint())
+
   /** sink: parquet write (the default action). */
   def sink(path: String): Unit = df.write.mode("overwrite").parquet(path)
   def sinkCsv(path: String, header: Boolean = true): Unit =

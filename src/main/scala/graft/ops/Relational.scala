@@ -194,6 +194,31 @@ object Relational {
            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
       .orderBy("l_returnflag")
 
+  /** Money aggregation end-to-end in DECIMAL — the type a billing pipeline
+    * must carry: output columns ARE decimal, not rounded doubles. Every
+    * intermediate is cast to an explicit (precision, scale) on both
+    * engines, because each engine's implicit decimal-arithmetic widening
+    * rules differ; with pinned scales the arithmetic is exact integer
+    * math and the hash-match is unconditional (no rounding boundaries at
+    * all, unlike the double queries). */
+  def aggDecimal(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
+          .cast("decimal(38,2)").as("sum_base"),
+        sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                   |  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                   |  AS DECIMAL(18,4))""".stripMargin))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        sum(expr("""CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                   |  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                   |  AS DECIMAL(18,4))
+                   |  * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))
+                   |  AS DECIMAL(24,6))""".stripMargin))
+          .cast("decimal(38,6)").as("sum_charge"))
+      .orderBy("l_returnflag")
+
   // ---- D'. subqueries (Catalyst rewrite path) ----
 
   /** Correlated scalar subquery: orders priced above their customer's

@@ -58,6 +58,33 @@ class Wave5Spec extends SparkTestBase {
     }
   }
 
+  test("agg_decimal outputs are decimal-typed and scale-pinned") {
+    val out = Relational.aggDecimal(spark, sf)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("sum_base") == "DECIMAL(38,2)")
+    assert(types("sum_disc_price") == "DECIMAL(38,4)")
+    assert(types("sum_charge") == "DECIMAL(38,6)")
+    val r = out.collect()
+    assert(r.nonEmpty && r.forall(_.getDecimal(1).signum > 0))
+  }
+
+  test("pipeline cache serves re-queries from InMemoryTableScan") {
+    import graft.engine.Pipeline
+    val p = Pipeline.source(spark, s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 1000).cache()
+    val n1 = p.df.count()
+    val plan = p.df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+           s"re-query must hit the cache:\n$plan")
+    assert(p.df.count() == n1)
+    p.unpersist()
+    val lc = Pipeline.source(spark, s"$sf/orders.parquet")
+      .map(col("o_orderkey")).localCheckpoint()
+    assert(lc.df.count() > 0 &&
+           lc.df.queryExecution.optimizedPlan.toString
+             .contains("LogicalRDD"), "checkpoint must truncate lineage")
+  }
+
   test("scan_csv round-trips the committed nation fixture") {
     val out = Relational.scanCsv(spark, sf).collect()
     assert(out.length == 25)
