@@ -27,6 +27,44 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    // join_salted: oracle is the PLAIN join — the salted rewrite must be
+    // row-identical to it.
+    "join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |    AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+        |  CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_table,
+        |  regexp_matches(text, 'fast (spark|scan)') AS has_fast_pair,
+        |  substr(regexp_replace(text, 'customer', '<ENT>', 'g'), 1, 40)
+        |    AS masked40
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // data_split: engine-portable deterministic fold — first 8 hex chars
+    // of md5(doc_id) mod 100 (identical md5 both sides).
+    "data_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS fold
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // agg_decimal: exact integer-scaled arithmetic, every intermediate
     // pinned to an explicit (precision, scale) — matches Spark's casts.
     "agg_decimal" ->

@@ -32,6 +32,7 @@ object SparkEntry {
     "join_cross" -> (Relational.joinCross _),
     "join_theta_range" -> (Relational.joinThetaRange _),
     "join_asof" -> (Relational.joinAsof _),
+    "join_salted" -> (Relational.joinSalted _),
     // D. aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
@@ -96,6 +97,9 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_tokencount" -> (TextOps.textTokencount _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_normalize" -> (TextOps.textNormalize _),
+    "fn_regex" -> (TextOps.fnRegex _),
+    "data_split" -> (TextOps.dataSplit _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),

@@ -27,8 +27,12 @@ object Scale {
     * (a single monster group). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salt: Int): DataFrame = {
+    // Salt from the probe row's own columns (not monotonically_increasing_id):
+    // restart-stable — a retried task re-derives identical salts, so
+    // speculative execution / stage retry cannot double- or mis-route rows.
     val p = probe.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salt))
+        .cast("int"))
     val b = build.withColumnRenamed(key, "__bkey")
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     p.join(b, col(key) === col("__bkey") && p("__salt") === b("__salt"))

@@ -219,6 +219,24 @@ object Relational {
           .cast("decimal(38,6)").as("sum_charge"))
       .orderBy("l_returnflag")
 
+  /** Skew-salted equi join, oracle-checked row-identical to the plain
+    * join: lineitem ⋈ orders with the build side replicated 4× and the
+    * probe side scattered by a restart-stable row hash
+    * ([[graft.engine.Scale.saltedJoin]]). The declared query proves the
+    * rewrite is semantics-preserving; at 100 TB it is the manual escape
+    * hatch for a single monster key AQE cannot split. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val probe = lineitem(s, d).select("l_orderkey", "l_extendedprice")
+    val build = orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.engine.Scale.saltedJoin(probe, build, "l_orderkey", 4)
+      .groupBy("o_orderpriority")
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
+             .cast("decimal(38,2)").as("revenue"),
+           count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- D'. subqueries (Catalyst rewrite path) ----
 
   /** Correlated scalar subquery: orders priced above their customer's

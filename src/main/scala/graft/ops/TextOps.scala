@@ -168,4 +168,44 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
           .as("fp"))
       .orderBy("doc_id")
+
+  /** Text normalization — the first stage of every corpus-cleaning job:
+    * lowercase, strip non-alphanumerics, squeeze whitespace, trim. Pure
+    * codegen'd string expressions; at 100 TB this is a narrow map fused
+    * into the scan. The regex dialect is kept to the portable core (class,
+    * +) so the oracle is byte-identical. */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_text"))
+      .orderBy("doc_id")
+
+  /** Regex function family: anchored extract, extract-all counting,
+    * rlike flag, replace — corpus cleaning's workhorse quartet. */
+  def fnRegex(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_tok"),
+        size(expr("regexp_extract_all(text, 'table', 0)")).cast("long")
+          .as("n_table"),
+        col("text").rlike("fast (spark|scan)").as("has_fast_pair"),
+        substring(regexp_replace(col("text"), "customer", "<ENT>"), 1, 40)
+          .as("masked40"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/test split — hash-based, not random: the split a
+    * 100 TB pipeline must use so that (a) re-runs and late-arriving shards
+    * land in the same fold, (b) no shuffle or sampling state is needed —
+    * it is a narrow map on a content-stable key. Fold = first 8 hex chars
+    * of md5(doc_id) mod 100 (engine-portable, unlike xxhash64). */
+  def dataSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").mod(100).as("bucket"))
+      .withColumn("fold", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "valid").otherwise("test"))
+      .orderBy("doc_id")
 }

@@ -85,6 +85,42 @@ class Wave5Spec extends SparkTestBase {
              .contains("LogicalRDD"), "checkpoint must truncate lineage")
   }
 
+  test("join_salted equals the plain join and spreads salts") {
+    import graft.engine.Scale
+    val probe = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val build = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = Scale.saltedJoin(probe, build, "l_orderkey", 4)
+    val plain = probe.join(build, "l_orderkey")
+    assert(salted.count() == plain.count())
+    // restart-stable: recomputing yields the identical salt assignment
+    val s1 = Scale.saltedJoin(probe, build, "l_orderkey", 4).count()
+    assert(s1 == salted.count())
+  }
+
+  test("data_split folds are deterministic and ~80/10/10") {
+    val out = TextOps.dataSplit(spark, sf)
+    val byFold = out.groupBy("fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byFold.values.sum.toDouble
+    assert(byFold("train") / n > 0.6 && byFold("train") / n < 0.95)
+    assert(byFold.keySet == Set("train", "valid", "test"))
+    // same doc always lands in the same fold
+    val f1 = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val f2 = TextOps.dataSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(f1 == f2)
+  }
+
+  test("text_normalize output is lowercase, single-spaced, trimmed") {
+    TextOps.textNormalize(spark, sf).collect().foreach { r =>
+      val t = r.getString(1)
+      assert(t == t.toLowerCase && !t.contains("  ") && t == t.trim)
+      assert(t.forall(c => c.isLetterOrDigit || c == ' '))
+    }
+  }
+
   test("scan_csv round-trips the committed nation fixture") {
     val out = Relational.scanCsv(spark, sf).collect()
     assert(out.length == 25)
