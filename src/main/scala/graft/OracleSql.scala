@@ -27,6 +27,21 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "flatmap_posexplode" ->
+      """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+        |     unnest(generate_series(1, len(toks))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |  AS DECIMAL(38,2)) AS sum30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     // join_salted: oracle is the PLAIN join — the salted rewrite must be
     // row-identical to it.
     "join_salted" ->

@@ -22,6 +22,7 @@ object SparkEntry {
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),
     "flatmap_explode" -> (TextOps.flatmapExplode _),
+    "flatmap_posexplode" -> (TextOps.flatmapPosexplode _),
     // C. joins
     "join_inner" -> (Relational.joinInner _),
     "join_broadcast" -> (Relational.joinBroadcast _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "win_ntile_pctrank" -> (Relational.winNtilePctrank _),
     "win_first_last" -> (Relational.winFirstLast _),
     "win_dist_nth" -> (Relational.winDistNth _),
+    "win_range_frame" -> (Relational.winRangeFrame _),
     "agg_pivot" -> (Relational.aggPivot _),
     "sort_pagination" -> (Relational.sortPagination _),
     "fn_hash" -> (Functions.fnHash _),

@@ -219,6 +219,21 @@ object Relational {
           .cast("decimal(38,6)").as("sum_charge"))
       .orderBy("l_returnflag")
 
+  /** RANGE-frame window: per-customer 30-day trailing revenue. The frame
+    * is defined by the ORDER-BY VALUE (epoch seconds), not row position —
+    * peers at the same instant aggregate together, gaps shrink the frame.
+    * Sum runs in DECIMAL (exact under any peer-merge order). */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-2592000L, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).over(w)
+          .cast("decimal(38,2)").as("sum30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Skew-salted equi join, oracle-checked row-identical to the plain
     * join: lineitem ⋈ orders with the build side replicated 4× and the
     * probe side scattered by a restart-stable row hash

@@ -21,6 +21,16 @@ object TextOps {
   def flatmapExplode(s: SparkSession, d: String): DataFrame =
     tokens(s, d).orderBy("doc_id", "token")
 
+  /** Positional flatMap (posexplode): token with its 0-based offset —
+    * the generator variant that keeps provenance, needed whenever
+    * downstream ops are position-sensitive (n-grams, span labeling). */
+  def flatmapPosexplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
   /** Canonical map-reduce word count, top-20. The flagship `entry` query. */
   def textWordcount(s: SparkSession, d: String): DataFrame =
     tokens(s, d)
