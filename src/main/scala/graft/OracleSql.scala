@@ -27,6 +27,29 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "set_except_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin,
+
+    "typed_cogroup" ->
+      """SELECT c_custkey AS k,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+        |  c_mktsegment AS seg,
+        |  CAST(COALESCE(tot, 0) AS DOUBLE) AS total_price
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+        |ORDER BY k""".stripMargin,
+
     "flatmap_posexplode" ->
       """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,

@@ -73,6 +73,8 @@ object SparkEntry {
     "set_union_distinct" -> (Relational.setUnionDistinct _),
     "set_intersect" -> (Relational.setIntersect _),
     "set_except" -> (Relational.setExcept _),
+    "set_except_all" -> (Relational.setExceptAll _),
+    "set_intersect_all" -> (Relational.setIntersectAll _),
     // G. scalar function families
     "fn_string" -> (Functions.fnString _),
     "fn_datetime" -> (Functions.fnDatetime _),
@@ -117,6 +119,7 @@ object SparkEntry {
     "sub_in" -> (Relational.subIn _),
     // J. UDF / UDAF / typed surface
     "typed_mapgroups" -> (TypedOps.typedMapgroups _),
+    "typed_cogroup" -> (TypedOps.typedCogroup _),
     "udf_scalar" -> (Udfs.udfScalar _),
     "udaf_weighted_avg" -> (Udfs.udafWeightedAvg _),
     "udaf_topk_acc" -> (Udfs.udafTopkAcc _)

@@ -622,6 +622,23 @@ object Relational {
   def setExcept(s: SparkSession, d: String): DataFrame =
     buildingKeys(s, d).except(richKeys(s, d)).orderBy("k")
 
+  // Multiset (ALL) set-op variants: inputs carry duplicates (a customer
+  // appears once per order), and the ALL semantics preserve multiplicity —
+  // |A EXCEPT ALL B| = Σ_k max(count_A(k) - count_B(k), 0). Spark plans
+  // these as an aggregate on counts, not a distinct — one shuffle.
+  private def fKeys(s: SparkSession, d: String): DataFrame =
+    orders(s, d).where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+  private def oKeys(s: SparkSession, d: String): DataFrame =
+    orders(s, d).where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    fKeys(s, d).exceptAll(oKeys(s, d)).orderBy("k")
+
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    fKeys(s, d).intersectAll(oKeys(s, d)).orderBy("k")
+
   /** Boolean aggregates: bool_and / bool_or per group — partial-aggregable
     * (AND/OR are associative), so they map-side combine like sum. */
   def aggBool(s: SparkSession, d: String): DataFrame =

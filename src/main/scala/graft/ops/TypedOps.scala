@@ -32,4 +32,25 @@ object TypedOps {
       .toDF("o_custkey", "n_orders", "max_gap_days")
       .orderBy("o_custkey")
   }
+
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup): customer rows and
+    * their orders co-processed per key in one function — the typed twin
+    * of a join+agg, for logic that needs both groups materialized.
+    * Money sums run in BigDecimal (exact; matches the oracle's DECIMAL
+    * sum cast to double). One shuffle per side on the key — the same
+    * cost shape as the equivalent join. */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = customer(s, d).select("c_custkey", "c_mktsegment")
+      .as[(Long, String)].groupByKey(_._1)
+    val ord = orders(s, d).select("o_custkey", "o_totalprice")
+      .as[(Long, Double)].groupByKey(_._1)
+    cust.cogroup(ord) { (k, cs, os) =>
+      val seg = cs.toSeq.headOption.map(_._2).getOrElse("NONE")
+      val prices = os.map(p => BigDecimal.valueOf(p._2)).toSeq
+      Iterator((k, prices.length.toLong, seg,
+                prices.sum.setScale(2).toDouble))
+    }.toDF("k", "n_orders", "seg", "total_price")
+      .orderBy("k")
+  }
 }
