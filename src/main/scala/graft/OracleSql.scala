@@ -27,6 +27,17 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "agg_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val FROM agg
+        |UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
     "set_except_all" ->
       """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT ALL

@@ -60,6 +60,7 @@ object SparkEntry {
     "win_dist_nth" -> (Relational.winDistNth _),
     "win_range_frame" -> (Relational.winRangeFrame _),
     "agg_pivot" -> (Relational.aggPivot _),
+    "agg_unpivot" -> (Relational.aggUnpivot _),
     "sort_pagination" -> (Relational.sortPagination _),
     "fn_hash" -> (Functions.fnHash _),
     "fn_datetime_fmt" -> (Functions.fnDatetimeFmt _),

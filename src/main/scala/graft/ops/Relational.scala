@@ -219,6 +219,23 @@ object Relational {
           .cast("decimal(38,6)").as("sum_charge"))
       .orderBy("l_returnflag")
 
+  /** Unpivot (melt): wide aggregate → long (flag, metric, val) — the
+    * inverse of agg_pivot. Sums run in DECIMAL then cast to double once
+    * (exact either way); unpivot itself is a zero-shuffle Expand. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+             .as("sum_qty"),
+           sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))")).cast("double")
+             .as("sum_price"),
+           sum(expr("CAST(l_discount AS DECIMAL(12,2))")).cast("double")
+             .as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+               "metric", "val")
+      .orderBy("l_returnflag", "metric")
+
   /** RANGE-frame window: per-customer 30-day trailing revenue. The frame
     * is defined by the ORDER-BY VALUE (epoch seconds), not row position —
     * peers at the same instant aggregate together, gaps shrink the frame.
