@@ -854,6 +854,26 @@ object OracleSql {
         |  md5(text) AS digest,
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(strlen(substr(text, 1, 256)) AS BIGINT) AS n_bytes,
+        |  CAST(LEAST(n_chars % 640 + 1, 256) AS INT) AS width,
+        |  CAST(LEAST(n_chars % 480 + 1, 256) AS INT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(u.i - 1 AS BIGINT) AS frame_no,
+        |  CAST(strlen(substr(text, (u.i - 1) * 64 + 1, 64)) AS BIGINT)
+        |    AS n_bytes
+        |FROM documents,
+        |     unnest(generate_series(1, greatest(strlen(text) // 64, 1))) u(i)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY asset_id, frame_no""".stripMargin
   )
 }

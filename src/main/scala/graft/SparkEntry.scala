@@ -112,6 +112,9 @@ object SparkEntry {
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
+    "mm_resize" -> (MultimodalOps.mmResize _),
+    "mm_frames" -> (MultimodalOps.mmFrames _),
+    "mm_features" -> (MultimodalOps.mmFeatures _),
     // D (T3). approx aggregates
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),

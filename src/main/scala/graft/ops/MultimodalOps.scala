@@ -92,6 +92,35 @@ object MultimodalOps {
              least(col("meta.height"), lit(maxBytes)).as("height"),
              col("meta.duration_ms").as("duration_ms")).as("meta"))
 
+  /** Declared resize query: payloads truncated to 256 bytes via
+    * [[resizeStub]]; the output projects metadata (sizes), so the oracle
+    * can mirror the byte arithmetic on the source text. */
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    resizeStub(syntheticAssets(s, d), 256)
+      .select(col("asset_id"), col("kind"),
+              length(col("payload")).cast("long").as("n_bytes"),
+              col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("asset_id")
+
+  /** Declared frame-sampling query: one row per 64-byte pseudo-frame of
+    * each video asset ([[frameSampleStub]]); metadata projection keeps
+    * the oracle textual. */
+  def mmFrames(s: SparkSession, d: String): DataFrame =
+    frameSampleStub(syntheticAssets(s, d), 64)
+      .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+              length(col("frame_bytes")).cast("long").as("n_bytes"))
+      .orderBy("asset_id", "frame_no")
+
+  /** Declared feature-extraction query (no oracle — the stub hash is not
+    * SQL-expressible): per-asset 8-dim feature, CSV-serialized for the
+    * driver comparator. */
+  def mmFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeaturesStub(syntheticAssets(s, d))
+      .select(col("asset_id"), col("kind"),
+        concat_ws(",", transform(col("feature"),
+          f => format_string("%.3f", f))).as("feature_csv"))
+      .orderBy("asset_id")
+
   /** STUB frame sampling for video assets: every `stride`-th byte stands
     * in for every N-th frame; output is one row per sampled frame —
     * the explode shape a real frame sampler produces. */

@@ -105,7 +105,8 @@ class Wave1Spec extends SparkTestBase {
     // Spark-specific, HLL sketches and ANN results are engine-dependent
     val noOracle = Set("dedup_minhash", "agg_approx_distinct",
                        "dedup_simhash", "sim_ann_bucket",
-                       "agg_approx_percentile", "dedup_embedding_ann")
+                       "agg_approx_percentile", "dedup_embedding_ann",
+                       "mm_features")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
