@@ -30,6 +30,28 @@ class EdgeSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("ANN machinery survives tiny inputs (1 vector, empty)") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    def mk(rows: Seq[(Long, Array[Double])]) = {
+      val df = rows.toDF("vec_id", "vd")
+      df.withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
+        .select("vec_id", "vd", "nrm")
+    }
+    val one = mk(Seq((1L, Array.fill(64)(0.5))))
+    // a single vector has no pairs: empty result, no crash (bitsFor clamps)
+    assert(SimOps.dedupEmbeddingAnnOn(one, 0.9, 2, 32, 1L).count() == 0)
+    val empty = mk(Seq.empty)
+    assert(SimOps.dedupEmbeddingAnnOn(empty, 0.9, 2, 32, 0L).count() == 0)
+  }
+
+  test("data_split covers every doc exactly once") {
+    val out = TextOps.dataSplit(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+  }
+
   test("aggregations on a single row behave") {
     val one = graft.engine.Tables.orders(spark, sf).limit(1)
     val r = one.agg(round(avg("o_totalprice"), 4).as("a"),
