@@ -27,6 +27,23 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "fn_encode" ->
+      """SELECT doc_id,
+        |  to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,
+        |  hex(substr(text, 1, 12)) AS hx,
+        |  CAST(from_base64(to_base64(CAST(substr(text, 1, 12) AS BLOB)))
+        |       AS VARCHAR) = substr(text, 1, 12) AS rt_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_null" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS st_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_filled,
+        |  ifnull(nullif(o_orderpriority, o_orderpriority), 'none')
+        |    AS always_none,
+        |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS was_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "agg_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag,

@@ -84,6 +84,8 @@ object SparkEntry {
     "fn_array" -> (Functions.fnArray _),
     "fn_json" -> (Functions.fnJson _),
     "fn_bitwise" -> (Functions.fnBitwise _),
+    "fn_encode" -> (Functions.fnEncode _),
+    "fn_null" -> (Functions.fnNull _),
     // H. event-time (batch mode)
     "stream_tumbling" -> (EventOps.streamTumbling _),
     "stream_sliding" -> (EventOps.streamSliding _),

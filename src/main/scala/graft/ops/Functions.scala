@@ -88,6 +88,34 @@ object Functions {
       greatest(col("o_totalprice"), lit(150000.0)).as("greatest_p")
     ).orderBy("o_orderkey")
 
+  /** Binary encodings: base64 / hex / round-trip decode — the family an
+    * opaque-payload (multimodal) pipeline leans on. Both engines hex
+    * uppercase; the round-trip flag proves unbase64 ∘ base64 = id. */
+  def fnEncode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("s12", substring(col("text"), 1, 12))
+      .select(col("doc_id"),
+        base64(col("s12").cast("binary")).as("b64"),
+        hex(col("s12")).as("hx"),
+        (decode(unbase64(base64(col("s12").cast("binary"))), "UTF-8")
+          === col("s12")).as("rt_ok"))
+      .orderBy("doc_id")
+
+  /** NULL-handling family: nullif / coalesce / ifnull / IS NOT DISTINCT
+    * FROM (null-safe equality). The testdata carries no nulls, so the
+    * query manufactures them with nullif — null propagation through
+    * expressions is what a real pipeline must get right. */
+  def fnNull(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("st_or_null"),
+        expr("coalesce(nullif(o_orderstatus, 'O'), 'OPEN')").as("st_filled"),
+        expr("ifnull(nullif(o_orderpriority, o_orderpriority), 'none')")
+          .as("always_none"),
+        expr("nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL")
+          .as("was_open"))
+      .orderBy("o_orderkey")
+
   /** size/element_at/slice + higher-order transform/aggregate over the
     * embedding vectors. head3_r is serialized to a fixed-format string —
     * the driver comparator cannot hash array cells, and %.4f of an
