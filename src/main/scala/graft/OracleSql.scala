@@ -590,11 +590,11 @@ object OracleSql {
     "fn_array" ->
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  ROUND(vd[1], 4) AS first_r,
-        |  ROUND(list_sum(list_transform(vd, x -> x * x)), 4) AS ssq_r,
-        |  ROUND(list_max(vd), 4) AS max_r,
+        |  ROUND(vd[1], 4) + 0.0 AS first_r,
+        |  ROUND(list_sum(list_transform(vd, x -> x * x)), 4) + 0.0 AS ssq_r,
+        |  ROUND(list_max(vd), 4) + 0.0 AS max_r,
         |  array_to_string(list_transform(vd[1:3],
-        |    x -> printf('%.4f', ROUND(x, 4))), ',') AS head3_r
+        |    x -> printf('%.4f', ROUND(x, 4) + 0.0)), ',') AS head3_r
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd, embedding
         |      FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,

@@ -126,12 +126,14 @@ object Functions {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("vd"), 1), 4).as("first_r"),
-        round(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x), 4)
-          .as("ssq_r"),
-        round(array_max(col("vd")), 4).as("max_r"),
+        (round(element_at(col("vd"), 1), 4) + lit(0.0)).as("first_r"),
+        (round(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x), 4)
+          + lit(0.0)).as("ssq_r"),
+        (round(array_max(col("vd")), 4) + lit(0.0)).as("max_r"),
+        // + 0.0 before formatting: ROUND of a tiny negative yields IEEE
+        // -0.0, which %.4f prints as "-0.0000" — normalize on both sides.
         concat_ws(",", transform(slice(col("vd"), 1, 3),
-          x => format_string("%.4f", round(x, 4)))).as("head3_r")
+          x => format_string("%.4f", round(x, 4) + lit(0.0)))).as("head3_r")
       ).orderBy("vec_id")
 
   /** Array set algebra over token sets. Set-op results are sorted before
