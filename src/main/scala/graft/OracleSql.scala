@@ -44,6 +44,30 @@ object OracleSql {
         |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS was_open
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "agg_stringagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // agg_regression: slope/intercept/r2 from exact decimal moment sums,
+    // final algebra textually identical to the Spark side (see agg_stats).
+    "agg_regression" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope_r,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) + 0.0 AS intercept_r,
+        |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+
     "agg_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag,

@@ -61,6 +61,8 @@ object SparkEntry {
     "win_range_frame" -> (Relational.winRangeFrame _),
     "agg_pivot" -> (Relational.aggPivot _),
     "agg_unpivot" -> (Relational.aggUnpivot _),
+    "agg_stringagg" -> (Relational.aggStringagg _),
+    "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
     "fn_hash" -> (Functions.fnHash _),
     "fn_datetime_fmt" -> (Functions.fnDatetimeFmt _),

@@ -219,6 +219,43 @@ object Relational {
           .cast("decimal(38,6)").as("sum_charge"))
       .orderBy("l_returnflag")
 
+  /** String aggregation (GROUP_CONCAT/listagg): sorted, comma-joined
+    * order priorities per status. Sorting before joining is the
+    * engine-independent contract (aggregation order is arbitrary). */
+  def aggStringagg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",",
+             array_sort(collect_set(col("o_orderpriority"))))
+             .as("priorities"))
+      .orderBy("o_orderstatus")
+
+  /** Linear regression per group (regr_slope/intercept/r2 semantics),
+    * computed from exact DECIMAL moment sums like [[aggStats]] — the
+    * built-in regr_* aggregates merge partials in engine-specific order
+    * and cannot reliably hash-match. x = quantity, y = extendedprice. */
+  def aggRegression(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sx"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
+          .cast("double").as("sxx"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sy"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+          .cast("double").as("syy"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+          .cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        expr("ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0")
+          .as("slope_r"),
+        expr("ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) + 0.0")
+          .as("intercept_r"),
+        expr("ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0")
+          .as("r2_r"))
+      .orderBy("l_returnflag")
+
   /** Unpivot (melt): wide aggregate → long (flag, metric, val) — the
     * inverse of agg_pivot. Sums run in DECIMAL then cast to double once
     * (exact either way); unpivot itself is a zero-shuffle Expand. */
