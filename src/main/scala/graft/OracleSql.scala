@@ -27,6 +27,12 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "scan_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM read_json_auto('/root/repo/fixtures/nation.jsonl')
+        |ORDER BY n_nationkey""".stripMargin,
+
     "fn_encode" ->
       """SELECT doc_id,
         |  to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,

@@ -18,6 +18,7 @@ object SparkEntry {
     "scan_parquet" -> (Relational.scanParquet _),
     "scan_pruned" -> (Relational.scanPruned _),
     "scan_csv" -> (Relational.scanCsv _),
+    "scan_json" -> (Relational.scanJson _),
     // B. projection / filter
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),

@@ -46,6 +46,16 @@ object Relational {
               col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** JSON-lines source through the Pipeline façade — same committed
+    * fixture as [[scanCsv]] in jsonl form; DuckDB read_json_auto oracle.
+    * Spark infers int64 for the keys, matching DuckDB's BIGINT. */
+  def scanJson(s: SparkSession, d: String): DataFrame =
+    graft.engine.Pipeline.json(s, "/root/repo/fixtures/nation.jsonl").df
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+              col("n_name"),
+              col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("n_nationkey")
+
   // ---- B. projection / filter ----
 
   /** Per-record map: arithmetic + string expressions (the map verb).

@@ -121,6 +121,25 @@ class Wave5Spec extends SparkTestBase {
     }
   }
 
+  test("agg_regression matches Spark's builtin regr_slope/intercept") {
+    val ours = Relational.aggRegression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("sl"),
+           expr("regr_intercept(l_extendedprice, l_quantity)").as("ic"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    ours.foreach { case (flag, (sl, ic)) =>
+      assert(math.abs(sl - builtin(flag)._1) < 1e-3, s"$flag slope")
+      assert(math.abs(ic - builtin(flag)._2) < 1e-2, s"$flag intercept")
+    }
+  }
+
+  test("fn_encode round-trip flag is always true") {
+    assert(Functions.fnEncode(spark, sf).where(!col("rt_ok")).count() == 0)
+  }
+
   test("scan_csv round-trips the committed nation fixture") {
     val out = Relational.scanCsv(spark, sf).collect()
     assert(out.length == 25)
