@@ -76,7 +76,16 @@ class EdgeSpec extends SparkTestBase {
       "text_wordcount" -> 1,
       "stream_tumbling" -> 2,
       "dedup_exact" -> 2,
-      "agg_multikey_having" -> 2  // customer+nation broadcast
+      "agg_multikey_having" -> 2, // customer+nation broadcast
+      // round-2 additions
+      "sub_scalar" -> 3,          // decorrelated agg + broadcast join + sort
+      "sub_in" -> 1,              // semi/anti both broadcast; final sort
+      "join_salted" -> 2,         // build broadcast; agg + sort only
+      "text_tfidf" -> 3,          // tf agg + df agg (broadcast back) + sort
+      "win_range_frame" -> 2,     // window partition + sort
+      "data_split" -> 1,          // narrow map + sort
+      "agg_regression" -> 2,      // partial-agg shuffle + sort
+      "dedup_embedding_ann" -> 3  // sig bucket join + post-filter distinct
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)
