@@ -65,6 +65,7 @@ object SparkEntry {
     "agg_stringagg" -> (Relational.aggStringagg _),
     "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
+    "sample_seeded" -> (Relational.sampleSeeded _),
     "fn_hash" -> (Functions.fnHash _),
     "fn_datetime_fmt" -> (Functions.fnDatetimeFmt _),
     "fn_array_setops" -> (Functions.fnArraySetops _),

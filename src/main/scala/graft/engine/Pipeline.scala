@@ -54,6 +54,8 @@ final case class Pipeline(df: DataFrame) {
     df.write.mode("overwrite").option("header", header.toString).csv(path)
   def sinkJson(path: String): Unit =
     df.write.mode("overwrite").json(path)
+  def sinkOrc(path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
 
 object Pipeline {
@@ -64,4 +66,6 @@ object Pipeline {
       .option("inferSchema", "true").csv(path))
   def json(s: SparkSession, path: String): Pipeline =
     Pipeline(s.read.json(path))
+  def orc(s: SparkSession, path: String): Pipeline =
+    Pipeline(s.read.orc(path))
 }

@@ -229,6 +229,17 @@ object Relational {
           .cast("decimal(38,6)").as("sum_charge"))
       .orderBy("l_returnflag")
 
+  /** Seeded Bernoulli sample — reproducible subsampling (same seed ⇒ same
+    * rows, a partition-local narrow op, no shuffle). No SQL oracle: each
+    * engine's sampler draws from its own RNG; reproducibility and fraction
+    * bounds are property-tested instead. For engine-portable splits use
+    * [[graft.ops.TextOps.dataSplit]]. */
+  def sampleSeeded(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 41L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   /** String aggregation (GROUP_CONCAT/listagg): sorted, comma-joined
     * order priorities per status. Sorting before joining is the
     * engine-independent contract (aggregation order is arbitrary). */

@@ -140,6 +140,45 @@ class Wave5Spec extends SparkTestBase {
     assert(Functions.fnEncode(spark, sf).where(!col("rt_ok")).count() == 0)
   }
 
+  test("sample_seeded is reproducible and fraction-bounded") {
+    val a = Relational.sampleSeeded(spark, sf).collect().map(_.getLong(0))
+    val b = Relational.sampleSeeded(spark, sf).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq, "same seed must give the same sample")
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(a.length > n * 0.05 && a.length < n * 0.2,
+           s"fraction 0.1 of $n, got ${a.length}")
+  }
+
+  test("pipeline orc source/sink round-trips") {
+    import graft.engine.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val p = Pipeline.source(spark, s"$sf/nation.parquet")
+    p.sinkOrc(s"$dir/orc")
+    val back = Pipeline.orc(spark, s"$dir/orc").df
+    assert(back.count() == 25 &&
+           back.columns.toSet == p.df.columns.toSet)
+  }
+
+  test("stream-static join enriches a stream against a dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]   // (event_id, user_id)
+    val joined = in.toDF().toDF("event_id", "user_id")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, 1L), (11L, 2L), (12L, 3L))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+      assert(out == Map(10L -> Some("gold"), 11L -> Some("basic"),
+                        12L -> None))
+    } finally q.stop()
+  }
+
   test("scan_csv round-trips the committed nation fixture") {
     val out = Relational.scanCsv(spark, sf).collect()
     assert(out.length == 25)
