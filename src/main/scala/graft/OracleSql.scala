@@ -133,6 +133,31 @@ object OracleSql {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2]) AS g3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(g3) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+        |    AS rep_ratio_r
+        |FROM t WHERE len(g3) > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY doc_id, t),
+        |a AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n,
+        |        SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, ROUND(ln(n) - sclc / n, 4) + 0.0 AS entropy_r
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

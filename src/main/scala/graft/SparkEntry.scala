@@ -109,6 +109,8 @@ object SparkEntry {
     "text_tokencount" -> (TextOps.textTokencount _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_normalize" -> (TextOps.textNormalize _),
+    "text_repetition" -> (TextOps.textRepetition _),
+    "text_entropy" -> (TextOps.textEntropy _),
     "fn_regex" -> (TextOps.fnRegex _),
     "data_split" -> (TextOps.dataSplit _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),

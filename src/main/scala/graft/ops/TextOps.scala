@@ -179,6 +179,41 @@ object TextOps {
           .as("fp"))
       .orderBy("doc_id")
 
+  /** Repetition scoring (the Gopher-style duplicate-n-gram filter): the
+    * fraction of 3-gram instances that are repeats of an earlier 3-gram in
+    * the same doc. High ratio = boilerplate/spam → drop before training.
+    * Narrow per-doc map, no shuffle. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g3", expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n_grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+          size(col("g3")), 4).as("rep_ratio_r"))
+      .where(col("n_grams") > 0)
+      .orderBy("doc_id")
+
+  /** Token-distribution entropy per doc (perplexity proxy without a
+    * model): H = ln(n) − (Σ cnt·ln cnt)/n over token counts — the
+    * algebraic form both engines evaluate identically from exact integer
+    * counts (one explode + two aggregations, partial-combined). */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("double").as("n"),
+           sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+             .as("sclc"))
+      .select(col("doc_id"),
+        expr("ROUND(ln(n) - sclc / n, 4) + 0.0").as("entropy_r"))
+      .orderBy("doc_id")
+
   /** Text normalization — the first stage of every corpus-cleaning job:
     * lowercase, strip non-alphanumerics, squeeze whitespace, trim. Pure
     * codegen'd string expressions; at 100 TB this is a narrow map fused
