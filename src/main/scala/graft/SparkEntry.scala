@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_embedding_ann" -> (SimOps.dedupEmbeddingAnn _),
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
+    "sim_ann_ivf" -> (SimOps.simAnnIvf _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
     "mm_resize" -> (MultimodalOps.mmResize _),
     "mm_frames" -> (MultimodalOps.mmFrames _),

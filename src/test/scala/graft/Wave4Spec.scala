@@ -209,6 +209,33 @@ class Wave4Spec extends SparkTestBase {
     info(s"ANN top-1 recall vs brute force: $recall (coverage ${ann.size}/${exact.size})")
   }
 
+  test("sim_ann_ivf: full coverage, deterministic, recall above floor") {
+    val ivf = SimOps.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(ivf.length == n, "every vector gets a neighbor")
+    // deterministic: same run twice
+    val again = SimOps.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq == again.toSeq)
+    // recall floor vs brute force (IVF on isotropic data with nprobe=8
+    // of ~sqrt(n) cells measures ~0.65; assert a safe floor)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = vecs.map { case (i, v) =>
+      i -> vecs.filter(_._1 != i).maxBy(o => (cos(v, o._2), -o._1))._1
+    }.toMap
+    val recall = ivf.count { case (q, nb, _) => exact(q) == nb }
+      .toDouble / exact.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall")
+    info(s"IVF top-1 recall vs brute force: $recall")
+  }
+
   test("dedup_embedding_ann: precision 1.0 vs exact; bucketed plan") {
     val annPairs = SimOps.dedupEmbeddingAnn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
