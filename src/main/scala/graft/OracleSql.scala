@@ -27,6 +27,13 @@ object OracleSql {
         |FROM read_csv('/root/repo/fixtures/nation.csv')
         |ORDER BY n_nationkey""".stripMargin,
 
+    "scan_range" ->
+      """SELECT CAST(i AS BIGINT) AS id,
+        |  CAST(i * i AS BIGINT) AS sq,
+        |  CAST(i % 7 AS BIGINT) AS m7
+        |FROM generate_series(0, 999) t(i)
+        |ORDER BY id""".stripMargin,
+
     "scan_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey

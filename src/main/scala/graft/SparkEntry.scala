@@ -19,6 +19,7 @@ object SparkEntry {
     "scan_pruned" -> (Relational.scanPruned _),
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
+    "scan_range" -> (Relational.scanRange _),
     // B. projection / filter
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),

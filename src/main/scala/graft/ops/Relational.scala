@@ -56,6 +56,16 @@ object Relational {
               col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** Synthetic range source (spark.range): the generator every engine
+    * ships for test data and dimension scaffolding. Distributed: range
+    * splits into partitions; the projection is a narrow map. */
+  def scanRange(s: SparkSession, d: String): DataFrame =
+    s.range(0, 1000)
+      .select(col("id"),
+              (col("id") * col("id")).as("sq"),
+              pmod(col("id"), lit(7)).as("m7"))
+      .orderBy("id")
+
   // ---- B. projection / filter ----
 
   /** Per-record map: arithmetic + string expressions (the map verb).
