@@ -209,6 +209,14 @@ object OracleSql {
         |    AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
     "sub_scalar" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

@@ -131,6 +131,7 @@ object SparkEntry {
     // D'. subqueries
     "sub_scalar" -> (Relational.subScalar _),
     "sub_in" -> (Relational.subIn _),
+    "join_lateral" -> (Relational.joinLateral _),
     // J. UDF / UDAF / typed surface
     "typed_mapgroups" -> (TypedOps.typedMapgroups _),
     "typed_cogroup" -> (TypedOps.typedCogroup _),

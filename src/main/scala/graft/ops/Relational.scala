@@ -337,6 +337,23 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** LATERAL correlated table subquery: top-2 orders per customer. The
+    * third subquery rewrite path (after scalar and IN): Catalyst
+    * decorrelates the per-row ORDER BY+LIMIT into a partitioned window
+    * rank — the same physical shape as win_rownum_topk, written the way
+    * SQL users actually write it. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("lat_customer")
+    orders(s, d).createOrReplaceTempView("lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM lat_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lat_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   // ---- D'. subqueries (Catalyst rewrite path) ----
 
   /** Correlated scalar subquery: orders priced above their customer's
