@@ -209,6 +209,17 @@ object OracleSql {
         |    AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "sub_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
+
     "join_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

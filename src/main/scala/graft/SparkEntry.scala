@@ -132,6 +132,7 @@ object SparkEntry {
     "sub_scalar" -> (Relational.subScalar _),
     "sub_in" -> (Relational.subIn _),
     "join_lateral" -> (Relational.joinLateral _),
+    "sub_exists" -> (Relational.subExists _),
     // J. UDF / UDAF / typed surface
     "typed_mapgroups" -> (TypedOps.typedMapgroups _),
     "typed_cogroup" -> (TypedOps.typedCogroup _),

@@ -337,6 +337,26 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** EXISTS / NOT EXISTS correlated subqueries — the remaining subquery
+    * syntax form (rewritten to the same semi/anti joins as IN, but via
+    * the correlated-predicate path): suppliers in a nation with at least
+    * one large order's customer... kept simple: customers with an urgent
+    * order (EXISTS) and without any 5-LOW order (NOT EXISTS). */
+  def subExists(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("sq_orders")
+    customer(s, d).createOrReplaceTempView("sq_customer")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM sq_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** LATERAL correlated table subquery: top-2 orders per customer. The
     * third subquery rewrite path (after scalar and IN): Catalyst
     * decorrelates the per-row ORDER BY+LIMIT into a partitioned window
