@@ -26,6 +26,15 @@ class Wave5Spec extends SparkTestBase {
            "correlated scalar subquery must be rewritten to an agg+join")
   }
 
+  test("join_lateral decorrelates to a group-limited window, not a loop") {
+    val plan = Relational.joinLateral(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "lateral should become a window rank")
+    assert(plan.contains("WindowGroupLimit"),
+           "per-group LIMIT should push into WindowGroupLimit (top-k prune)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("sub_in matches set-algebra formulation") {
     val out = Relational.subIn(spark, sf).collect().map(_.getLong(0)).toSet
     val o = spark.read.parquet(s"$sf/orders.parquet")
