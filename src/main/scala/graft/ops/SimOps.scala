@@ -137,23 +137,30 @@ object SimOps {
         .map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
+    // Bucket rows CARRY the full 32-hash signature (an array column):
+    // the estimate is computed directly from the joined bucket rows, so
+    // the signature aggregation runs ONCE — the naive form (bucket join
+    // on ids, then rejoin signatures for each side) re-runs the whole
+    // shingle+minhash pipeline three times for two extra shuffles. At
+    // 100 TB this is the ClusterJoin row layout: ~256 bytes of signature
+    // per (doc, band) shuffle row buys locality of the verify step.
+    val sigArr = array((0 until NumHashes).map(i => col(s"h$i")): _*)
     val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+      .select(col("doc_id"), sigArr.as("sig"),
+              explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+              col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val est = round(
+      expr("""size(filter(zip_with(x_sig, y_sig, (a, b) -> a = b),
+             |  m -> m))""".stripMargin).cast("double") / NumHashes, 4)
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-              round(matches.cast("double") / NumHashes, 4).as("est_jaccard_r"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.sig").as("x_sig"), col("y.sig").as("y_sig"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard_r"))
       .where(col("est_jaccard_r") >= 0.5)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
