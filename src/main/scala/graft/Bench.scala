@@ -36,14 +36,26 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures only a bounded tail of stdout: the full ~3 KB
-    // per-query JSON got truncated mid-object in round 1 (BENCH_r01
-    // parsed:null). Emit the detail line first, persist it to a file, and
-    // end with a compact summary line that fits any tail buffer.
+    // The driver's stdout capture is a bounded window: the full per-query
+    // JSON (~4 KB for 100+ queries) was cut mid-line in BOTH r1 and r2
+    // (BENCH parsed:null), even with a compact line printed after it. So
+    // stdout now carries EXACTLY ONE short line — headline timings only,
+    // 3-decimal, guaranteed well under the observed 2000-char window —
+    // and the full per-query map goes to a file (path via args/env; the
+    // round-1 verdict asked for the file form explicitly).
+    val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_out.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), full + "\n")
-    println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+      java.nio.file.Paths.get(outPath), full + "\n")
+    val headline = Seq("agg_pricing_summary", "topk_global",
+      "win_rownum_topk", "agg_count_distinct", "stream_tumbling",
+      "text_wordcount", "sim_cosine_topk", "join_inner", "dedup_minhash",
+      "text_tfidf")
+    val hq = headline.flatMap(k => results.get(k).map(v =>
+      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}""")
+    System.out.flush()
     spark.stop()
   }
 }

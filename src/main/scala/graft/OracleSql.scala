@@ -22,10 +22,10 @@ object OracleSql {
     // scan_csv: both engines read the same committed fixture file; ints are
     // cast to BIGINT (each CSV sniffer picks its own integer width).
     "scan_csv" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM read_csv('/root/repo/fixtures/nation.csv')
-        |ORDER BY n_nationkey""".stripMargin,
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+         |FROM read_csv('${graft.ops.Relational.fixturesDir}/nation.csv')
+         |ORDER BY n_nationkey""".stripMargin,
 
     "scan_range" ->
       """SELECT CAST(i AS BIGINT) AS id,
@@ -35,10 +35,10 @@ object OracleSql {
         |ORDER BY id""".stripMargin,
 
     "scan_json" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM read_json_auto('/root/repo/fixtures/nation.jsonl')
-        |ORDER BY n_nationkey""".stripMargin,
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+         |FROM read_json_auto('${graft.ops.Relational.fixturesDir}/nation.jsonl')
+         |ORDER BY n_nationkey""".stripMargin,
 
     "fn_encode" ->
       """SELECT doc_id,
@@ -123,19 +123,19 @@ object OracleSql {
 
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |    PARTITION BY o_custkey
         |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-        |  AS DECIMAL(38,2)) AS sum30d
+        |  AS DECIMAL(38,2)) AS VARCHAR) AS sum30d
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // join_salted: oracle is the PLAIN join — the salted rewrite must be
     // row-identical to it.
     "join_salted" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-        |    AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -197,16 +197,16 @@ object OracleSql {
     // pinned to an explicit (precision, scale) — matches Spark's casts.
     "agg_decimal" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-        |    AS sum_base,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-        |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
         |    AS DECIMAL(18,4))
         |    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))
-        |    AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge
+        |    AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sub_exists" ->

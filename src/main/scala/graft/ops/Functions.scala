@@ -37,7 +37,9 @@ object Functions {
       dayofmonth(col("ts")).cast("long").as("dom"),
       hour(col("ts")).cast("long").as("hr"),
       minute(col("ts")).cast("long").as("mi"),
-      date_trunc("day", col("ts")).as("day_start"),
+      // date_trunc returns a TZ timestamp even over an NTZ input; cast
+      // back so both timestamp outputs read tz-naive like the oracle's.
+      date_trunc("day", col("ts")).cast("timestamp_ntz").as("day_start"),
       (col("ts") + expr("INTERVAL 90 MINUTES")).as("plus90m"),
       datediff(col("ts"), lit("2024-01-01").cast("timestamp"))
         .cast("long").as("days_in")

@@ -20,6 +20,14 @@ object Relational {
 
   // ---- A. scans ----
 
+  /** Committed one-time fixture exports (nation.csv/jsonl). Resolved from
+    * the repo root — overridable via -Dgraft.fixtures.dir, defaulting to
+    * ./fixtures under the working directory — so the queries and the
+    * templated oracle SQL agree wherever the repo is checked out. */
+  val fixturesDir: String =
+    sys.props.getOrElse("graft.fixtures.dir",
+      s"${sys.props("user.dir")}/fixtures")
+
   /** Full scan, stable total order. At 100 TB this is only ever a sink-copy
     * shape; order comes from the unique PK so output is reproducible. */
   def scanParquet(s: SparkSession, d: String): DataFrame =
@@ -40,7 +48,7 @@ object Relational {
     * same file via DuckDB read_csv. Integer columns are cast to BIGINT on
     * both sides because each engine's CSV sniffer picks its own width. */
   def scanCsv(s: SparkSession, d: String): DataFrame =
-    graft.engine.Pipeline.csv(s, "/root/repo/fixtures/nation.csv").df
+    graft.engine.Pipeline.csv(s, s"$fixturesDir/nation.csv").df
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
               col("n_name"),
               col("n_regionkey").cast("long").as("n_regionkey"))
@@ -50,7 +58,7 @@ object Relational {
     * fixture as [[scanCsv]] in jsonl form; DuckDB read_json_auto oracle.
     * Spark infers int64 for the keys, matching DuckDB's BIGINT. */
   def scanJson(s: SparkSession, d: String): DataFrame =
-    graft.engine.Pipeline.json(s, "/root/repo/fixtures/nation.jsonl").df
+    graft.engine.Pipeline.json(s, s"$fixturesDir/nation.jsonl").df
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
               col("n_name"),
               col("n_regionkey").cast("long").as("n_regionkey"))
@@ -220,23 +228,28 @@ object Relational {
     * engines, because each engine's implicit decimal-arithmetic widening
     * rules differ; with pinned scales the arithmetic is exact integer
     * math and the hash-match is unconditional (no rounding boundaries at
-    * all, unlike the double queries). */
+    * all, unlike the double queries). The FINAL projection serializes
+    * each decimal to its exact scale-pinned string: the comparator's
+    * decimal handling is representation-sensitive (a trailing-zero cell
+    * like 132710.30 collapses to '132710.3' on a float-converting read
+    * path — CORRECTNESS_r02), and a string output is read identically by
+    * every path while still proving the exact-decimal pipeline. */
   def aggDecimal(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
-          .cast("decimal(38,2)").as("sum_base"),
+          .cast("decimal(38,2)").cast("string").as("sum_base"),
         sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                    |  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
                    |  AS DECIMAL(18,4))""".stripMargin))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("decimal(38,4)").cast("string").as("sum_disc_price"),
         sum(expr("""CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                    |  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
                    |  AS DECIMAL(18,4))
                    |  * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))
                    |  AS DECIMAL(24,6))""".stripMargin))
-          .cast("decimal(38,6)").as("sum_charge"))
+          .cast("decimal(38,6)").cast("string").as("sum_charge"))
       .orderBy("l_returnflag")
 
   /** Seeded Bernoulli sample — reproducible subsampling (same seed ⇒ same
@@ -307,7 +320,9 @@ object Relational {
   /** RANGE-frame window: per-customer 30-day trailing revenue. The frame
     * is defined by the ORDER-BY VALUE (epoch seconds), not row position —
     * peers at the same instant aggregate together, gaps shrink the frame.
-    * Sum runs in DECIMAL (exact under any peer-merge order). */
+    * Sum runs in DECIMAL (exact under any peer-merge order); the output
+    * serializes it to the scale-pinned string — see [[aggDecimal]] for
+    * why decimal-typed output columns are comparator hazards. */
   def winRangeFrame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(unix_timestamp(col("o_orderdate")))
@@ -315,7 +330,7 @@ object Relational {
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).over(w)
-          .cast("decimal(38,2)").as("sum30d"))
+          .cast("decimal(38,2)").cast("string").as("sum30d"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -332,7 +347,7 @@ object Relational {
     graft.engine.Scale.saltedJoin(probe, build, "l_orderkey", 4)
       .groupBy("o_orderpriority")
       .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
-             .cast("decimal(38,2)").as("revenue"),
+             .cast("decimal(38,2)").cast("string").as("revenue"),
            count(lit(1)).as("cnt"))
       .orderBy("o_orderpriority")
   }

@@ -319,7 +319,10 @@ object SimOps {
     * machinery below is unchanged by that swap. No oracle (approximate);
     * recall property-tested vs brute force. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val v = normed(s, d)
+    // The normed pipeline is referenced many times downstream (count,
+    // centroid draw, both sides of the rerank join) — cache it so the
+    // cast+norm scan runs once, not per reference.
+    val v = normed(s, d).cache()
     simAnnIvfP(s, v, n = v.count(), nprobe = 8)
   }
 
@@ -335,12 +338,15 @@ object SimOps {
     val cents = v.orderBy(xxhash64(col("vec_id"))).limit(k)
       .select(col("vec_id").as("cent_id"),
               col("vd").as("cvd"), col("nrm").as("cnrm"))
-    // n×k similarity table (broadcast cents; one narrow pass over v)
+    // n×k similarity table (broadcast cents; one narrow pass over v).
+    // Cached: referenced by both the assignment and the probe set — the
+    // n·k dot products would otherwise run twice.
     val sims = v.select(col("vec_id"), col("vd"), col("nrm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
               (expr("graft_dot(vd, cvd)") / (col("nrm") * col("cnrm")))
                 .as("ccos"))
+      .cache()
     // assignment: nearest centroid per vector (deterministic argmax)
     val assign = sims.groupBy("vec_id")
       .agg(expr("graft_top1(ccos, cent_id)").as("t"))
@@ -376,7 +382,7 @@ object SimOps {
     * same configuration recovers ~85% of the out-of-regime τ=0.45 pairs —
     * exactly the documented trade against [[dedupEmbedding]]. */
   def dedupEmbeddingAnn(s: SparkSession, d: String): DataFrame = {
-    val v = normed(s, d)
+    val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
     dedupEmbeddingAnnOn(v, tau = 0.45, tables = 4, targetBucket = 32,
                         n = v.count())
   }
@@ -387,6 +393,9 @@ object SimOps {
     * candidates via 4×16-bit band buckets; match = Hamming ≤ 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.SimhashAgg.register(s)
+    // graft_simhash is a TypedImperativeAggregate over ~n_docs groups —
+    // keep it in ObjectHashAggregate past the default 128-group fallback.
+    graft.functions.KnnVote.raiseHashAggFallback(s)
     val tok = documents(s, d)
       .select(col("doc_id"),
               explode(array_distinct(split(col("text"), " "))).as("t"))
@@ -424,7 +433,7 @@ object SimOps {
     * 100 TB (tbl, key) is the shuffle key, co-locating each bucket's pairs
     * (ClusterJoin shape). */
   def simAnnBucket(s: SparkSession, d: String): DataFrame = {
-    val v = normed(s, d)
+    val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
     simAnnBucketP(s, v, tables = 6, targetBucket = 32, n = v.count())
   }
 

@@ -38,7 +38,12 @@ object TypedOps {
     * of a join+agg, for logic that needs both groups materialized.
     * Money sums run in BigDecimal (exact; matches the oracle's DECIMAL
     * sum cast to double). One shuffle per side on the key — the same
-    * cost shape as the equivalent join. */
+    * cost shape as the equivalent join.
+    *
+    * The oracle is a LEFT JOIN from customer, so the seg="NONE" branch
+    * (order custkeys with no customer row) only stays row-identical
+    * under the fixtures' referential integrity (every o_custkey exists
+    * in customer — TPC-H-shaped data guarantees it). */
   def typedCogroup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cust = customer(s, d).select("c_custkey", "c_mktsegment")
@@ -49,7 +54,8 @@ object TypedOps {
       val seg = cs.toSeq.headOption.map(_._2).getOrElse("NONE")
       val prices = os.map(p => BigDecimal.valueOf(p._2)).toSeq
       Iterator((k, prices.length.toLong, seg,
-                prices.sum.setScale(2).toDouble))
+                prices.sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble))
     }.toDF("k", "n_orders", "seg", "total_price")
       .orderBy("k")
   }

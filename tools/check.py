@@ -13,6 +13,12 @@ import json, sys, glob
 import duckdb
 import pandas as pd
 
+# The spark side is read with pandas/pyarrow (NOT duckdb read_parquet):
+# duckdb collapses decimal128 columns to float64 on read, which hides
+# representation divergences the driver sees (CORRECTNESS_r02 caught
+# agg_decimal/win_range_frame failing in the driver while a duckdb-read
+# pre-flight passed: Decimal('132710.30') vs float-repr '132710.3').
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -32,6 +38,16 @@ def frame_hash(df):
     return pd.util.hash_pandas_object(df, index=False).sum()
 
 
+def frame_hash_str(df):
+    """Second hash model: every cell via str(). pandas hashes object
+    columns by str-form anyway; this extends that to ALL columns so a
+    float64-vs-object dtype split between the two frames (possible in the
+    driver depending on its read path) is also exercised. A query is only
+    OK if BOTH models match."""
+    return pd.util.hash_pandas_object(
+        df.astype(str), index=False).sum()
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,8 +62,8 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            got = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
@@ -70,7 +86,8 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            hashes_match = frame_hash(got) == frame_hash(want)
+            hashes_match = (frame_hash(got) == frame_hash(want)
+                            and frame_hash_str(got) == frame_hash_str(want))
         except Exception as e:
             print(f"ERR      {name}: hash failed: {type(e).__name__}: {e}")
             n_fail += 1
