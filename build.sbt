@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's single JSON stdout line. With the default
+// LoggedOutput strategy sbt prefixes every forked-process line with
+// "[info] ", which breaks that parse (BENCH_r1-r3 all "parsed": null).
+// StdoutOutput passes the child's stdout/stderr through raw.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" line so the JSON line
+// can be the last thing on stdout.
+showSuccess := false
+// lintUnused can't see command-consumed keys like showSuccess.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
