@@ -181,6 +181,52 @@ object OracleSql {
         |    AS masked40
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // sample_stratified: same engine-portable md5 fold as data_split,
+    // per-stratum keep rates via a VALUES dim.
+    "sample_stratified" ->
+      """WITH r(lang, keep_pct) AS (VALUES ('de', 50), ('en', 20),
+        |  ('es', 75), ('fr', 100), ('zh', 10)),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket
+        |FROM b JOIN r ON b.lang = r.lang
+        |WHERE b.bucket < r.keep_pct ORDER BY b.doc_id""".stripMargin,
+
+    // text_decontaminate: distinct 5-gram overlap of train docs
+    // (doc_id % 50 <> 0) against the benchmark set (doc_id % 50 = 0).
+    "text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2] || ' ' ||
+        |           string_split(text, ' ')[i + 3] || ' ' ||
+        |           string_split(text, ' ')[i + 4])) AS g
+        |    FROM documents)),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlap,
+        |  ROUND(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 4) AS overlap_ratio_r,
+        |  CASE WHEN SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |       THEN 1 ELSE 0 END AS contaminated
+        |FROM g t LEFT JOIN bench b ON t.g = b.g
+        |WHERE t.doc_id % 50 <> 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // join_bucketed: oracle is the PLAIN join — bucketing is a physical
+    // layout choice and must not change the result.
+    "join_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, o_orderpriority, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // data_split: engine-portable deterministic fold — first 8 hex chars
     // of md5(doc_id) mod 100 (identical md5 both sides).
     "data_split" ->

@@ -36,6 +36,7 @@ object SparkEntry {
     "join_theta_range" -> (Relational.joinThetaRange _),
     "join_asof" -> (Relational.joinAsof _),
     "join_salted" -> (Relational.joinSalted _),
+    "join_bucketed" -> (Relational.joinBucketed _),
     // D. aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
@@ -114,6 +115,8 @@ object SparkEntry {
     "text_entropy" -> (TextOps.textEntropy _),
     "fn_regex" -> (TextOps.fnRegex _),
     "data_split" -> (TextOps.dataSplit _),
+    "sample_stratified" -> (TextOps.sampleStratified _),
+    "text_decontaminate" -> (TextOps.textDecontaminate _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),

@@ -813,4 +813,36 @@ object Relational {
               col("o_orderpriority").as("mode_priority"), col("cnt"))
       .orderBy("o_orderstatus")
   }
+
+  /** Bucketed co-located join — the 100 TB join strategy: both fact tables
+    * are written bucketed (same bucket count, same key), so the join reads
+    * co-partitioned buckets and needs NO shuffle on either side (the only
+    * hash exchange a naive plan would add is gone; see the plan-shape
+    * test). At scale this is the one-time ETL investment that turns every
+    * subsequent orderkey join into a local merge. The merge hint keeps the
+    * demo on the sort-merge path (a broadcast would hide the bucketing).
+    * Result is oracle-checked equal to the plain join. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val li = "graft_li_bkt"
+    val ord = "graft_ord_bkt"
+    // The in-memory catalog is per-JVM but the warehouse dir persists on
+    // disk; drop both the entry and any stale location before writing.
+    Seq(li, ord).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    lineitem(s, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+    orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+    s.table(li)
+      .join(s.table(ord).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("o_orderpriority"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }

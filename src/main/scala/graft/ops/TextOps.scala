@@ -258,4 +258,53 @@ object TextOps {
       .withColumn("fold", when(col("bucket") < 80, "train")
         .when(col("bucket") < 90, "valid").otherwise("test"))
       .orderBy("doc_id")
+
+  /** Stratified deterministic sampling — corpus-mix rebalancing: each
+    * stratum (lang) keeps its own fraction via the same content-stable
+    * md5 fold as [[dataSplit]]. No RNG state, no shuffle: a narrow map
+    * plus a broadcast join against the rate table, so late-arriving
+    * shards of a 100 TB corpus sample consistently with re-runs. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("de", 50), ("en", 20), ("es", 75), ("fr", 100),
+                    ("zh", 10)).toDF("lang", "keep_pct")
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").mod(100))
+      .join(broadcast(rates), "lang")
+      .where(col("bucket") < col("keep_pct"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination — the train-side n-gram overlap check every
+    * LLM data pipeline runs before training: flag training docs sharing
+    * any 5-gram with the held-out benchmark set (here: doc_id % 50 == 0,
+    * a deterministic stand-in for an external eval corpus). The benchmark
+    * gram set is eval-sized (≪ corpus) → BROADCAST; the training gram
+    * stream never shuffles for the probe, only for the per-doc count —
+    * the shape that survives 100 TB of training text. */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 4, 0)),
+          |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2],
+          |                      toks[i + 3], toks[i + 4]))""".stripMargin))
+        .as("g"))
+      .distinct()
+    val bench = grams.where(col("doc_id") % 50 === 0)
+      .select("g").distinct().withColumn("hit", lit(1))
+    grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams"), 4)
+          .as("overlap_ratio_r"),
+        when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
 }
