@@ -124,6 +124,8 @@ object SparkEntry {
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
     "sim_ann_ivf" -> (SimOps.simAnnIvf _),
+    "sim_knn_label_ann" -> (SimOps.simKnnLabelAnn _),
+    "sim_cosine_topk_ann" -> (SimOps.simCosineTopkAnn _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
     "mm_resize" -> (MultimodalOps.mmResize _),
     "mm_frames" -> (MultimodalOps.mmFrames _),

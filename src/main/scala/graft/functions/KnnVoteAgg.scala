@@ -47,11 +47,23 @@ case class KnnVote(
   private def better(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
+  /** Insert keeping the buffer deduplicated by neighbor id: LSH candidate
+    * streams deliver the same (qid, nid) pair once per colliding
+    * table/probe (deduplicating the stream itself would cost a shuffle),
+    * and a duplicated neighbor must not occupy two of the k slots. A
+    * duplicate always carries the identical (cos, label) — same pair, same
+    * deterministic rounding — so dropping it is exact. */
   private def insert(buf: ArrayBuffer[(Double, Long, Int)],
                      a: (Double, Long, Int)): Unit = {
     if (buf.length >= k && !better(a, buf.last)) return
     var i = 0
-    while (i < buf.length && !better(a, buf(i))) i += 1
+    while (i < buf.length && !better(a, buf(i))) {
+      if (buf(i)._2 == a._2) return // this neighbor is already held
+      i += 1
+    }
+    var j = i
+    while (j < buf.length && buf(j)._2 != a._2) j += 1
+    if (j < buf.length) buf.remove(j)
     buf.insert(i, a)
     if (buf.length > k) buf.remove(buf.length - 1)
   }

@@ -387,6 +387,77 @@ object SimOps {
                         n = v.count())
   }
 
+  /** kNN label vote via LSH candidates — the scale form of
+    * [[simKnnLabel]]: neighbors come from [[annCandidates]] (directed, so
+    * every vector is a query) instead of the O(n²) pair enumeration, and
+    * the identical fused graft_knn_vote aggregate reranks them exactly.
+    * The candidate stream is never deduplicated (that would shuffle it
+    * whole); the vote heap skips duplicate neighbor ids instead, so a pair
+    * colliding in several tables still casts one vote. Candidates per
+    * query stay ≈ tables·(bits+1)·targetBucket as n grows (bits ∝ log n) —
+    * at 100 TB this is the kNN that runs; the exact form remains as its
+    * test oracle (property test: vote agreement on the small slices). No
+    * SQL oracle: candidate membership is probabilistic in the hash draw. */
+  def simKnnLabelAnn(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
+    simKnnLabelAnnP(s, v, tables = 8, targetBucket = 32, n = v.count())
+  }
+
+  def simKnnLabelAnnP(s: SparkSession, v: DataFrame, tables: Int,
+                      targetBucket: Int, n: Long,
+                      seed: Long = 7L): DataFrame = {
+    graft.functions.KnnVote.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
+                             probe = true, seed)
+    val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+                     col("vd").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid"), col("nid"), col("nlabel"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .groupBy("qid")
+      .agg(expr("graft_knn_vote(cos_r, nid, nlabel)").as("vote"))
+      .select(col("qid").as("vec_id"), col("vote.pred_label").as("pred_label"),
+              col("vote.votes").as("votes"))
+      .orderBy("vec_id")
+  }
+
+  /** Global top-10 most-similar pairs via LSH candidates + exact rerank —
+    * the scale form of [[simCosineTopk]]. The highest-cosine pairs are
+    * precisely the ones LSH catches most reliably (per-table collision
+    * probability rises with cosine), so the global top-k is the
+    * easiest-recall regime; property-tested to recover the exact top-10.
+    * Per-pair dedup happens in a partial-aggregated groupBy — duplicates
+    * collapse map-side, so the shuffle carries unique pairs only — and the
+    * final top-10 is a TakeOrdered, never a full sort. No SQL oracle
+    * (probabilistic in the hash draw), same tier as dedup_minhash. */
+  def simCosineTopkAnn(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
+    simCosineTopkAnnP(s, v, tables = 8, targetBucket = 32, n = v.count())
+  }
+
+  def simCosineTopkAnnP(s: SparkSession, v: DataFrame, tables: Int,
+                        targetBucket: Int, n: Long,
+                        seed: Long = 11L): DataFrame = {
+    val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
+                             probe = true, seed)
+      .where(col("qid") < col("nid"))
+    val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
+                     col("nrm").as("nb"))
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid").as("id_a"), col("nid").as("id_b"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .groupBy("id_a", "id_b").agg(first(col("cos_r")).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
+      .limit(10)
+  }
+
   /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit
     * signature where bit b = sign of Σ_tokens (±1 by bit b of the token
     * hash), accumulated by the native graft_simhash sketch aggregate;

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Wave-7 tests (round 6): ANN-candidate forms of the pairwise similarity
+  * operators, with the exact brute-force operators as their oracles. */
+class Wave7Spec extends SparkTestBase {
+
+  test("sim_cosine_topk_ann recovers the exact global top-10") {
+    val exact = SimOps.simCosineTopk(spark, sf).collect().toSeq
+    val ann = SimOps.simCosineTopkAnn(spark, sf).collect().toSeq
+    assert(ann == exact,
+      s"ANN top-10 diverged:\nexact=$exact\nann=$ann")
+  }
+
+  test("sim_cosine_topk_ann never emits a duplicate pair") {
+    val out = SimOps.simCosineTopkAnn(spark, sf)
+      .select("id_a", "id_b").collect().toSeq
+    assert(out.distinct.size == out.size)
+  }
+
+  test("sim_knn_label_ann agrees with the exact kNN vote on >=95% of vectors") {
+    val exact = SimOps.simKnnLabel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ann = SimOps.simKnnLabelAnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every vector gets a vote (multi-probe candidates are never empty here)
+    assert(ann.keySet == exact.keySet)
+    val agree = exact.count { case (id, l) => ann(id) == l }
+    val frac = agree.toDouble / exact.size
+    assert(frac >= 0.95, s"vote agreement $frac < 0.95")
+  }
+
+  test("knn vote heap is immune to duplicated candidate rows") {
+    // feed the exact pair stream twice: duplicates must not change votes
+    graft.functions.KnnVote.register(spark)
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.functions.VectorExprs.register(spark)
+    val n = v.withColumn("vd", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
+      .select("vec_id", "label", "vd", "nrm")
+    val a = n.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+                     col("vd").as("vb"), col("nrm").as("nb"))
+    val directed = a.join(b, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .where(col("qid") < 20)
+    val once = directed.groupBy("qid")
+      .agg(expr("graft_knn_vote(cos_r, nid, nlabel)").as("v"))
+      .select(col("qid"), col("v.pred_label"), col("v.votes"))
+      .collect().sortBy(_.getLong(0)).toSeq
+    val twice = directed.unionAll(directed).groupBy("qid")
+      .agg(expr("graft_knn_vote(cos_r, nid, nlabel)").as("v"))
+      .select(col("qid"), col("v.pred_label"), col("v.votes"))
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(once == twice, "duplicated rows changed the kNN vote")
+  }
+}
