@@ -32,6 +32,40 @@ class Wave7Spec extends SparkTestBase {
     assert(frac >= 0.95, s"vote agreement $frac < 0.95")
   }
 
+  test("dedup_ngram_jaccard equals the brute-force blocked all-pairs") {
+    graft.functions.VectorExprs.register(spark)
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(expr(
+          """transform(array_distinct(
+            |    transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+            |      (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))),
+            |  x -> xxhash64(x))""".stripMargin)).as("sh"))
+    val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+                      col("sh").as("sha"))
+    val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
+                      col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val brute = a.join(b, col("lang") === col("lang_b") &&
+                          col("source") === col("source_b") &&
+                          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              round(expr("graft_jaccard(sha, shb)"), 4).as("jaccard_r"))
+      .where(col("jaccard_r") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+    assert(SimOps.dedupNgramJaccard(spark, sf).collect().toSeq ==
+           brute.collect().toSeq)
+  }
+
+  test("dedup_ngram_jaccard plan has no block cartesian") {
+    val df = SimOps.dedupNgramJaccard(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter join must stay equi-join:\n$plan")
+  }
+
   test("knn vote heap is immune to duplicated candidate rows") {
     // feed the exact pair stream twice: duplicates must not change votes
     graft.functions.KnnVote.register(spark)
