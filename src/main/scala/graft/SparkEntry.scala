@@ -99,6 +99,7 @@ object SparkEntry {
     // I. LLM-pipeline ops
     "dedup_exact" -> (SimOps.dedupExact _),
     "dedup_minhash" -> (SimOps.dedupMinhash _),
+    "dedup_incremental" -> (SimOps.dedupIncremental _),
     "sim_cosine_topk" -> (SimOps.simCosineTopk _),
     "sim_knn_label" -> (SimOps.simKnnLabel _),
     "text_wordcount" -> (TextOps.textWordcount _),

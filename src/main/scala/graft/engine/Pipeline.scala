@@ -48,8 +48,40 @@ final case class Pipeline(df: DataFrame) {
     * (a 100-stage plan re-optimized per action is itself a cost). */
   def localCheckpoint(): Pipeline = Pipeline(df.localCheckpoint())
 
-  /** sink: parquet write (the default action). */
-  def sink(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  /** sink: parquet write (the default action).
+    *
+    * `partitionBy` produces Hive-style `col=value/` directories so later
+    * reads with a predicate on those columns prune at PLANNING time
+    * (`PartitionFilters` in the scan — no footers of skipped partitions
+    * are even opened). At 100 TB the write layout is half the job: a
+    * date/source-partitioned corpus turns "last day" queries from a full
+    * scan into a single-directory read.
+    *
+    * `maxRecordsPerFile` bounds output file size so one skewed partition
+    * cannot produce a multi-GB file (small-file/large-file balance is set
+    * by the writer, not left to chance). */
+  def sink(path: String, partitionBy: Seq[String] = Nil,
+           maxRecordsPerFile: Long = 0L): Unit = {
+    var w = df.write.mode("overwrite")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    w.parquet(path)
+  }
+
+  /** sink to a bucketed catalog table: rows are hash-distributed into
+    * `buckets` files per partition by `bucketCols`, so equi-joins and
+    * aggregations on those columns skip the shuffle entirely (the read
+    * side of this contract is proven by joinBucketed's no-Exchange plan).
+    * Bucketed layout requires the catalog (bucket metadata lives in table
+    * properties, not the parquet files), hence saveAsTable not parquet(). */
+  def sinkBucketed(table: String, bucketCols: Seq[String], buckets: Int,
+                   sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
   def sinkCsv(path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
   def sinkJson(path: String): Unit =

@@ -101,14 +101,17 @@ object SimOps {
   private val ShingleLen = 3  // token 3-gram shingles
 
   /** doc_id -> distinct token-3-gram shingles. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""transform(slice(toks, 1, greatest(size(toks) - ${ShingleLen - 1}, 0)),
            |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))""".stripMargin))
         .as("sh"))
       .distinct()
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(documents(s, d))
 
   /** MinHash signatures: hash each shingle STRING once to a long `x`, then
     * derive h_i = xxhash64(i, x) by rehashing the fixed 8-byte long — the
@@ -118,25 +121,45 @@ object SimOps {
     * argmin is shared across i, collapsing the signature to ~2 effective
     * samples). One groupBy computes all 32 mins map-side (partial agg) —
     * the whole signature pass is a single shuffle of (doc, 32 longs). */
-  private[ops] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  private[ops] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("x"))).as(s"h$i"))
-    shingles(s, d)
+    shinglesOf(docs)
       .withColumn("x", xxhash64(col("sh")))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  private[ops] def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(documents(s, d))
+
+  /** LSH band buckets over a signature table (doc_id, h0..h31) →
+    * (doc_id, sig[32], band, bh). Rows CARRY the full signature so the
+    * Jaccard estimate after the bucket join needs no re-join (ClusterJoin
+    * row layout — see [[dedupMinhash]]). */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val sigArr = array((0 until NumHashes).map(i => col(s"h$i")): _*)
+    sig.select(col("doc_id"), sigArr.as("sig"),
+               explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+              col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Minhash agreement fraction between two carried signatures. */
+  private def sigEstimate(xSig: Column, ySig: Column): Column =
+    round(
+      size(filter(zip_with(xSig, ySig, (a, b) => a === b), m => m))
+        .cast("double") / NumHashes, 4)
 
   /** Candidate near-dup pairs from LSH banding + minhash Jaccard estimate.
     * Only documents sharing at least one band bucket are ever paired — at
     * 100 TB the band-bucket join replaces the O(n²) scan entirely
     * (ClusterJoin, VLDB'14; SURVEY §7.5). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    val bandCols = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand)
-        .map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
     // Bucket rows CARRY the full 32-hash signature (an array column):
     // the estimate is computed directly from the joined bucket rows, so
     // the signature aggregation runs ONCE — the naive form (bucket join
@@ -144,21 +167,12 @@ object SimOps {
     // shingle+minhash pipeline three times for two extra shuffles. At
     // 100 TB this is the ClusterJoin row layout: ~256 bytes of signature
     // per (doc, band) shuffle row buys locality of the verify step.
-    val sigArr = array((0 until NumHashes).map(i => col(s"h$i")): _*)
-    val buckets = sig
-      .select(col("doc_id"), sigArr.as("sig"),
-              explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-              col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val est = round(
-      expr("""size(filter(zip_with(x_sig, y_sig, (a, b) -> a = b),
-             |  m -> m))""".stripMargin).cast("double") / NumHashes, 4)
+    val buckets = bandBuckets(minhashSignatures(s, d))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.sig").as("x_sig"), col("y.sig").as("y_sig"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard_r"))
+              sigEstimate(col("x.sig"), col("y.sig")).as("est_jaccard_r"))
       .where(col("est_jaccard_r") >= 0.5)
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -482,6 +496,71 @@ object SimOps {
       .groupBy("id_a", "id_b").agg(first(col("cos_r")).as("cos_r"))
       .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
       .limit(10)
+  }
+
+  // ---- incremental (snapshot) dedup: new batch vs persisted signatures ----
+
+  /** Content-stable fold bucket 0..99 — same family as TextOps.dataSplit:
+    * deterministic in the doc id, so "new batch" membership is identical
+    * across runs, sessions, and late-arriving shards. */
+  private def foldBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").mod(100)
+
+  /** Boundary between "existing corpus" (< 90) and "new batch" (>= 90). */
+  private val NewBatchFold = 90
+
+  private val sigStoreBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sigStoreLock = new Object
+
+  /** One-time persisted minhash-signature store of the EXISTING corpus
+    * (fold < 90), memoized per (JVM, dataset dir) — the snapshot state an
+    * incremental pipeline maintains between crawls. Signatures of already-
+    * ingested documents are computed once and read back as parquet
+    * forever after; each new batch only pays for its OWN shingling. A
+    * `_SUCCESS` check guards against mistaking a half-finished write from
+    * a crashed run for a valid store (overwrite mode commits _SUCCESS
+    * last). */
+  private[graft] def ensureSignatureStore(s: SparkSession, d: String): String =
+    sigStoreBuilt.getOrElseUpdate(d, sigStoreLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$wh/graft_sigstore_$key"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val ok = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      if (!ok)
+        minhashSignaturesOf(
+            documents(s, d).where(foldBucket < NewBatchFold))
+          .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Incremental dedup — the operator a training pipeline runs per crawl:
+    * dedup the NEW batch (fold >= 90, ~10% of docs) against the persisted
+    * signature store of everything already ingested, without touching the
+    * existing corpus's text. Only the new batch is shingled; the store
+    * side is a plain parquet scan of (doc_id, 32 longs) — at 100 TB that
+    * is the difference between re-hashing the whole corpus per crawl and
+    * reading back a compact signature table. Candidates come from the
+    * same LSH band join as [[dedupMinhash]] (bucket rows carry both
+    * signatures), so output on (new × old) pairs is IDENTICAL to the
+    * whole-corpus operator restricted to those pairs — that equivalence
+    * is the property test. No SQL oracle: same sanctioned tier as
+    * dedup_minhash (xxhash64 signatures have no DuckDB equivalent). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val store = s.read.parquet(ensureSignatureStore(s, d))
+    val newSig = minhashSignaturesOf(
+      documents(s, d).where(foldBucket >= NewBatchFold))
+    bandBuckets(newSig).as("x").join(bandBuckets(store).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+              sigEstimate(col("x.sig"), col("y.sig")).as("est_jaccard_r"))
+      .where(col("est_jaccard_r") >= 0.5)
+      .distinct()
+      .orderBy("doc_id", "dup_of")
   }
 
   /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit

@@ -18,8 +18,10 @@ class Wave6Spec extends SparkTestBase {
                     "fr" -> 1.00, "zh" -> 0.10)
     for ((lang, rate) <- rates) {
       val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
-      assert(math.abs(frac - rate) < 0.15,
+      // relative tolerance so the zh=0.10 stratum can't pass with 0 rows
+      assert(math.abs(frac - rate) < rate * 0.5,
         s"$lang kept $frac, wanted ~$rate")
+      assert(kept.getOrElse(lang, 0L) > 0, s"$lang stratum kept zero rows")
     }
     // fr keeps everything (rate 100)
     assert(kept("fr") == total("fr"))

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Pipeline
+import graft.ops._
+
+/** Wave-8 tests (round 6): incremental dedup vs the whole-corpus operator,
+  * partitioned/bucketed sink round-trips, and top-k window plan pins. */
+class Wave8Spec extends SparkTestBase {
+
+  private def fold(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = h.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 100
+  }
+
+  test("dedup_incremental equals whole-corpus dedup restricted to new-old pairs") {
+    val inc = SimOps.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // whole-corpus pairs, reoriented to (new_doc, old_doc)
+    val whole = SimOps.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = whole.flatMap { case (a, b, est) =>
+      (fold(a) >= 90, fold(b) >= 90) match {
+        case (true, false) => Some((a, b, est))
+        case (false, true) => Some((b, a, est))
+        case _             => None // old-old or new-new: out of scope
+      }
+    }.toSet
+    assert(inc == expected,
+      s"incremental=${inc.size} pairs, expected=${expected.size}")
+  }
+
+  test("dedup_incremental signature store is built once and reused") {
+    val path = SimOps.ensureSignatureStore(spark, sf)
+    val t0 = new java.io.File(path, "_SUCCESS").lastModified()
+    SimOps.dedupIncremental(spark, sf).collect()
+    assert(new java.io.File(path, "_SUCCESS").lastModified() == t0,
+      "store was rewritten on re-evaluation")
+    // store holds only the existing corpus (fold < 90)
+    val ids = spark.read.parquet(path).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(fold(_) < 90))
+  }
+
+  test("sink partitionBy round-trip prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source")
+    Pipeline(docs).sink(dir, partitionBy = Seq("lang"))
+    // Hive-style layout on disk
+    assert(new java.io.File(dir, "lang=en").isDirectory)
+    val back = spark.read.parquet(dir).where(col("lang") === "en")
+    val expected = docs.where(col("lang") === "en").count()
+    assert(back.count() == expected)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in:\n$plan")
+    // the data filter must NOT be a post-scan Filter over all partitions
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang should prune partitions, not act as a row-group filter")
+  }
+
+  test("sinkBucketed table aggregates on the bucket column without a shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Pipeline(li).sinkBucketed("graft_sink_bkt_test", Seq("l_orderkey"), 4,
+                              sortCols = Seq("l_orderkey"))
+    val agg = spark.table("graft_sink_bkt_test")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("qty"))
+    val expected = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed aggregation must not shuffle:\n$plan")
+    spark.sql("DROP TABLE graft_sink_bkt_test")
+  }
+
+  test("win_rownum_topk pushes the rank filter into WindowGroupLimit") {
+    val df = Relational.winRownumTopk(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 3 should prune per-group before the full window sort:\n$plan")
+  }
+}
