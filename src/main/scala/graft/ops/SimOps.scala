@@ -196,6 +196,12 @@ object SimOps {
     * xxhash64 arrays verifies exactly (64-bit collisions ~1e-13/pair). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
+    // Cached: the shingle table is the pipeline's staging input — it feeds
+    // df-counting, prefix extraction, AND the final rerank (3 references,
+    // each of which would otherwise re-run the text→split→hash→sort chain;
+    // that recompute, not the joins, dominated the un-cached wall-clock).
+    // At 100 TB this is a persisted staging table, exactly as AllPairs
+    // stages its inverted index.
     val sh = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -204,12 +210,16 @@ object SimOps {
             |    transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
             |      (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))),
             |  x -> xxhash64(x))""".stripMargin)).as("sh"))
+      .cache()
     val tok = sh.select(col("doc_id"), col("lang"), col("source"),
                         explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // Per-doc prefix: shingles sorted rare-first (df, then h as the
     // deterministic total order), sliced to ⌊n/2⌋+1. The sort is row-local
     // (each doc's own shingles), never a global sort.
+    // Also cached: the prefix index is both sides of the candidate
+    // self-join (2 references → the df-count + prefix aggregation would
+    // run twice).
     val pref = tok.join(dfreq, "h")
       .groupBy("doc_id", "lang", "source")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
@@ -217,6 +227,7 @@ object SimOps {
         explode(expr(
           "transform(slice(ord, 1, size(ord) DIV 2 + 1), x -> x.h)"))
           .as("h"))
+      .cache()
     val candA = pref.select(col("h"), col("lang"), col("source"),
                             col("doc_id").as("doc_a"))
     val candB = pref.select(col("h").as("h_b"), col("lang").as("lang_b"),

@@ -10,13 +10,21 @@ object BenchOne {
     val sfDir = args(0)
     val q = args(1)
     val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Mirror Bench's warm phase: run once on the warm dir (codegen classes
+    // for the sfDir plan are identical modulo paths, so JIT/janino carry
+    // over) before the timed runs.
+    sys.env.get("SPARK_GRAFT_WARMUP_DIR").foreach { w =>
+      try SparkEntry.queries(q)(spark, w).count()
+      catch { case _: Throwable => () }
+    }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, sfDir).count()
