@@ -374,7 +374,7 @@ object SimOps {
     // centroid draw, both sides of the rerank join) — cache it so the
     // cast+norm scan runs once, not per reference.
     val v = normed(s, d).cache()
-    simAnnIvfP(s, v, n = v.count(), nprobe = 8)
+    simAnnIvfP(s, v, n = v.count(), nprobe = 16)
   }
 
   def simAnnIvfP(s: SparkSession, v: DataFrame, n: Long,

@@ -9,7 +9,7 @@ object IvfProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    for (np <- Seq(2, 4, 6, 8)) {
+    for (np <- Seq(4, 8, 12, 16, 20)) {
       val v = graft.ops.SimOps.normed(spark, d)
       val t0 = System.nanoTime()
       val ivf = graft.ops.SimOps.simAnnIvfP(spark, v, v.count(), np)
