@@ -63,6 +63,20 @@ object OracleSql {
         |    AS priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // agg_cms_freq: the count-min sketch runs in its exact regime on this
+    // data (5 event types vs 2048 cells/row, min over 4 independent rows),
+    // so the estimate equals the plain count.
+    "agg_cms_freq" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // agg_topfreq: Misra-Gries with m=64 counters over a 31-word
+    // vocabulary never decrements — exact top-20 by (count, word).
+    "agg_topfreq" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
     // agg_regression: slope/intercept/r2 from exact decimal moment sums,
     // final algebra textually identical to the Spark side (see agg_stats).
     "agg_regression" ->

@@ -65,6 +65,8 @@ object SparkEntry {
     "agg_pivot" -> (Relational.aggPivot _),
     "agg_unpivot" -> (Relational.aggUnpivot _),
     "agg_stringagg" -> (Relational.aggStringagg _),
+    "agg_cms_freq" -> (SketchOps.aggCmsFreq _),
+    "agg_topfreq" -> (SketchOps.aggTopfreqWords _),
     "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
     "sample_seeded" -> (Relational.sampleSeeded _),

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Sketch-based aggregates (SURVEY §2 extension, round 6): count-min
+  * frequency estimation and Misra-Gries heavy hitters — the streaming-
+  * summary tier for skewed event streams where an exact groupBy over the
+  * full key space is the bottleneck. Both sketches are mergeable (map-side
+  * partial aggregation compresses each partition to fixed-size state), so
+  * the shuffle carries O(sketch) bytes per partition regardless of n.
+  *
+  * On the testdata both run in their EXACT regime (item cardinality below
+  * sketch capacity: 5 event types vs w=2048 cells, 31 words vs m=64
+  * counters), so the declared queries carry ordinary SQL count oracles;
+  * the approximate/compression paths are property-tested in Wave8Spec on
+  * synthetic skewed streams. */
+object SketchOps {
+
+  private[graft] val CmsD = 4     // count-min rows
+  private[graft] val CmsW = 2048  // count-min cells per row
+
+  /** The d per-row hashes for an item, as builtin xxhash64 calls — the
+    * same expression serves build and probe, so the probe needs no custom
+    * scalar function. */
+  private[graft] def cmsHashes(x: Column, d: Int = CmsD): Column =
+    array((0 until d).map(i => xxhash64(lit(i), x)): _*)
+
+  /** Probe: min over rows of the item's cell — `least` over d
+    * element_at lookups (1-based). */
+  private[graft] def cmsEstimate(sk: Column, x: Column,
+                                 d: Int = CmsD, w: Int = CmsW): Column = {
+    val cells = (0 until d).map(i =>
+      element_at(sk, (lit(i * w) + pmod(xxhash64(lit(i), x), lit(w)) +
+                      lit(1)).cast("int")))
+    least(cells: _*)
+  }
+
+  /** Count-min frequency per event type: ONE global d×w sketch over the
+    * stream (a single-row aggregate, partials merged map-side), then each
+    * distinct type probes the broadcast sketch. At 100 TB the sketch build
+    * is a full scan but the shuffle is d·w longs per partition — the
+    * groupBy(item) it replaces shuffles every distinct key. Exact on this
+    * data (5 types, no cell collisions under the fixed hash draw), hence
+    * the SQL count oracle. */
+  def aggCmsFreq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val ev = events(s, d)
+    val sk = ev.select(cmsHashes(col("event_type")).as("hs"))
+      .agg(expr(s"graft_cms(hs, $CmsD, $CmsW)").as("sk"))
+    ev.select("event_type").distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"),
+              cmsEstimate(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** Misra-Gries top-20 words over the corpus token stream with m=64
+    * counters. m exceeds the corpus vocabulary here, so the summary is
+    * exact (the oracle is plain count/order/limit SQL); at real scale the
+    * same plan keeps every word with frequency > n/(m+1) while the
+    * aggregation state stays m counters per partition instead of a cell
+    * per distinct word. */
+  def aggTopfreqWords(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(expr("graft_topfreq(token, 64)").as("tf"))
+      .select(explode(col("tf")).as("e"))
+      .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+  }
+}

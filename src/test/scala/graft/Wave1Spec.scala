@@ -107,7 +107,8 @@ class Wave1Spec extends SparkTestBase {
                        "dedup_simhash", "sim_ann_bucket",
                        "agg_approx_percentile", "dedup_embedding_ann",
                        "mm_features", "sample_seeded", "sim_ann_ivf",
-                       "sim_knn_label_ann", "sim_cosine_topk_ann")
+                       "sim_knn_label_ann", "sim_cosine_topk_ann",
+                       "dedup_incremental")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }

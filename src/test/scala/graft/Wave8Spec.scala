@@ -80,6 +80,73 @@ class Wave8Spec extends SparkTestBase {
     spark.sql("DROP TABLE graft_sink_bkt_test")
   }
 
+  test("agg_cms_freq / agg_topfreq match exact counts in their exact regime") {
+    val cms = SketchOps.aggCmsFreq(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cms == exact)
+    val tf = SketchOps.aggTopfreqWords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token").asc).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tf == words)
+  }
+
+  test("count-min bounds hold on a skewed stream with forced collisions") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    // Zipf-ish: item i appears ~ n/(i+1) times; 200 distinct >> w=16 cells
+    val rows = (0 until 200).flatMap(i =>
+      Seq.fill(2000 / (i + 1) + 1)(s"item_$i"))
+    val df = rows.toDF("x")
+    val (d, w) = (4, 16)
+    val sk = df.select(SketchOps.cmsHashes(col("x"), d).as("hs"))
+      .agg(expr(s"graft_cms(hs, $d, $w)").as("sk"))
+    val est = df.select(col("x")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("x"), SketchOps.cmsEstimate(col("sk"), col("x"), d, w)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS must never underestimate ($k)")
+      assert(est(k) <= c + 2 * n / w + 1,
+        s"$k est ${est(k)} vs $c exceeds the e*n/w-style bound")
+    }
+  }
+
+  test("misra-gries guarantees hold under compression and merges") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    val m = 8
+    // 4 heavy items (>n/(m+1) each) over a long uniform tail, shuffled
+    // deterministically across 8 partitions to exercise partial merges
+    val heavy = (0 until 4).flatMap(i => Seq.fill(500)(s"hh_$i"))
+    val tail = (0 until 400).flatMap(i => Seq.fill(3)(s"t_$i"))
+    val rows = new scala.util.Random(13).shuffle(heavy ++ tail)
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("x")
+    val out = df.agg(expr(s"graft_topfreq(x, $m)").as("tf"))
+      .select(explode(col("tf")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    assert(out.size <= m)
+    out.foreach { case (k, c) =>
+      assert(c <= exact(k), s"MG must never overestimate ($k)")
+      assert(exact(k) - c <= n / (m + 1), s"$k error exceeds n/(m+1)")
+    }
+    // every true heavy hitter (count > n/(m+1)) survives
+    (0 until 4).foreach(i => assert(out.contains(s"hh_$i"),
+      s"heavy hitter hh_$i evicted"))
+  }
+
   test("win_rownum_topk pushes the rank filter into WindowGroupLimit") {
     val df = Relational.winRownumTopk(spark, sf)
     df.collect()
