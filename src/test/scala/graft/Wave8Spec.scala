@@ -147,6 +147,35 @@ class Wave8Spec extends SparkTestBase {
       s"heavy hitter hh_$i evicted"))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Own SQLConf (shared SparkContext): AQE thresholds shrunk so the
+    // skew logic that fires at 256MB-partition scale engages on a local
+    // fixture; proves OptimizeSkewedJoin handles what join_salted handles
+    // manually, without touching the shared test session's conf.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    import s2.implicits._
+    // key 0 carries ~100x the bytes of any other key (padded payload)
+    val left = s2.range(0, 60000)
+      .select(when(col("id") < 50000, lit(0L)).otherwise(pmod(col("id"),
+        lit(1000L))).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pay"))
+    val right = s2.range(0, 1000).select(col("id").as("k"),
+      col("id").as("rv"))
+    val j = left.join(right, "k")
+    assert(j.collect().length == 60000) // collect: finalizes j's own AQE plan
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+      s"expected AQE skew-split SMJ in:\n$plan")
+  }
+
   test("win_rownum_topk pushes the rank filter into WindowGroupLimit") {
     val df = Relational.winRownumTopk(spark, sf)
     df.collect()
