@@ -1001,6 +1001,33 @@ object OracleSql {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
         |WHERE cos_r >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
+    // dedup_clusters: transitive closure of the cos>=0.40 pair graph;
+    // per node, the smallest reachable vec_id is its cluster label.
+    "dedup_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, vd,
+        |    sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |        FROM embeddings) v
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      ROUND(list_sum(list_transform(list_zip(a.vd, b.vd),
+        |            q -> q[1] * q[2])) / (a.nrm * b.nrm), 4) AS cos_r
+        |    FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+        |  WHERE cos_r >= 0.40
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |)
+        |SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_rep,
+        |       u = LEAST(u, MIN(v)) AS keep
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
+
     // ---- wave 4: multimodal metadata scan ----
 
     "mm_meta" ->

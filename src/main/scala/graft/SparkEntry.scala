@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),
     "dedup_embedding_ann" -> (SimOps.dedupEmbeddingAnn _),
+    "dedup_clusters" -> (SimOps.dedupClusters _),
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
     "sim_ann_ivf" -> (SimOps.simAnnIvf _),

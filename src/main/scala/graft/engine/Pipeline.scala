@@ -82,6 +82,51 @@ final case class Pipeline(df: DataFrame) {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.format("parquet").saveAsTable(table)
   }
+  /** sink with Z-order (Morton) layout: rows are range-distributed and
+    * sorted by the bit-interleaved key of two columns before writing, so
+    * parquet row-group min/max stats stay tight on BOTH columns at once —
+    * a reader filtering on EITHER column skips most files/row groups,
+    * where a plain sort keeps only its leading column clustered (the
+    * trailing column's per-file range stays ≈ the full domain). This is
+    * the multi-dimensional half of the layout story that `partitionBy`
+    * (planning-time pruning) and `sinkBucketed` (shuffle-free joins)
+    * don't cover.
+    *
+    * Each column is first scaled to a 16-bit rank using its global
+    * min/max — one tiny 1-row aggregate up front (the same pre-pass a
+    * table-layout OPTIMIZE job runs; it never touches the driver beyond
+    * two scalars per column) — then the 32-bit Morton key interleaves the
+    * bits via a codegen'd shift/or expression. `repartitionByRange` on
+    * the key gives contiguous, balanced files (range exchange samples —
+    * no global sort), and `sortWithinPartitions` orders rows inside each
+    * file for row-group-level skipping. */
+  def sinkZOrder(path: String, zCols: (String, String),
+                 files: Int = 0): Unit = {
+    val (ca, cb) = zCols
+    val mm = df.agg(min(col(ca)).cast("double"), max(col(ca)).cast("double"),
+                    min(col(cb)).cast("double"), max(col(cb)).cast("double"))
+      .head()
+    def scaled(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(65535),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536))
+        .cast("int")
+    }
+    val a = scaled(ca, mm.getDouble(0), mm.getDouble(1))
+    val b = scaled(cb, mm.getDouble(2), mm.getDouble(3))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    val keyed = df.withColumn("__z", z)
+    val parts = if (files > 0) files else df.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    keyed.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def sinkCsv(path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
   def sinkJson(path: String): Unit =

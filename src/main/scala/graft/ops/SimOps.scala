@@ -650,4 +650,107 @@ object SimOps {
               col("t.cos").as("cos_r"))
       .orderBy("vec_id")
   }
+
+  /** Connected-component cluster assignment over the embedding near-dup
+    * graph (pairs with rounded cosine ≥ 0.40): every vector appearing in a
+    * qualifying pair is labeled with the smallest vec_id reachable from it
+    * — the canonical representative its cluster keeps — plus the keep/drop
+    * verdict. This is the step that turns pairwise dedup output into
+    * actionable per-document decisions: acting on raw pairs over-deletes
+    * whenever near-duplication chains (A~B, B~C but not A~C must keep
+    * exactly one of {A,B,C}, which only the transitive closure knows).
+    *
+    * Algorithm: two-phase union-find contraction. Phase 1 partitions the
+    * edge list and runs a classic min-root union-find INSIDE each
+    * partition (`mapPartitions`, no shuffle), emitting one (node, root)
+    * row per node seen — a spanning-forest contraction of each
+    * partition's subgraph. Components that span partitions necessarily
+    * share a node (an edge (u,v) lands in hash(u)'s partition, v's other
+    * edges in hash(v)'s), so the per-node root disagreements ARE the
+    * contracted graph's edges; that graph has at most one edge per
+    * boundary node — a massive shrink — and the loop recurses on it
+    * until it fits a single task (one phase at any realistic near-dup
+    * density). Contrast with per-round label propagation (PEGASUS HCC):
+    * that shape costs O(log diameter) whole-graph shuffles; contraction
+    * does the transitive work CPU-side in one pass and touches the
+    * cluster only to stitch partition boundaries — at 100 TB, with the
+    * edge list split at ~4M rows/task, phase 1 is the only stage that
+    * sees the full pair list, and everything in the loop is (long, long)
+    * rows; vectors and text never enter it. Deterministic throughout:
+    * min-id roots in the task-local union-find, min across partitions,
+    * min in the boundary phase. The edge generator is pluggable — exact
+    * pairs here (oracle-exact; see [[dedupEmbedding]] for why LSH cannot
+    * beat exact at this τ on isotropic data), [[dedupEmbeddingAnn]]
+    * candidates for a true near-dup corpus. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = cosinePairs(s, d).where(col("cos_r") >= 0.40)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    ccLabels(s, pairs, perTask = 4000000L)
+      .select(col("node").as("vec_id"), col("rep").as("cluster_rep"),
+              (col("node") === col("rep")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Connected-component labels (node, rep=component min) for an edge
+    * DataFrame with two long columns. `perTask` bounds the edges handed
+    * to one task's union-find (its memory is O(nodes-in-task)); tests
+    * force it low to exercise the multi-partition contraction path. */
+  private[graft] def ccLabels(s: SparkSession, edgesIn: DataFrame,
+                              perTask: Long): DataFrame = {
+    import s.implicits._
+    var edges = edgesIn.localCheckpoint()
+    var mapping: DataFrame = null
+    var phases = 0
+    var done = false
+    while (!done && phases < 12) {
+      val p = math.max(1, math.ceil(edges.count().toDouble / perTask).toInt)
+      val forest = edges.repartition(p, col(edges.columns.head))
+        .as[(Long, Long)].mapPartitions(ufForest _)
+        .toDF("node", "root").localCheckpoint()
+      val best = forest.groupBy("node").agg(min("root").as("root"))
+      mapping =
+        if (mapping == null)
+          best.select(col("node"), col("root").as("rep")).localCheckpoint()
+        else mapping
+          .join(best.select(col("node").as("rep"), col("root")),
+                Seq("rep"), "left")
+          .select(col("node"), coalesce(col("root"), col("rep")).as("rep"))
+          .localCheckpoint()
+      if (p == 1) done = true
+      else {
+        // boundary edges: a node whose roots disagree across partitions
+        // links each non-min root to the min — the contracted graph.
+        edges = forest
+          .join(best.select(col("node"), col("root").as("m")), "node")
+          .where(col("root") =!= col("m"))
+          .select(col("m").as("u"), col("root").as("v")).distinct()
+          .localCheckpoint()
+        if (edges.isEmpty) done = true
+      }
+      phases += 1
+    }
+    mapping
+  }
+
+  /** Task-local union-find over one partition's edges: min-id roots (the
+    * smaller root adopts the larger, so a component's root is its min id
+    * regardless of edge order), path compression on find. Emits one
+    * (node, root) row per distinct node seen in this partition. */
+  private def ufForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    val seen = scala.collection.mutable.LongMap.empty[Boolean]
+    it.foreach { case (a, b) =>
+      seen(a) = true; seen(b) = true
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    seen.keysIterator.map(x => (x, find(x)))
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-6 wave: cluster assignment over the near-dup graph, and a pin
+  * that Spark's injected runtime bloom filter engages on a selective
+  * shuffle join (the 100 TB path where a broadcast is too big but the
+  * build side still prunes the probe scan). */
+class Wave9Spec extends SparkTestBase {
+
+  test("dedup_clusters matches a union-find over the same pair graph") {
+    val pairs = SimOps.cosinePairs(spark, sf)
+      .where(col("cos_r") >= 0.40).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 20, s"fixture too thin: ${pairs.length} pairs")
+
+    // reference union-find on the collected (tiny) edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+
+    val got = SimOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == want.size,
+      s"node count ${got.length} != ${want.size}")
+    got.foreach { case (id, rep, keep) =>
+      assert(want(id) == rep, s"vec $id labeled $rep, union-find says ${want(id)}")
+      assert(keep == (id == rep))
+    }
+    // multi-hop fixture: at least one component needs >1 propagation round
+    val sizes = got.groupBy(_._2).map(_._2.length)
+    assert(sizes.max >= 3, "fixture has no chained component")
+  }
+
+  test("cc contraction path (forced multi-partition) matches single-task labels") {
+    val edges = SimOps.cosinePairs(spark, sf)
+      .where(col("cos_r") >= 0.40)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    // perTask=8 forces ~9 partitions over the 66-edge fixture, so
+    // components split across tasks and the boundary-contraction loop
+    // must stitch them; the single-task run is the reference.
+    val one = SimOps.ccLabels(spark, edges, perTask = 4000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val many = SimOps.ccLabels(spark, edges, perTask = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(many == one, "contracted multi-partition labels diverge")
+  }
+
+  test("z-order sink keeps per-file ranges tight on both layout columns") {
+    val out = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    graft.engine.Pipeline(li).sinkZOrder(s"$out/z", ("l_orderkey", "l_partkey"),
+      files = 8)
+    // plain single-column sort baseline: tight on the lead column only
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$out/sorted")
+
+    def spans(path: String): (Double, Double) = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_orderkey").as("o0"), max("l_orderkey").as("o1"),
+             min("l_partkey").as("p0"), max("l_partkey").as("p1"))
+        .collect()
+      val Seq(oAll, pAll) = Seq("l_orderkey", "l_partkey").map { c =>
+        val r = li.agg(min(col(c)).cast("double"),
+                       max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      val oSpan = rows.map(r => (r.getLong(2) - r.getLong(1)) / oAll).sum / rows.length
+      val pSpan = rows.map(r => (r.getLong(4) - r.getLong(3)) / pAll).sum / rows.length
+      (oSpan, pSpan)
+    }
+    val (zo, zp) = spans(s"$out/z")
+    val (so, sp) = spans(s"$out/sorted")
+    assert(so < 0.3, s"sorted baseline should be tight on lead col: $so")
+    assert(sp > 0.7, s"sorted baseline should span trailing col: $sp")
+    assert(zo < 0.6 && zp < 0.6,
+      s"z-order should be tight on BOTH cols: orderkey $zo, partkey $zp")
+    assert(zp < sp * 0.6,
+      s"z-order trailing-col span $zp should beat plain sort's $sp")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    val li = s2.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = s2.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected an injected bloom filter on the probe side:\n$plan")
+  }
+}
