@@ -67,6 +67,7 @@ object SparkEntry {
     "agg_stringagg" -> (Relational.aggStringagg _),
     "agg_cms_freq" -> (SketchOps.aggCmsFreq _),
     "agg_topfreq" -> (SketchOps.aggTopfreqWords _),
+    "agg_hll_union" -> (SketchOps.aggHllUnion _),
     "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
     "sample_seeded" -> (Relational.sampleSeeded _),

@@ -518,13 +518,29 @@ object Relational {
   /** Non-equi range join: event pairs per user within 10 minutes. Executes
     * as an equi join on user_id with the range as residual condition, so it
     * shuffles only on user — the scalable shape for self-range-joins. */
+  /** Theta/range self-join (pairs of same-user events ≤ 10 min apart) as
+    * a BINNED range join: both sides get a 10-minute time bucket, the
+    * probe side additionally probes its successor bucket (a qualifying
+    * b.ts ∈ (a.ts, a.ts+10min] can only land in a's bucket or the next
+    * one — a provable candidate superset), and the bucket joins the
+    * equi-key alongside user_id. The exact range predicates stay in the
+    * join condition, so output is oracle-identical — but the SMJ now
+    * evaluates only same-(user, bucket) candidates instead of every
+    * same-user pair: at 100 TB per-user histories grow with retention
+    * and the unbinned join's per-key cartesian grows quadratically with
+    * them, while the binned key keeps candidate groups at
+    * O(events per user per window). */
   def joinThetaRange(s: SparkSession, d: String): DataFrame = {
-    val a = events(s, d).select(col("user_id"), col("event_id").as("id_a"),
-                                col("ts").as("ts_a"))
-    val b = events(s, d).select(col("user_id").as("user_b"),
-                                col("event_id").as("id_b"),
-                                col("ts").as("ts_b"))
+    val bk = (unix_timestamp(col("ts")) / 600L).cast("long")
+    val a = events(s, d)
+      .select(col("user_id"), col("event_id").as("id_a"),
+              col("ts").as("ts_a"),
+              explode(array(bk, bk + 1)).as("pbk"))
+    val b = events(s, d)
+      .select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+              col("ts").as("ts_b"), bk.as("bk_b"))
     a.join(b, col("user_id") === col("user_b") &&
+              col("pbk") === col("bk_b") &&
               col("ts_a") < col("ts_b") &&
               col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
       .select("user_id", "id_a", "id_b")

@@ -493,9 +493,16 @@ object SimOps {
   def simCosineTopkAnnP(s: SparkSession, v: DataFrame, tables: Int,
                         targetBucket: Int, n: Long,
                         seed: Long = 11L): DataFrame = {
+    // Dedup the candidate stream BEFORE attaching vectors: a pair that
+    // collides in several tables/probes would otherwise pay graft_dot per
+    // duplicate (up to tables×(bits+1) times). The distinct shuffles only
+    // bare (long, long) ids with map-side combine — measurably cheaper
+    // than the duplicated rerank it avoids. (Contrast simAnnBucketP: its
+    // argmax rerank is per-QUERY, so duplicates there cost one extra
+    // agg row, not a recomputed kernel — deduping earlier lost.)
     val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
                              probe = true, seed)
-      .where(col("qid") < col("nid"))
+      .where(col("qid") < col("nid")).distinct()
     val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
                      col("nrm").as("na"))
     val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
@@ -504,7 +511,6 @@ object SimOps {
       .select(col("qid").as("id_a"), col("nid").as("id_b"),
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
-      .groupBy("id_a", "id_b").agg(first(col("cos_r")).as("cos_r"))
       .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
       .limit(10)
   }

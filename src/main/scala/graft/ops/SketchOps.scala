@@ -74,4 +74,24 @@ object SketchOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(20)
   }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    * into Spark 4): one HLL sketch PER SOURCE SHARD, then a sketch-union
+    * roll-up to the corpus-wide distinct-token estimate. This is the
+    * standing pattern for cardinality bookkeeping at 100 TB — each
+    * ingest batch persists its own tiny sketch (here: per-source rows),
+    * and any cross-slice distinct count is a union of sketches, never a
+    * re-scan of the data. Binary-identical to sketching the whole corpus
+    * in one pass (union is the SAME merge the partial aggregation runs
+    * internally) — that associativity is the Wave9 property test. No SQL
+    * oracle: DuckDB has no DataSketches HLL (the estimate differs from
+    * exact COUNT DISTINCT by design), same no-oracle tier as
+    * agg_approx_distinct. */
+  def aggHllUnion(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("token")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+             .as("distinct_tokens_est"))
 }

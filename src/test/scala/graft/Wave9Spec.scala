@@ -90,6 +90,22 @@ class Wave9Spec extends SparkTestBase {
       s"z-order trailing-col span $zp should beat plain sort's $sp")
   }
 
+  test("agg_hll_union: per-shard sketch union equals the one-pass sketch") {
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"))))
+      .head().getLong(0)
+    val unioned = SketchOps.aggHllUnion(spark, sf).head().getLong(0)
+    assert(unioned == direct,
+      s"sketch union ($unioned) must be identical to one-pass sketch ($direct)")
+    // sanity: the estimate is in the right neighborhood of exact
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(countDistinct(col("token"))).head().getLong(0)
+    assert(math.abs(unioned - exact).toDouble / exact < 0.05,
+      s"HLL estimate $unioned vs exact $exact drifted > 5%")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
