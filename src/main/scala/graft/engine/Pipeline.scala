@@ -138,6 +138,25 @@ final case class Pipeline(df: DataFrame) {
 object Pipeline {
   def source(s: SparkSession, path: String): Pipeline =
     Pipeline(s.read.parquet(path))
+
+  /** Compact a parquet directory: rewrite `path` into `outPath` with
+    * ~`targetRecordsPerFile` rows per file. Long-running ingest leaves
+    * thousands of small files per partition (one per micro-batch task);
+    * every later scan then pays open/footer/seek costs per file and the
+    * driver pays listing+planning per file — at 100 TB the metadata walk
+    * alone can dominate short queries. Coalescing via `repartition`
+    * (round-robin, no key) keeps sizes balanced without skew
+    * sensitivity; row order is not preserved (parquet readers make no
+    * order promise; layout-sensitive data should use
+    * [[Pipeline!.sinkZOrder]]). Content equality under re-sort is the
+    * unit-test contract. */
+  def compact(s: SparkSession, path: String, outPath: String,
+              targetRecordsPerFile: Long = 1000000L): Unit = {
+    val in = s.read.parquet(path)
+    val n = in.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
+    in.repartition(files).write.mode("overwrite").parquet(outPath)
+  }
   def csv(s: SparkSession, path: String, header: Boolean = true): Pipeline =
     Pipeline(s.read.option("header", header.toString)
       .option("inferSchema", "true").csv(path))

@@ -90,6 +90,22 @@ class Wave9Spec extends SparkTestBase {
       s"z-order trailing-col span $zp should beat plain sort's $sp")
   }
 
+  test("compact coalesces a many-small-file table without changing content") {
+    val out = java.nio.file.Files.createTempDirectory("graft_c").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.repartition(64).write.parquet(s"$out/small")  // fragmented ingest
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$out/small") == 64)
+    graft.engine.Pipeline.compact(spark, s"$out/small", s"$out/big",
+      targetRecordsPerFile = 100000L)
+    assert(files(s"$out/big") == 1, "6k rows should compact to one file")
+    val b = spark.read.parquet(s"$out/big")
+    assert(b.count() == li.count())
+    assert(li.exceptAll(b).isEmpty && b.exceptAll(li).isEmpty,
+      "compaction must preserve content (multiset)")
+  }
+
   test("agg_hll_union: per-shard sketch union equals the one-pass sketch") {
     val direct = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(col("text"), " ")).as("token"))
