@@ -131,6 +131,8 @@ object SparkEntry {
     "sim_ann_ivf" -> (SimOps.simAnnIvf _),
     "sim_knn_label_ann" -> (SimOps.simKnnLabelAnn _),
     "sim_cosine_topk_ann" -> (SimOps.simCosineTopkAnn _),
+    "text_quality_ml" -> (MlOps.textQualityMl _),
+    "sim_kmeans_cluster" -> (MlOps.simKmeansCluster _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
     "mm_resize" -> (MultimodalOps.mmResize _),
     "mm_frames" -> (MultimodalOps.mmFrames _),

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based pipeline operators (Spark MLlib, on the unmanaged Spark
+  * classpath): the learned complement to the rule-based text/similarity
+  * tier. Both are the standard modern corpus-prep moves — a trained
+  * quality classifier instead of hand thresholds, and embedding
+  * clustering for mixture bookkeeping — expressed as ordinary
+  * DataFrame-in/DataFrame-out operators so they compose with the rest of
+  * the engine. No SQL oracle (DuckDB has no MLlib); property-tested:
+  * agreement with the weak labels, determinism under a fixed seed.
+  *
+  * Scale: MLlib's LR/KMeans are the distributed implementations
+  * (treeAggregate gradient/cost passes over the partitioned data); the
+  * scoring side is a narrow per-row model.transform. Training-set size is
+  * the corpus itself here — at 100 TB the fit runs on a sampled slice
+  * (sample_seeded composes upstream) while transform stays full-corpus. */
+object MlOps {
+
+  /** Learned document-quality score. Weak supervision: the rule-based
+    * gate from [[TextOps.textQuality]] (token-count box + type-token
+    * ratio) provides labels; logistic regression over the same features
+    * generalizes the hard box to a smooth probability — the shape of a
+    * fasttext-style quality classifier, with the labels swappable for
+    * human ratings without touching the plan. Deterministic: L-BFGS over
+    * a fixed dataset/partitioning, no sampling. */
+  def textQualityMl(s: SparkSession, d: String): DataFrame = {
+    val feats = TextOps.textQuality(s, d)
+      .select(col("doc_id"),
+              col("n_tokens").cast("double").as("f_len"),
+              col("avg_token_len_r").as("f_atl"),
+              col("ttr_r").as("f_ttr"),
+              col("stop_ratio_r").as("f_stop"),
+              col("quality_flag").cast("double").as("label"))
+    val tr = new VectorAssembler()
+      .setInputCols(Array("f_len", "f_atl", "f_ttr", "f_stop"))
+      .setOutputCol("features")
+      .transform(feats)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .fit(tr)
+    model.transform(tr)
+      .select(col("doc_id"),
+              round(element_at(vector_to_array(col("probability")), 2), 4)
+                .as("ml_quality_r"),
+              col("prediction").cast("int").as("ml_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding k-means (k=8, fixed seed): per-vector cluster assignment
+    * plus distance to centroid — the mixture-bookkeeping step that lets a
+    * pipeline balance topical composition or spot collapsed slices.
+    * kmeans|| init with a fixed seed over fixed partitioning is
+    * reproducible run-to-run. */
+  def simKmeansCluster(s: SparkSession, d: String): DataFrame = {
+    val v = SimOps.normed(s, d)
+      .select(col("vec_id"), array_to_vector(col("vd")).as("features"))
+    val model = new KMeans().setK(8).setSeed(7L).setMaxIter(20)
+      .fit(v)
+    model.transform(v)
+      .select(col("vec_id"), col("prediction").as("cluster"))
+      .orderBy("vec_id")
+  }
+}

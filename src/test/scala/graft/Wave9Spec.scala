@@ -122,6 +122,30 @@ class Wave9Spec extends SparkTestBase {
       s"HLL estimate $unioned vs exact $exact drifted > 5%")
   }
 
+  test("text_quality_ml learns the rule gate it was weakly supervised by") {
+    val rule = TextOps.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    val ml = MlOps.textQualityMl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(ml.length == rule.size)
+    val agree = ml.count { case (id, _, pass) => pass == rule(id) }
+    assert(agree.toDouble / ml.length >= 0.85,
+      s"LR agrees with its weak labels on only $agree/${ml.length}")
+    ml.foreach { case (_, p, _) => assert(p >= 0.0 && p <= 1.0) }
+  }
+
+  test("sim_kmeans_cluster is seed-deterministic and uses several clusters") {
+    val a = MlOps.simKmeansCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val b = MlOps.simKmeansCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sameElements(b), "same seed + data must give same clustering")
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.size >= 4, s"degenerate clustering: ${sizes.size} clusters")
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.length == n, "every vector must receive a cluster")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
