@@ -234,6 +234,21 @@ object OracleSql {
         |WHERE t.doc_id % 50 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // text_pack_sequences: the Spark side computes the running token
+    // count as a distributed prefix sum; the oracle is the equivalent
+    // single-window formulation.
+    "text_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
     // join_bucketed: oracle is the PLAIN join — bucketing is a physical
     // layout choice and must not change the result.
     "join_bucketed" ->

@@ -121,6 +121,7 @@ object SparkEntry {
     "data_split" -> (TextOps.dataSplit _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_decontaminate" -> (TextOps.textDecontaminate _),
+    "text_pack_sequences" -> (TextOps.textPackSequences _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables._
 
 /** Text / LLM-data-pipeline operators over `documents` (SURVEY.md §2.I).
@@ -305,6 +306,45 @@ object TextOps {
         round(col("n_overlap").cast("double") / col("n_grams"), 4)
           .as("overlap_ratio_r"),
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing for pretraining: documents are concatenated in
+    * doc_id order into one token stream and chunked into fixed 512-token
+    * training windows; each doc reports the window its first token lands
+    * in and the offset inside it (concat-then-chunk — docs may straddle
+    * windows, the standard pretraining packing).
+    *
+    * The global running token count is a DISTRIBUTED prefix sum, not a
+    * single-task global window (`Window.orderBy` with no partition key
+    * funnels the entire table through one task — the canonical windowing
+    * scale trap): range-repartition by doc_id (contiguous key ranges per
+    * partition), cumsum per partition with an ordinary partitioned
+    * window, then add each partition's starting offset — computed from
+    * the P per-partition totals (a P-row aggregate, windowed in one tiny
+    * task and broadcast back). Output is exactly the global cumsum for
+    * ANY partition count, so the SQL oracle is the plain single-window
+    * formulation. */
+  def textPackSequences(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 512
+    val t = documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ranged = t.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+    val withCum = ranged.withColumn("pcum", sum("n_tokens").over(w))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy("pid").agg(max("pcum").as("ptot"))
+      .withColumn("poff", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select("pid", "poff")
+    withCum.join(broadcast(offsets), "pid")
+      .withColumn("start", col("pcum") - col("n_tokens") + col("poff"))
+      .select(col("doc_id"), col("n_tokens"),
+              expr(s"start DIV $seqLen").as("seq_id"),
+              (col("start") % seqLen).as("seq_offset"))
       .orderBy("doc_id")
   }
 }

@@ -122,6 +122,20 @@ class Wave9Spec extends SparkTestBase {
       s"HLL estimate $unioned vs exact $exact drifted > 5%")
   }
 
+  test("text_pack_sequences runs the doc cumsum as a partitioned window") {
+    val df = TextOps.textPackSequences(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "prefix sum should range-partition by doc_id")
+    // the full-table window must carry a partition spec (pid); only the
+    // P-row offsets window may be global
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(windows.exists(_.contains("pid#")),
+      s"expected a pid-partitioned window in:\n${windows.mkString("\n")}")
+  }
+
   test("text_quality_ml learns the rule gate it was weakly supervised by") {
     val rule = TextOps.textQuality(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(5)).toMap
