@@ -33,6 +33,15 @@ final case class Pipeline(df: DataFrame) {
 
   def sort(cols: Column*): Pipeline = Pipeline(df.orderBy(cols: _*))
   def limit(n: Int): Pipeline = Pipeline(df.limit(n))
+  def distinct(): Pipeline = Pipeline(df.distinct())
+  def union(other: Pipeline): Pipeline = Pipeline(df.unionAll(other.df))
+
+  /** sample: content-stable hash fold on `key`, NOT RNG state — re-runs
+    * and late-arriving shards keep identical membership (the same family
+    * as TextOps.dataSplit / sampleSeeded). */
+  def sample(key: Column, fraction: Double): Pipeline =
+    Pipeline(df.where(
+      pmod(xxhash64(key), lit(10000L)) < (fraction * 10000).toLong))
 
   /** cache: pin this pipeline stage for interactive re-query (SURVEY
     * §7.5). Spark's lazy MEMORY_AND_DISK cache — the first action

@@ -108,7 +108,8 @@ class Wave1Spec extends SparkTestBase {
                        "agg_approx_percentile", "dedup_embedding_ann",
                        "mm_features", "sample_seeded", "sim_ann_ivf",
                        "sim_knn_label_ann", "sim_cosine_topk_ann",
-                       "dedup_incremental")
+                       "dedup_incremental", "agg_hll_union",
+                       "text_quality_ml", "sim_kmeans_cluster")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }

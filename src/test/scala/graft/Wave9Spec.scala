@@ -122,6 +122,21 @@ class Wave9Spec extends SparkTestBase {
       s"HLL estimate $unioned vs exact $exact drifted > 5%")
   }
 
+  test("Pipeline façade verbs compose: distinct/union/sample") {
+    import graft.engine.Pipeline
+    val keys = Pipeline.source(spark, s"$sf/orders.parquet")
+      .map(col("o_custkey"))
+    val u = keys.union(keys).distinct()
+    assert(u.df.count() == keys.df.distinct().count())
+    val s1 = keys.distinct().sample(col("o_custkey"), 0.5)
+      .sort(col("o_custkey")).df.collect()
+    val s2 = keys.distinct().sample(col("o_custkey"), 0.5)
+      .sort(col("o_custkey")).df.collect()
+    assert(s1.sameElements(s2), "hash sample must be re-run stable")
+    val frac = s1.length.toDouble / keys.df.distinct().count()
+    assert(frac > 0.35 && frac < 0.65, s"sample fraction off: $frac")
+  }
+
   test("text_pack_sequences runs the doc cumsum as a partitioned window") {
     val df = TextOps.textPackSequences(spark, sf)
     df.collect()
