@@ -337,7 +337,10 @@ object TextOps {
     val withCum = ranged.withColumn("pcum", sum("n_tokens").over(w))
     val wOff = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.groupBy("pid").agg(max("pcum").as("ptot"))
+    // Partition totals from a plain partial-agg over the ranged table,
+    // NOT max(pcum): reusing the window output would re-run the whole
+    // cumsum subtree in this branch (no exchange reuse across the join).
+    val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("ptot"))
       .withColumn("poff", coalesce(sum("ptot").over(wOff), lit(0L)))
       .select("pid", "poff")
     withCum.join(broadcast(offsets), "pid")
