@@ -54,6 +54,12 @@ class Wave9Spec extends SparkTestBase {
     assert(many == one, "contracted multi-partition labels diverge")
   }
 
+  test("cc contraction handles an empty edge list") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(SimOps.ccLabels(spark, empty, perTask = 100L).count() == 0)
+  }
+
   test("z-order sink keeps per-file ranges tight on both layout columns") {
     val out = java.nio.file.Files.createTempDirectory("graft_z").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
