@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** One-stop registration of every graft_* native function through Spark's
+  * stock plug-in mechanism: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`) and the
+  * whole function surface — codegen'd scalar kernels, sketch/vote
+  * aggregates, the n-gram generator — is available to ANY session,
+  * including plain `spark-sql` / thrift-server users who never touch the
+  * Scala API. The per-object `register(spark)` helpers the operators call
+  * imperatively stay (idempotent, library-embedding path); both routes
+  * share this descriptor list so the two surfaces cannot drift. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def d(name: String, clazz: Class[_],
+                b: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name),
+     new ExpressionInfo(clazz.getCanonicalName, name), b)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    d("graft_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),
+    d("graft_jaccard", classOf[JaccardSorted],
+      c => JaccardSorted(c(0), c(1))),
+    d("graft_knn_vote", classOf[KnnVote],
+      c => KnnVote(c(0), c(1), c(2), k = 5)),
+    d("graft_top1", classOf[Top1Neighbor], c => Top1Neighbor(c(0), c(1))),
+    d("graft_simhash", classOf[SimhashAgg], c => SimhashAgg(c(0))),
+    d("graft_cms", classOf[CmsAgg], c => CmsAgg(c(0), c(1), c(2))),
+    d("graft_topfreq", classOf[TopFreqAgg], c => TopFreqAgg(c(0), c(1))),
+    d("graft_ngrams", classOf[NgramGenerator],
+      c => NgramGenerator(c(0), c(1))))
+}

@@ -181,6 +181,34 @@ class Wave9Spec extends SparkTestBase {
     assert(a.length == n, "every vector must receive a cluster")
   }
 
+  test("GraftExtensions injects every graft_* function into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared session restorable
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d," +
+        "       graft_jaccard(array(1L, 2L), array(2L, 3L)) AS j")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-9)
+      // aggregate + generator registered too
+      assert(s2.sql("SELECT graft_simhash(x) FROM VALUES (1L), (2L) t(x)")
+        .count() == 1)
+      assert(s2.sql(
+        "SELECT graft_ngrams(array('a','b','c'), 2)").count() == 2)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
