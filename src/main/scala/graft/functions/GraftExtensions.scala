@@ -28,6 +28,16 @@ object GraftExtensions {
     (FunctionIdentifier(name),
      new ExpressionInfo(clazz.getCanonicalName, name), b)
 
+  /** Imperative twin of the extensions path: register the named subset
+    * (idempotent) into an existing session — the library-embedding route
+    * the operators use. Same descriptors, so the two cannot drift. */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               names: String*): Unit =
+    descriptors.filter(t => names.contains(t._1.funcName)).foreach {
+      case (id, info, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+
   val descriptors: Seq[Descriptor] = Seq(
     d("graft_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),
     d("graft_jaccard", classOf[JaccardSorted],

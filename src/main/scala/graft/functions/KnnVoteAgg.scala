@@ -204,15 +204,6 @@ object KnnVote {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_knn_vote"),
-      new ExpressionInfo(classOf[KnnVote].getCanonicalName, "graft_knn_vote"),
-      (children: Seq[Expression]) =>
-        KnnVote(children(0), children(1), children(2), k = 5))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_top1"),
-      new ExpressionInfo(classOf[Top1Neighbor].getCanonicalName, "graft_top1"),
-      (children: Seq[Expression]) => Top1Neighbor(children(0), children(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "graft_knn_vote", "graft_top1")
 }

@@ -57,10 +57,5 @@ case class NgramGenerator(child: Expression, n: Expression)
 
 object NgramGenerator {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_ngrams"),
-      new ExpressionInfo(classOf[NgramGenerator].getCanonicalName,
-        "graft_ngrams"),
-      (children: Seq[Expression]) =>
-        NgramGenerator(children(0), children(1)))
+    GraftExtensions.register(spark, "graft_ngrams")
 }

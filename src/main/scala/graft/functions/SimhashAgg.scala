@@ -84,8 +84,5 @@ case class SimhashAgg(
 
 object SimhashAgg {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimhashAgg].getCanonicalName, "graft_simhash"),
-      (children: Seq[Expression]) => SimhashAgg(children(0)))
+    GraftExtensions.register(spark, "graft_simhash")
 }

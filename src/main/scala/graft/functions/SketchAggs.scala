@@ -212,14 +212,6 @@ case class TopFreqAgg(
 }
 
 object Sketches {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cms"),
-      new ExpressionInfo(classOf[CmsAgg].getCanonicalName, "graft_cms"),
-      (c: Seq[Expression]) => CmsAgg(c(0), c(1), c(2)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_topfreq"),
-      new ExpressionInfo(classOf[TopFreqAgg].getCanonicalName, "graft_topfreq"),
-      (c: Seq[Expression]) => TopFreqAgg(c(0), c(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "graft_cms", "graft_topfreq")
 }

@@ -128,15 +128,8 @@ case class JaccardSorted(left: Expression, right: Expression)
 
 object VectorExprs {
   /** Idempotently register the native expressions in the session's function
-    * registry so operators can use them via expr("graft_dot(a, b)") etc. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_jaccard"),
-      new ExpressionInfo(classOf[JaccardSorted].getCanonicalName, "graft_jaccard"),
-      (children: Seq[Expression]) => JaccardSorted(children(0), children(1)))
-  }
+    * registry so operators can use them via expr("graft_dot(a, b)") etc.
+    * Delegates to the shared [[GraftExtensions]] descriptor list. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "graft_dot", "graft_jaccard")
 }
