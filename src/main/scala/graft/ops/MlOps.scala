@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   * (sample_seeded composes upstream) while transform stays full-corpus. */
 object MlOps {
 
-  /** Learned document-quality score. Weak supervision: the rule-based
-    * gate from [[TextOps.textQuality]] (token-count box + type-token
-    * ratio) provides labels; logistic regression over the same features
-    * generalizes the hard box to a smooth probability — the shape of a
-    * fasttext-style quality classifier, with the labels swappable for
-    * human ratings without touching the plan. Deterministic: L-BFGS over
-    * a fixed dataset/partitioning, no sampling. */
+  /** Learned document-quality score. Weak supervision: a STRICTER
+    * curation bar than the permissive `text_quality` gate (which passes
+    * this whole corpus, leaving nothing to learn): high lexical
+    * diversity (ttr ≥ 0.45) with low filler density (stopword ratio
+    * ≤ 0.12) labels ~47% of documents positive at every SF, and logistic
+    * regression over the quality features generalizes that hard AND-box
+    * to a smooth probability — the shape of a fasttext-style quality
+    * classifier, with the labels swappable for human ratings without
+    * touching the plan. Deterministic: L-BFGS over a fixed
+    * dataset/partitioning, no sampling. */
   def textQualityMl(s: SparkSession, d: String): DataFrame = {
     val feats = TextOps.textQuality(s, d)
       .select(col("doc_id"),
@@ -37,7 +40,8 @@ object MlOps {
               col("avg_token_len_r").as("f_atl"),
               col("ttr_r").as("f_ttr"),
               col("stop_ratio_r").as("f_stop"),
-              col("quality_flag").cast("double").as("label"))
+              (col("ttr_r") >= 0.45 && col("stop_ratio_r") <= 0.12)
+                .cast("double").as("label"))
     val tr = new VectorAssembler()
       .setInputCols(Array("f_len", "f_atl", "f_ttr", "f_stop"))
       .setOutputCol("features")

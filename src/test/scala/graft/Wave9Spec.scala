@@ -159,7 +159,14 @@ class Wave9Spec extends SparkTestBase {
 
   test("text_quality_ml learns the rule gate it was weakly supervised by") {
     val rule = TextOps.textQuality(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+      .map(r => r.getLong(0) ->
+        (if (r.getDouble(3) >= 0.45 && r.getDouble(4) <= 0.12) 1 else 0))
+      .toMap
+    // the weak labels must actually split the corpus — a constant label
+    // trains a degenerate intercept-only model
+    val pos = rule.values.sum
+    assert(pos > rule.size / 5 && pos < rule.size * 4 / 5,
+      s"labels degenerate: $pos/${rule.size} positive")
     val ml = MlOps.textQualityMl(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(ml.length == rule.size)
