@@ -234,6 +234,19 @@ object OracleSql {
         |WHERE t.doc_id % 50 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // text_perplexity: unigram MLE fit on the corpus, per-doc average
+    // negative log-likelihood.
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents
+        |), v AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+        |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / n)), 4) AS anll_r
+        |FROM tok JOIN v USING (t), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // text_pack_sequences: the Spark side computes the running token
     // count as a distributed prefix sum; the oracle is the equivalent
     // single-window formulation.

@@ -122,6 +122,7 @@ object SparkEntry {
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_decontaminate" -> (TextOps.textDecontaminate _),
     "text_pack_sequences" -> (TextOps.textPackSequences _),
+    "text_perplexity" -> (TextOps.textPerplexity _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),

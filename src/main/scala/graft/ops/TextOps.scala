@@ -309,6 +309,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model scoring — the perplexity-filter signal
+    * (CCNet-style): fit token unigram MLE probabilities on the corpus
+    * itself, then score each document by its average negative
+    * log-likelihood (perplexity = exp of this; the monotone transform is
+    * left to the consumer — exp amplifies float drift for no ranking
+    * gain). In-vocab by construction since the model is fit on the same
+    * corpus; at 100 TB the vocab table is the model artifact (fit once,
+    * broadcast to score any slice) and scoring is one broadcast join +
+    * partial-agg — no shuffle of the token stream. */
+  def textPerplexity(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n"))
+    tok.join(broadcast(vocab), "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(-log(col("cnt").cast("double") / col("n"))), 4)
+             .as("anll_r"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for pretraining: documents are concatenated in
     * doc_id order into one token stream and chunked into fixed 512-token
     * training windows; each doc reports the window its first token lands
