@@ -115,6 +115,13 @@ final case class Pipeline(df: DataFrame) {
     val mm = df.agg(min(col(ca)).cast("double"), max(col(ca)).cast("double"),
                     min(col(cb)).cast("double"), max(col(cb)).cast("double"))
       .head()
+    // Empty input / all-null z-columns: min/max are null — there is
+    // nothing to cluster, so write as-is instead of NPE-ing on getDouble.
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      val plain = if (files > 0) df.repartition(files) else df
+      plain.write.mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
       least(lit(65535),

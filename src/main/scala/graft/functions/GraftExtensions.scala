@@ -32,11 +32,17 @@ object GraftExtensions {
     * (idempotent) into an existing session — the library-embedding route
     * the operators use. Same descriptors, so the two cannot drift. */
   def register(spark: org.apache.spark.sql.SparkSession,
-               names: String*): Unit =
+               names: String*): Unit = {
+    val known = descriptors.map(_._1.funcName).toSet
+    val unknown = names.filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown graft function name(s): ${unknown.mkString(", ")} — " +
+        s"known: ${known.toSeq.sorted.mkString(", ")}")
     descriptors.filter(t => names.contains(t._1.funcName)).foreach {
       case (id, info, b) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, b)
     }
+  }
 
   val descriptors: Seq[Descriptor] = Seq(
     d("graft_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),

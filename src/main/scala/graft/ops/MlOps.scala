@@ -18,10 +18,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale: MLlib's LR/KMeans are the distributed implementations
   * (treeAggregate gradient/cost passes over the partitioned data); the
-  * scoring side is a narrow per-row model.transform. Training-set size is
-  * the corpus itself here — at 100 TB the fit runs on a sampled slice
-  * (sample_seeded composes upstream) while transform stays full-corpus. */
+  * scoring side is a narrow per-row model.transform. The fit runs on a
+  * deterministic content-hash fold of the input (the first fifth of
+  * dataSplit's train buckets — no RNG state, stable across re-runs and
+  * late shards) while transform stays full-corpus, so the iterative
+  * passes touch 20% of the data and the fit cost stays bounded as the
+  * corpus grows. */
 object MlOps {
+
+  /** First fifth of the dataSplit train fold (md5 bucket < 20): the
+    * deterministic fit sample. Same content-stable md5 family as
+    * TextOps.dataSplit, so fit membership is reproducible across runs,
+    * sessions, and engines. */
+  private def fitFold(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").mod(100) < 20
 
   /** Learned document-quality score. Weak supervision: a STRICTER
     * curation bar than the permissive `text_quality` gate (which passes
@@ -31,8 +42,9 @@ object MlOps {
     * regression over the quality features generalizes that hard AND-box
     * to a smooth probability — the shape of a fasttext-style quality
     * classifier, with the labels swappable for human ratings without
-    * touching the plan. Deterministic: L-BFGS over a fixed
-    * dataset/partitioning, no sampling. */
+    * touching the plan. Deterministic: L-BFGS over the fixed [[fitFold]]
+    * sample, no RNG; transform scores the FULL corpus, so the iterative
+    * gradient passes are bounded to the fit sample as data grows. */
   def textQualityMl(s: SparkSession, d: String): DataFrame = {
     val feats = TextOps.textQuality(s, d)
       .select(col("doc_id"),
@@ -48,7 +60,7 @@ object MlOps {
       .transform(feats)
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01)
-      .fit(tr)
+      .fit(tr.where(fitFold(col("doc_id"))))
     model.transform(tr)
       .select(col("doc_id"),
               round(element_at(vector_to_array(col("probability")), 2), 4)
@@ -58,17 +70,26 @@ object MlOps {
   }
 
   /** Embedding k-means (k=8, fixed seed): per-vector cluster assignment
-    * plus distance to centroid — the mixture-bookkeeping step that lets a
-    * pipeline balance topical composition or spot collapsed slices.
-    * kmeans|| init with a fixed seed over fixed partitioning is
-    * reproducible run-to-run. */
+    * plus rounded Euclidean distance to the assigned centroid — the
+    * mixture-bookkeeping step that lets a pipeline balance topical
+    * composition or spot collapsed slices. kmeans|| init with a fixed
+    * seed over the fixed [[fitFold]] sample is reproducible run-to-run;
+    * the assignment pass (and the distance, computed from the k=8
+    * centroids carried as a constant-folded literal through the codegen'd
+    * graft_dot kernel) stays a narrow full-corpus map. */
   def simKmeansCluster(s: SparkSession, d: String): DataFrame = {
     val v = SimOps.normed(s, d)
-      .select(col("vec_id"), array_to_vector(col("vd")).as("features"))
+      .select(col("vec_id"), col("vd"),
+              array_to_vector(col("vd")).as("features"))
     val model = new KMeans().setK(8).setSeed(7L).setMaxIter(20)
-      .fit(v)
+      .fit(v.where(fitFold(col("vec_id"))))
+    val centers = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
     model.transform(v)
-      .select(col("vec_id"), col("prediction").as("cluster"))
+      .withColumn("cv", element_at(centers, col("prediction") + 1))
+      .select(col("vec_id"), col("prediction").as("cluster"),
+              round(sqrt(greatest(lit(0.0),
+                expr("graft_dot(vd, vd) - 2 * graft_dot(vd, cv)" +
+                     " + graft_dot(cv, cv)"))), 4).as("dist_r"))
       .orderBy("vec_id")
   }
 }

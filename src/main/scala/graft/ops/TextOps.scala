@@ -353,7 +353,11 @@ object TextOps {
     val t = documents(s, d)
       .select(col("doc_id"),
               size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val ranged = t.repartitionByRange(8, col("doc_id"))
+    // Partition count follows the session's shuffle parallelism (the 8-way
+    // literal it replaced capped the heavy cumsum stage at 8 tasks no
+    // matter the cluster); the offset fix-up is correct for ANY count.
+    val nPart = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val ranged = t.repartitionByRange(nPart, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("pid", spark_partition_id())
     val w = Window.partitionBy("pid").orderBy("doc_id")
