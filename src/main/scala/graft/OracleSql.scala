@@ -1087,6 +1087,23 @@ object OracleSql {
         |FROM documents,
         |     unnest(generate_series(1, greatest(strlen(text) // 64, 1))) u(i)
         |WHERE doc_id % 3 = 2
-        |ORDER BY asset_id, frame_no""".stripMargin
+        |ORDER BY asset_id, frame_no""".stripMargin,
+
+    // merge_upsert: the merged corpus is pure SQL over the source table —
+    // fold < 90 keeps the original row unless the batch (fold >= 80)
+    // replaced it; fold >= 90 rows exist only via the batch insert. Net:
+    // every order, re-priced iff fold >= 80. Same engine-portable md5
+    // fold as data_split. Doubling a double is exact (exponent bump), so
+    // no ROUND is needed on o_totalprice.
+    "merge_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN bucket >= 80 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -135,6 +135,7 @@ object SparkEntry {
     "sim_cosine_topk_ann" -> (SimOps.simCosineTopkAnn _),
     "text_quality_ml" -> (MlOps.textQualityMl _),
     "sim_kmeans_cluster" -> (MlOps.simKmeansCluster _),
+    "merge_upsert" -> (MergeOps.mergeUpsertQuery _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
     "mm_resize" -> (MultimodalOps.mmResize _),
     "mm_frames" -> (MultimodalOps.mmFrames _),

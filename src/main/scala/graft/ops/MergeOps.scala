@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Batch MERGE/upsert into a partitioned parquet corpus — the write-side
+  * operator every incremental pipeline needs on day one: fold a new crawl
+  * batch into the standing corpus, replacing rows whose key already
+  * exists and appending the rest, while rewriting ONLY the partitions the
+  * batch touches.
+  *
+  * Scale shape: the touched-partition values are a `distinct().collect()`
+  * of the PARTITION column only (bounded by the partition count — the
+  * same driver-side list Spark's own dynamic-partition-overwrite commit
+  * builds; never row data). The corpus read is partition-pruned to those
+  * values, the anti-join keeps surviving old rows, and the write uses
+  * dynamic partition overwrite so untouched partitions are never opened.
+  * Cost per merge ∝ touched-partition bytes + batch bytes, independent of
+  * corpus size. Idempotent by construction: re-merging the same batch
+  * anti-joins away exactly the rows it would re-insert. */
+object MergeOps {
+
+  /** Merge `batch` into the partitioned parquet corpus at `corpusDir`:
+    * rows with a `keyCol` already present replace the old row, others
+    * append; only partitions present in `batch` are rewritten. Creates
+    * the corpus on first call. */
+  def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
+                  keyCol: String, partCol: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      batch.write.mode("overwrite").partitionBy(partCol).parquet(corpusDir)
+      return
+    }
+    // Bounded driver-side list: distinct PARTITION VALUES of the batch
+    // (#partitions, not #rows) — it becomes the partition-pruning
+    // predicate on the corpus scan below.
+    val touched = batch.select(partCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val old = s.read.parquet(corpusDir)
+      .where(col(partCol).isInCollection(touched))
+    val cols = batch.columns.toSeq
+    // Survivors = old rows in touched partitions whose key the batch does
+    // NOT replace; merged = survivors + batch. localCheckpoint cuts the
+    // lineage back to the corpus files so the overwrite below is not
+    // "reading the path it writes" — the materialized block size is
+    // bounded by the touched partitions, never the corpus.
+    val merged = old.selectExpr(cols: _*)
+      .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .selectExpr(cols: _*)
+      .unionByName(batch)
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(corpusDir)
+  }
+
+  private def fold(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long").mod(100)
+
+  /** Declared merge_upsert query: build a corpus snapshot (orders with
+    * fold < 90, partitioned by o_orderstatus), merge in a batch of
+    * re-priced rows (fold ≥ 80: buckets 80-89 UPDATE existing keys,
+    * 90-99 INSERT new ones), merge the SAME batch a second time —
+    * idempotency is part of the checked contract — and return the corpus
+    * read back. The oracle is pure SQL over the source table: every
+    * order, re-priced iff its fold ≥ 80. */
+  def mergeUpsertQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_merge_$key").getAbsolutePath
+    // Fresh corpus each call: the query's output must be a function of
+    // the INPUT dir, not of prior runs with other parameters.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.where(fold(col("o_orderkey")) < 90)
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    s.read.parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+}

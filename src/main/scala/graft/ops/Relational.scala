@@ -854,15 +854,23 @@ object Relational {
   }
 
   /** One-time bucketed-table ETL for [[joinBucketed]], memoized per
-    * (JVM, dataset dir): table names encode the dataset dir, so each sf
-    * builds its own pair exactly once and every later evaluation measures
-    * only the co-located join — the amortization a real deployment gets
-    * from maintaining bucketed tables. A verified tag property guards
-    * against a half-finished write being mistaken for a built table, and
-    * stale locations are resolved through the catalog (never by assuming
-    * `warehouse_dir/name`). Returns the (lineitem, orders) table names. */
+    * (JVM, dataset dir) AND durable across JVMs: the tables are EXTERNAL
+    * (explicit location under the warehouse dir), so the parquet data and
+    * the bucket-file layout survive any session, and a fresh JVM whose
+    * in-memory catalog is empty RE-REGISTERS the existing data (schema +
+    * bucket spec DDL over the old location — a metadata-only operation)
+    * instead of re-running the ETL. That is the production contract for
+    * amortized layouts: the one-time write is paid once per dataset, not
+    * once per process. A `_SUCCESS` marker distinguishes a completed
+    * write from a half-finished one (torn writes are deleted and redone);
+    * a verified tag property guards the catalog entry the same way.
+    * Returns the (lineitem, orders) table names. */
   private val bucketedBuilt =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Test hook: forget the per-JVM memo (NOT the catalog or the files) —
+    * simulates the start-of-process state for restart tests. */
+  private[graft] def resetBucketedMemo(): Unit = bucketedBuilt.clear()
 
   private[graft] def ensureBucketedTables(
       s: SparkSession, d: String): (String, String) =
@@ -871,44 +879,46 @@ object Relational {
       val li = s"graft_li_bkt_$key"
       val ord = s"graft_ord_bkt_$key"
       val tag = "graft.dataset.dir"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val warehouse = s.sessionState.conf.warehousePath
+      def locOf(t: String) = new org.apache.hadoop.fs.Path(warehouse, t)
       def ready(t: String): Boolean =
         s.catalog.tableExists(t) &&
           s.sql(s"SHOW TBLPROPERTIES `$t`").collect()
             .exists(r => r.getString(0) == tag && r.getString(1) == d)
-      def rebuild(t: String, write: => Unit): Unit = {
-        val hconf = s.sparkContext.hadoopConfiguration
-        if (s.catalog.tableExists(t)) {
-          // Known to the catalog: resolve the real location before dropping
-          // (the managed path may not be warehouse_dir/name).
-          val loc = new org.apache.hadoop.fs.Path(s.sessionState.catalog
-            .getTableMetadata(
-              org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-          s.sql(s"DROP TABLE `$t`")
-          loc.getFileSystem(hconf).delete(loc, true)
+      def completeDataAt(p: org.apache.hadoop.fs.Path): Boolean = {
+        val fs = p.getFileSystem(hconf)
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      def ensure(t: String, df: DataFrame, bucketCol: String): Unit = {
+        if (ready(t)) return
+        val loc = locOf(t)
+        val fs = loc.getFileSystem(hconf)
+        if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`")
+        if (completeDataAt(loc)) {
+          // Fresh catalog, completed data from a prior JVM: re-register the
+          // metadata over the existing files. The bucket ids live in the
+          // part-file names, so declaring the identical bucket spec makes
+          // the old layout immediately join-ready — no data pass at all.
+          s.sql(
+            s"""CREATE TABLE `$t` (${df.schema.toDDL}) USING PARQUET
+               |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+               |INTO 8 BUCKETS LOCATION '$loc'""".stripMargin)
         } else {
-          // Not in the (per-JVM, in-memory) catalog, but a previous JVM may
-          // have left data at the default managed location — CTAS refuses
-          // non-empty locations, so clear it iff it holds a prior graft
-          // bucketed write (bucketed parquet part files), never an
-          // unrelated directory.
-          val loc = s.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(t))
-          val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(hconf)
-          val p = new org.apache.hadoop.fs.Path(loc)
-          if (fs.exists(p) && fs.listStatus(p).forall(st =>
+          // No data or a torn write (no _SUCCESS): clear iff it looks like
+          // a prior graft write (part/marker files only), then do the ETL.
+          if (fs.exists(loc) && fs.listStatus(loc).forall(st =>
                 st.getPath.getName.startsWith("part-") ||
                 st.getPath.getName.startsWith("_")))
-            fs.delete(p, true)
+            fs.delete(loc, true)
+          df.write.mode("overwrite")
+            .bucketBy(8, bucketCol).sortBy(bucketCol)
+            .option("path", loc.toString).saveAsTable(t)
         }
-        write
         s.sql(s"ALTER TABLE `$t` SET TBLPROPERTIES ('$tag' = '$d')")
       }
-      if (!(ready(li) && ready(ord))) {
-        rebuild(li, lineitem(s, d).write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li))
-        rebuild(ord, orders(s, d).write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord))
-      }
+      ensure(li, lineitem(s, d), "l_orderkey")
+      ensure(ord, orders(s, d), "o_orderkey")
       (li, ord)
     })
 
