@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_embedding" -> (SimOps.dedupEmbedding _),
     "dedup_embedding_ann" -> (SimOps.dedupEmbeddingAnn _),
     "dedup_clusters" -> (SimOps.dedupClusters _),
+    "dedup_clusters_ann" -> (SimOps.dedupClustersAnn _),
     "dedup_simhash" -> (SimOps.dedupSimhash _),
     "sim_ann_bucket" -> (SimOps.simAnnBucket _),
     "sim_ann_ivf" -> (SimOps.simAnnIvf _),

@@ -712,6 +712,33 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Scale form of [[dedupClusters]]: identical two-phase union-find
+    * contraction, but the edge list comes from the LSH candidate
+    * generator + exact-cosine rerank ([[dedupEmbeddingAnnOn]]) instead of
+    * the all-pairs enumeration — no stage of the clustering ever touches
+    * n²/2 pairs, so the whole operator survives 100×. Same τ=0.40 as the
+    * exact twin; recall of individual edges is governed by the LSH
+    * parameters (union-find is tolerant of duplicate/missing edges within
+    * a clique: any spanning subset yields the same components, which is
+    * why near-dup CLUSTERS are an easier target than near-dup PAIRS).
+    * No SQL oracle (candidate membership is probabilistic in the hash
+    * draw); property-tested for cluster agreement with the exact CC on
+    * planted near-dup cliques. */
+  def dedupClustersAnn(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
+    dedupClustersAnnOn(s, v, tau = 0.40, n = v.count())
+  }
+
+  private[graft] def dedupClustersAnnOn(s: SparkSession, v: DataFrame,
+                                        tau: Double, n: Long): DataFrame = {
+    val pairs = dedupEmbeddingAnnOn(v, tau, tables = 4, targetBucket = 64, n)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    ccLabels(s, pairs, perTask = 4000000L)
+      .select(col("node").as("vec_id"), col("rep").as("cluster_rep"),
+              (col("node") === col("rep")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Connected-component labels (node, rep=component min) for an edge
     * DataFrame with two long columns. `perTask` bounds the edges handed
     * to one task's union-find (its memory is O(nodes-in-task)); tests

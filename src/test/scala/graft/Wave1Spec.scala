@@ -109,7 +109,8 @@ class Wave1Spec extends SparkTestBase {
                        "mm_features", "sample_seeded", "sim_ann_ivf",
                        "sim_knn_label_ann", "sim_cosine_topk_ann",
                        "dedup_incremental", "agg_hll_union",
-                       "text_quality_ml", "sim_kmeans_cluster")
+                       "text_quality_ml", "sim_kmeans_cluster",
+                       "dedup_clusters_ann")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }

@@ -32,6 +32,47 @@ class Wave7Spec extends SparkTestBase {
     assert(frac >= 0.95, s"vote agreement $frac < 0.95")
   }
 
+  test("dedup_clusters_ann recovers planted near-dup cliques exactly") {
+    // Plant cliques of 3 (source + two perturbed copies at cos >= ~0.97):
+    // the ANN edge generator may drop some intra-clique edges, but any
+    // spanning subset must yield the same components as the exact CC.
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val off = 1000000L
+    val rnd = new scala.util.Random(29)
+    val copies = src.flatMap { case (i, v) => Seq(
+      (i + off, v.map(x => x + 0.02 * rnd.nextGaussian())),
+      (i + 2 * off, v.map(x => x + 0.02 * rnd.nextGaussian())))
+    }
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val v = (src ++ copies).toSeq.toDF("vec_id", "vd")
+      .withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
+      .select("vec_id", "vd", "nrm")
+    val out = SimOps.dedupClustersAnnOn(spark, v, tau = 0.9,
+        n = 3L * src.length).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Expected: each clique {i, i+off, i+2off} labeled with rep = i.
+    src.foreach { case (i, _) =>
+      for (m <- Seq(i, i + off, i + 2 * off))
+        assert(out.get(m).contains(i),
+          s"node $m: expected rep $i, got ${out.get(m)}")
+    }
+    assert(out.size == 3 * src.length,
+      "no nodes beyond the planted cliques may appear")
+  }
+
+  test("dedup_clusters_ann edge generation has no all-pairs join") {
+    val v = SimOps.normed(spark, sf)
+    val edges = SimOps.dedupEmbeddingAnnOn(v, tau = 0.40, tables = 4,
+      targetBucket = 64, n = 500L)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN cluster edges must be bucketed, not all-pairs:\n$plan")
+  }
+
   test("dedup_ngram_jaccard equals the brute-force blocked all-pairs") {
     graft.functions.VectorExprs.register(spark)
     val sh = spark.read.parquet(s"$sf/documents.parquet")
