@@ -262,6 +262,18 @@ object OracleSql {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
+    // join_cbo_reorder: oracle is the same star chain in natural order —
+    // CBO join reordering is a physical choice and must not change the
+    // aggregate.
+    "join_cbo_reorder" ->
+      """SELECT n_name,
+        |       count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
     // join_bucketed: oracle is the PLAIN join — bucketing is a physical
     // layout choice and must not change the result.
     "join_bucketed" ->

@@ -37,6 +37,7 @@ object SparkEntry {
     "join_asof" -> (Relational.joinAsof _),
     "join_salted" -> (Relational.joinSalted _),
     "join_bucketed" -> (Relational.joinBucketed _),
+    "join_cbo_reorder" -> (StatsOps.joinCboReorder _),
     // D. aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),

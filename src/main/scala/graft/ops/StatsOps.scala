@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistics / cost-based-optimization surface (SURVEY §4 follow-up).
+  *
+  * At sf0.1 every plan in this repo is fine without table statistics: the
+  * dims broadcast on size estimates straight off the parquet footers. At
+  * 100× that stops being luck-free — join ORDER between non-broadcast
+  * relations is picked by Catalyst's `CostBasedJoinReorder`, and that rule
+  * only fires when every base relation carries row-count statistics from
+  * an ANALYZE. This object is the ANALYZE-equivalent: it registers the
+  * TPC-H parquet files as external catalog tables (metadata-only — the
+  * files are never touched) and runs `ANALYZE TABLE ... COMPUTE
+  * STATISTICS [FOR COLUMNS join keys]` over them, memoized per
+  * (JVM, dataset dir) exactly like the bucketed-table ETL. In a real
+  * deployment the stats live in the metastore and are refreshed per
+  * ingest; here the in-memory catalog holds them for the process, which
+  * is the same contract the planner sees.
+  */
+object StatsOps {
+
+  /** Tables that participate in the stats-driven demo chain, with the
+    * join-key columns that get column-level stats (NDV/min/max — what
+    * the reorder cost model consumes). */
+  private val specs: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_suppkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "nation"   -> Seq("n_nationkey"))
+
+  private val analyzed =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+  private object analyzeLock
+
+  /** Test hook: forget the per-JVM memo (NOT the catalog) — lets a spec
+    * exercise the re-entry path. */
+  private[graft] def resetStatsMemo(): Unit = analyzed.clear()
+
+  /** Register + ANALYZE the demo tables for `d`; returns logical-name →
+    * catalog-table-name. Idempotent and cheap after the first call: the
+    * catalog entry is tagged with the dataset dir, so a re-entry (or a
+    * second caller in the same JVM) sees the tag and skips the scan. */
+  private[graft] def ensureAnalyzedTables(
+      s: SparkSession, d: String): Map[String, String] =
+    analyzed.getOrElseUpdate(d, analyzeLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val tag = "graft.dataset.dir"
+      specs.map { case (name, keyCols) =>
+        val t = s"graft_st_${name}_$key"
+        val ready = s.catalog.tableExists(t) &&
+          s.sql(s"SHOW TBLPROPERTIES `$t`").collect()
+            .exists(r => r.getString(0) == tag && r.getString(1) == d)
+        if (!ready) {
+          if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`")
+          // External, schema-from-footers, pointed at the read-only
+          // parquet — registration writes nothing but catalog metadata.
+          s.sql(s"CREATE TABLE `$t` USING PARQUET " +
+                s"LOCATION '$d/$name.parquet'")
+          s.sql(s"ANALYZE TABLE `$t` COMPUTE STATISTICS")
+          s.sql(s"ANALYZE TABLE `$t` COMPUTE STATISTICS " +
+                s"FOR COLUMNS ${keyCols.mkString(", ")}")
+          s.sql(s"ALTER TABLE `$t` SET TBLPROPERTIES ('$tag' = '$d')")
+        }
+        name -> t
+      }.toMap
+    })
+
+  /** Stats-driven join reorder: the query is WRITTEN fact-first with the
+    * dims in comma-join order (`lineitem, nation, supplier`) — the
+    * left-deep reading would either cartesian lineitem×nation or at best
+    * hang the 25-row nation off the fact join's output. With CBO +
+    * joinReorder on and ANALYZE'd row counts available, Catalyst rebuilds
+    * the order from cost: supplier⋈nation first (25-row intermediate),
+    * the fact table joined last — the plan shape a 100 TB star chain
+    * needs regardless of how the SQL was spelled. The plan assertion
+    * lives in Wave9Spec ("cbo reorders the comma join"); the result is
+    * oracle-checked (join order cannot change the aggregate). CBO stays
+    * enabled for the session afterwards — it is strictly additive here
+    * (all other queries read bare parquet with no catalog stats, where
+    * Catalyst falls back to the same size-only estimates as before). */
+  def joinCboReorder(s: SparkSession, d: String): DataFrame = {
+    val t = ensureAnalyzedTables(s, d)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.sql(
+      s"""SELECT n.n_name,
+         |       count(*) AS n_items,
+         |       round(sum(l.l_quantity), 2) AS sum_qty
+         |FROM `${t("lineitem")}` l, `${t("nation")}` n, `${t("supplier")}` sp
+         |WHERE l.l_suppkey = sp.s_suppkey
+         |  AND sp.s_nationkey = n.n_nationkey
+         |GROUP BY n.n_name
+         |ORDER BY n.n_name""".stripMargin)
+  }
+}

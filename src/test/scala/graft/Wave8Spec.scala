@@ -183,4 +183,12 @@ class Wave8Spec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rn <= 3 should prune per-group before the full window sort:\n$plan")
   }
+
+  test("win_rank_dense pushes the rank filter into WindowGroupLimit") {
+    val df = Relational.winRankDense(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk <= 5 should prune per-group before the full window sort:\n$plan")
+  }
 }
