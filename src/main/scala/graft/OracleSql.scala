@@ -247,6 +247,10 @@ object OracleSql {
         |FROM tok JOIN v USING (t), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // text_bpe_tokencount: the oracle replays the identical merge-replace
+    // chain, generated from the same merges constant (see BpeOps.oracle).
+    "text_bpe_tokencount" -> graft.ops.BpeOps.oracle,
+
     // text_pack_sequences: the Spark side computes the running token
     // count as a distributed prefix sum; the oracle is the equivalent
     // single-window formulation.

@@ -124,6 +124,7 @@ object SparkEntry {
     "text_decontaminate" -> (TextOps.textDecontaminate _),
     "text_pack_sequences" -> (TextOps.textPackSequences _),
     "text_perplexity" -> (TextOps.textPerplexity _),
+    "text_bpe_tokencount" -> (BpeOps.textBpeTokencount _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),
     "dedup_ngram_jaccard" -> (SimOps.dedupNgramJaccard _),
     "dedup_embedding" -> (SimOps.dedupEmbedding _),
