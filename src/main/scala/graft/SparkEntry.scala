@@ -136,6 +136,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (SimOps.simAnnIvf _),
     "sim_knn_label_ann" -> (SimOps.simKnnLabelAnn _),
     "sim_cosine_topk_ann" -> (SimOps.simCosineTopkAnn _),
+    "sim_incremental_ann" -> (SimOps.simIncrementalAnn _),
     "text_quality_ml" -> (MlOps.textQualityMl _),
     "sim_kmeans_cluster" -> (MlOps.simKmeansCluster _),
     "merge_upsert" -> (MergeOps.mergeUpsertQuery _),

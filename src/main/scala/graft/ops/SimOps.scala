@@ -311,10 +311,7 @@ object SimOps {
     val sig = sigRows(v, pl)
     val probes =
       if (!probe) sig.withColumn("pkey", col("key"))
-      else sig.select(col("vec_id"), col("tbl"),
-          explode(array((col("key") +:
-            (0 until bits).map(j => col("key").bitwiseXOR(lit(1 << j)))
-          ).toIndexedSeq: _*)).as("pkey"))
+      else probeRows(sig, bits)
     // NOT distinct'ed: a pair colliding in several tables/probes appears
     // several times. Deduplicating here would shuffle the full candidate
     // stream; both consumers tolerate duplicates instead — argmax rerank is
@@ -326,6 +323,15 @@ object SimOps {
             col("qid") =!= col("nid"))
       .select("qid", "nid")
   }
+
+  /** Hamming-≤1 multi-probe expansion of signature rows: each (vec_id,
+    * tbl, key) row becomes bits+1 probe keys — recall comes from probing,
+    * not from data motion. */
+  private def probeRows(sig: DataFrame, bits: Int): DataFrame =
+    sig.select(col("vec_id"), col("tbl"),
+      explode(array((col("key") +:
+        (0 until bits).map(j => col("key").bitwiseXOR(lit(1 << j)))
+      ).toIndexedSeq: _*)).as("pkey"))
 
   /** bits so the expected bucket occupancy stays ≈ targetBucket as n grows
     * — candidates per query then scale with log n, not n. */
@@ -533,11 +539,13 @@ object SimOps {
   // ---- incremental (snapshot) dedup: new batch vs persisted signatures ----
 
   /** Content-stable fold bucket 0..99 — same family as TextOps.dataSplit:
-    * deterministic in the doc id, so "new batch" membership is identical
+    * deterministic in the id, so "new batch" membership is identical
     * across runs, sessions, and late-arriving shards. */
-  private def foldBucket: Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+  private def foldOf(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long").mod(100)
+
+  private def foldBucket: Column = foldOf(col("doc_id"))
 
   /** Boundary between "existing corpus" (< 90) and "new batch" (>= 90). */
   private val NewBatchFold = 90
@@ -629,6 +637,103 @@ object SimOps {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- incremental ANN: new vectors vs persisted LSH signatures ----
+
+  private val embStoreBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val embStoreLock = new Object
+  /** Fixed geometry of the persisted embedding index. `bits` is NOT fixed:
+    * it derives from the persisted corpus size (bitsFor), which any JVM
+    * can recover from the store's own parquet footers — so geometry needs
+    * no side-channel metadata, and the seeded hyperplanes need no
+    * persistence at all (they regenerate identically from the seed). */
+  private val EmbStoreTables = 4
+  private val EmbStoreSeed = 77L
+  private val EmbStoreBucket = 64
+
+  /** Test hook: forget the per-JVM memo (NOT the files). */
+  private[graft] def resetEmbStoreMemo(): Unit = embStoreBuilt.clear()
+
+  /** One-time persisted LSH index of the EXISTING embedding corpus
+    * (fold < 90): hyperplane signature rows (vec_id, tbl, key) and the
+    * normalized vectors (vec_id, vd, nrm) — the [[ensureSignatureStore]]
+    * pattern applied to embeddings, completing the incremental-similarity
+    * story: per crawl, only the NEW vectors are hashed; the corpus side
+    * is two compact parquet scans, its raw embeddings never re-read.
+    * `_SUCCESS` on both dirs guards torn writes (vectors first, then
+    * signatures — a crash between the two leaves sigs incomplete and the
+    * whole store rebuilds). */
+  private[graft] def ensureEmbSignatureStore(
+      s: SparkSession, d: String): (String, String) =
+    embStoreBuilt.getOrElseUpdate(d, embStoreLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val vecPath = s"$wh/graft_embstore_vec_$key"
+      val sigPath = s"$wh/graft_embstore_sig_$key"
+      val hconf = s.sparkContext.hadoopConfiguration
+      def ok(path: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf)
+          .exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      if (!(ok(vecPath) && ok(sigPath))) {
+        val old = normed(s, d).where(foldOf(col("vec_id")) < NewBatchFold)
+          .cache()
+        old.select("vec_id", "vd", "nrm")
+          .write.mode("overwrite").parquet(vecPath)
+        val bits = bitsFor(old.count(), EmbStoreBucket)
+        sigRows(old, planes(EmbStoreTables, bits, 64, EmbStoreSeed))
+          .write.mode("overwrite").parquet(sigPath)
+        old.unpersist()
+      }
+      (vecPath, sigPath)
+    })
+
+  /** Incremental ANN similarity — the per-crawl query of an embedding
+    * pipeline: for each NEW vector (fold ≥ 90), its best match in the
+    * already-indexed corpus, via the persisted signature store + exact
+    * rerank. Only the new batch pays hashing; candidates come from a
+    * (tbl, key) bucket join of the new batch's multi-probe keys against
+    * the stored signatures, and the rerank reads stored normalized
+    * vectors — so per-crawl cost is O(new · log corpus), independent of
+    * corpus size beyond the two store scans. The hash geometry (bits) is
+    * recomputed from the store's own row count, so a fresh JVM probes the
+    * identical buckets a previous JVM wrote. No SQL oracle (candidate
+    * membership is probabilistic in the hash draw — same tier as
+    * dedup_incremental); property tests pin store round-trip determinism,
+    * fold discipline, exactness of the reported cosines, and recall
+    * against the brute-force new×old top-1. */
+  def simIncrementalAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.KnnVote.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val (vecPath, sigPath) = ensureEmbSignatureStore(s, d)
+    val oldVec = s.read.parquet(vecPath)
+    val oldSig = s.read.parquet(sigPath)
+    val bits = bitsFor(oldVec.count(), EmbStoreBucket)
+    val pl = planes(EmbStoreTables, bits, 64, EmbStoreSeed)
+    val newV = normed(s, d).where(foldOf(col("vec_id")) >= NewBatchFold)
+    val cand = probeRows(sigRows(newV, pl), bits)
+      .join(oldSig.select(col("tbl").as("tbl_i"), col("key").as("key_i"),
+                          col("vec_id").as("nid")),
+            col("tbl") === col("tbl_i") && col("pkey") === col("key_i"))
+      .select(col("vec_id").as("qid"), col("nid"))
+    val a = newV.select(col("vec_id").as("qid"), col("vd").as("va"),
+                        col("nrm").as("na"))
+    val b = oldVec.select(col("vec_id").as("nid"), col("vd").as("vb"),
+                          col("nrm").as("nb"))
+    // Duplicate candidates (multi-table/probe collisions) are NOT
+    // distinct'ed — the per-query argmax is idempotent (see annCandidates).
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid"), col("nid"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .groupBy("qid")
+      .agg(expr("graft_top1(cos_r, nid)").as("t"))
+      .select(col("qid").as("vec_id"), col("t.nid").as("nn_id"),
+              col("t.cos").as("cos_r"))
+      .orderBy("vec_id")
   }
 
   /** Approximate nearest neighbor via multi-table random-hyperplane LSH

@@ -50,4 +50,66 @@ class Wave10Spec extends SparkTestBase {
       rows.map(_.getLong(1)).sum
     assert(ratio > 1.8 && ratio < 3.0, s"corpus compression $ratio")
   }
+
+  private def fold(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  test("sim_incremental_ann: store is durable, folds honored, cosines exact") {
+    val out = SimOps.simIncrementalAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // Fold discipline: queries are the new batch, neighbors the corpus.
+    out.foreach { case (q, n, _) =>
+      assert(fold(q) >= 90, s"query $q is not in the new-batch fold")
+      assert(fold(n) < 90, s"neighbor $n is not in the indexed corpus")
+    }
+    // Reported cosines are EXACT (rerank uses the true vectors): recompute
+    // directly from the source embeddings.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray
+        r.getLong(r.fieldIndex("vec_id")) -> v
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { case (q, n, c) =>
+      val exact = BigDecimal(cos(vecs(q), vecs(n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - c) <= 1e-9, s"pair ($q,$n): $c vs exact $exact")
+    }
+    // Recall smoke vs brute force: the store's multi-probe LSH should find
+    // the true best old-corpus neighbor for most new vectors.
+    val newIds = vecs.keys.filter(fold(_) >= 90).toSeq
+    val oldIds = vecs.keys.filter(fold(_) < 90).toSeq
+    val best = newIds.map { q =>
+      q -> oldIds.maxBy(o => cos(vecs(q), vecs(o)))
+    }.toMap
+    val got = out.map { case (q, n, _) => q -> n }.toMap
+    assert(got.keySet.size >= (newIds.size * 8) / 10,
+      "fewer than 80% of new vectors surfaced a neighbor")
+    val hit = got.count { case (q, n) => best(q) == n }
+    assert(hit.toDouble / got.size >= 0.6,
+      s"top-1 agreement with brute force only $hit/${got.size}")
+    // Durability: a second entry after forgetting the JVM memo must reuse
+    // the persisted store, not rewrite it.
+    val (vecPath, sigPath) = SimOps.ensureEmbSignatureStore(spark, sf)
+    def mtime(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getModificationTime
+    }
+    val (tv, ts) = (mtime(vecPath), mtime(sigPath))
+    SimOps.resetEmbStoreMemo()
+    val again = SimOps.simIncrementalAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == out.toSeq, "re-entry changed the results")
+    assert(mtime(vecPath) == tv && mtime(sigPath) == ts,
+      "re-entry rewrote the persisted store")
+  }
 }
