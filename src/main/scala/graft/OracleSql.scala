@@ -40,6 +40,64 @@ object OracleSql {
          |FROM read_json_auto('${graft.ops.Relational.fixturesDir}/nation.jsonl')
          |ORDER BY n_nationkey""".stripMargin,
 
+    // scan_orc: the Spark side reads its own one-time ORC export of the
+    // supplier dim; the oracle reads the ORIGINAL parquet — equality IS
+    // the assertion that the ORC roundtrip preserved every value.
+    "scan_orc" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  ROUND(s_acctbal, 2) AS s_acctbal_r
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // agg_argmax: ties on (priority, price) exist, so both engines argmax
+    // over the same composite integer key (exact cents scaled past the key
+    // range + key) — DuckDB's arg_max accepts scalar ordering values only.
+    "agg_argmax" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |          * 1000000000 + o_orderkey) AS max_price_key,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |          * 1000000000 + o_orderkey) AS min_price_key,
+        |  ROUND(MAX(o_totalprice), 2) AS max_price,
+        |  ROUND(MIN(o_totalprice), 2) AS min_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // fn_map: the oracle states each lookup's engine-independent result
+    // directly (DuckDB 1.0 map subscripts return LIST, not the value —
+    // the equivalent scalar computation is the stable cross-engine form,
+    // same style as the sorted set-op outputs).
+    "fn_map" ->
+      """SELECT p_partkey, p_brand AS brand, CAST(NULL AS VARCHAR) AS absent,
+        |  CAST(3 AS BIGINT) AS nkeys, TRUE AS has_type,
+        |  upper(p_name) AS name_up
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // fn_struct: DuckDB ROW comparison is positional-lexicographic like
+    // Spark struct ordering, so over_5k is a genuine cross-engine check.
+    "fn_struct" ->
+      """SELECT c_custkey, c_acctbal AS bal,
+        |  (c_acctbal, c_custkey) > (5000.0, 0) AS over_5k,
+        |  c_mktsegment AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // win_sessionize: same islands construction (lag-gap opens + running
+    // count), same >= gap comparison as stream_session's oracle.
+    "win_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev
+        |        FROM events) t
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_id
+        |FROM o ORDER BY user_id, ts, event_id""".stripMargin,
+
     "fn_encode" ->
       """SELECT doc_id,
         |  to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,

@@ -20,6 +20,7 @@ object SparkEntry {
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
     "scan_range" -> (Relational.scanRange _),
+    "scan_orc" -> (Relational.scanOrc _),
     // B. projection / filter
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "agg_mode" -> (Relational.aggMode _),
     "agg_decimal" -> (Relational.aggDecimal _),
     "agg_bool" -> (Relational.aggBool _),
+    "agg_argmax" -> (Relational.aggArgmax _),
     "win_cume_dist" -> (Relational.winCumeDist _),
     // E. windows
     "win_rownum_topk" -> (Relational.winRownumTopk _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "agg_cms_freq" -> (SketchOps.aggCmsFreq _),
     "agg_topfreq" -> (SketchOps.aggTopfreqWords _),
     "agg_hll_union" -> (SketchOps.aggHllUnion _),
+    "agg_kll_quantiles" -> (SketchOps.aggKllQuantiles _),
     "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
     "sample_seeded" -> (Relational.sampleSeeded _),
@@ -96,10 +99,13 @@ object SparkEntry {
     "fn_bitwise" -> (Functions.fnBitwise _),
     "fn_encode" -> (Functions.fnEncode _),
     "fn_null" -> (Functions.fnNull _),
+    "fn_map" -> (Functions.fnMap _),
+    "fn_struct" -> (Functions.fnStruct _),
     // H. event-time (batch mode)
     "stream_tumbling" -> (EventOps.streamTumbling _),
     "stream_sliding" -> (EventOps.streamSliding _),
     "stream_session" -> (EventOps.streamSession _),
+    "win_sessionize" -> (EventOps.winSessionize _),
     // I. LLM-pipeline ops
     "dedup_exact" -> (SimOps.dedupExact _),
     "dedup_minhash" -> (SimOps.dedupMinhash _),

@@ -54,6 +54,7 @@ object GraftExtensions {
     d("graft_simhash", classOf[SimhashAgg], c => SimhashAgg(c(0))),
     d("graft_cms", classOf[CmsAgg], c => CmsAgg(c(0), c(1), c(2))),
     d("graft_topfreq", classOf[TopFreqAgg], c => TopFreqAgg(c(0), c(1))),
+    d("graft_kll", classOf[KllAgg], c => KllAgg(c(0), c(1), c(2))),
     d("graft_ngrams", classOf[NgramGenerator],
       c => NgramGenerator(c(0), c(1))))
 }

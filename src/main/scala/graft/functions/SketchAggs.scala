@@ -210,7 +210,89 @@ case class TopFreqAgg(
     copy(item = newChildren(0), m = newChildren(1))
 }
 
+/** KLL quantile sketch aggregate (Apache DataSketches):
+  * `graft_kll(x, k, array(ranks...))` → array of quantile estimates at
+  * the requested normalized ranks. This is the mergeable-quantile tier
+  * that replaces an exact global percentile (full sort / large
+  * percentile_approx state) for pipeline bookkeeping at 100 TB: each
+  * partition compresses to O(k·log(n/k)) doubles in the map-side partial
+  * aggregation, the shuffle carries one sketch per partition, and
+  * sketches from separate ingest batches union losslessly w.r.t. the
+  * error bound — same standing pattern as the HLL union roll-up.
+  * Normalized rank error ≈ 1.65% at k=200 with 99% confidence
+  * (Karnin-Lang-Liberty, FOCS'16); the Wave10 property test pins the
+  * estimates inside the exact-rank ±3% envelope. */
+case class KllAgg(
+    child: Expression, k: Expression, ranks: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      org.apache.datasketches.kll.KllDoublesSketch] {
+
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+  override def children: Seq[Expression] = Seq(child, k, ranks)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure("graft_kll expects DOUBLE input")
+    else if (!k.foldable || k.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("graft_kll k must be INT literal")
+    else if (!ranks.foldable ||
+             !ranks.dataType.isInstanceOf[ArrayType] ||
+             ranks.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kll ranks must be an ARRAY<DOUBLE> literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val K = k.eval().asInstanceOf[Int]
+  private lazy val RANKS = ranks.eval()
+    .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    .toDoubleArray()
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(K)
+
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch,
+                     other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any =
+    if (buf.isEmpty) new GenericArrayData(RANKS.map(_ => null: Any))
+    else new GenericArrayData(RANKS.map(r =>
+      buf.getQuantile(r, QuantileSearchCriteria.INCLUSIVE): Any))
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), k = newChildren(1), ranks = newChildren(2))
+}
+
 object Sketches {
   def register(spark: SparkSession): Unit =
-    GraftExtensions.register(spark, "graft_cms", "graft_topfreq")
+    GraftExtensions.register(spark, "graft_cms", "graft_topfreq",
+                             "graft_kll")
 }

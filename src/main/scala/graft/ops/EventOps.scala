@@ -37,6 +37,32 @@ object EventOps {
     * requires strict overlap) — the oracle's island emulation uses the same
     * comparison (SURVEY §7.4.2). Runs identically over a stream with
     * watermark + mergeable session state. */
+  /** Per-event session ASSIGNMENT — the event→session-id mapping that
+    * joins raw events onto [[streamSession]]'s per-session aggregates
+    * downstream. Islands construction: an event opens a new session when
+    * its gap from the previous event is >= 30 min (same comparison as
+    * session_window's merge rule, SURVEY §7.4.2); the running count of
+    * opens is the session ordinal. One shuffle on user_id, two window
+    * passes over the same sort — Catalyst fuses them into a single
+    * Window node. event_id tie-breaks equal timestamps so the running
+    * sum is frame-deterministic. */
+  def winSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("opens",
+        when(col("prev_ts").isNull ||
+               col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+             1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("opens").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   def streamSession(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

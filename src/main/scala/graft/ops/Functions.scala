@@ -158,6 +158,46 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  /** Map-typed column functions: construction (map_from_arrays /
+    * map_concat), lookup (element_at), introspection (map_keys /
+    * map_contains_key) and the higher-order transform_values — the
+    * dynamic-schema escape hatch when per-row key sets vary. The output
+    * contract is scalar columns (the driver comparator hashes scalars),
+    * and the oracle states the equivalent direct computation — the
+    * engine-independent semantics of each lookup, same style as the
+    * sorted set-op outputs. All map expressions are codegen'd builtins. */
+  def fnMap(s: SparkSession, d: String): DataFrame = {
+    val base = map_from_arrays(
+      array(lit("brand"), lit("name")),
+      array(col("p_brand"), col("p_name")))
+    val m = map_concat(base, map(lit("type"), col("p_type")))
+    part(s, d).select(
+      col("p_partkey"),
+      element_at(m, "brand").as("brand"),
+      element_at(m, "missing").as("absent"),
+      size(map_keys(m)).cast("long").as("nkeys"),
+      map_contains_key(m, "type").as("has_type"),
+      element_at(transform_values(m, (_, v) => upper(v)), "name")
+        .as("name_up"))
+      .orderBy("p_partkey")
+  }
+
+  /** Struct-typed column functions: named_struct construction, field
+    * access, and lexicographic struct comparison (the composite-key
+    * idiom argmax/asof builds on). DuckDB compares ROW values with the
+    * same field-order semantics, so the comparison output is an honest
+    * cross-engine check, not a restatement. */
+  def fnStruct(s: SparkSession, d: String): DataFrame = {
+    val sc = struct(col("c_acctbal").as("bal"), col("c_custkey").as("key"))
+    customer(s, d).select(
+      col("c_custkey"),
+      sc.getField("bal").as("bal"),
+      (sc > struct(lit(5000.0).as("bal"), lit(0L).as("key"))).as("over_5k"),
+      struct(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+        .getField("seg").as("seg"))
+      .orderBy("c_custkey")
+  }
+
   /** Binned aggregation (histogram): fixed-width price buckets. */
   def aggHistogram(s: SparkSession, d: String): DataFrame =
     orders(s, d)

@@ -64,6 +64,42 @@ object Relational {
               col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** ORC interop: Spark's ORC reader/writer is built in, so an
+    * ORC-resident lake scans with the same declarative shape as parquet
+    * (pushdown + pruning included). The declared query reads a one-time
+    * durable ORC export of the supplier dim ([[ensureOrcExport]]) — the
+    * oracle reads the original parquet, so the ORC roundtrip must
+    * preserve every value exactly. */
+  def scanOrc(s: SparkSession, d: String): DataFrame =
+    s.read.orc(ensureOrcExport(s, d))
+      .select(col("s_suppkey"), col("s_name"),
+              col("s_nationkey").cast("long").as("s_nationkey"),
+              round(col("s_acctbal"), 2).as("s_acctbal_r"))
+      .orderBy("s_suppkey")
+
+  /** One-time supplier→ORC export per dataset dir, durable across JVMs
+    * under the warehouse dir with the same `_SUCCESS` guard as the
+    * bucketed-table ETL (torn writes are deleted and redone). */
+  private val orcExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Test hook: forget the per-JVM memo (NOT the files) — simulates a
+    * fresh process for export-reuse tests. */
+  private[graft] def resetOrcMemo(): Unit = orcExported.clear()
+
+  private[graft] def ensureOrcExport(s: SparkSession, d: String): String =
+    orcExported.getOrElseUpdate(d, bucketedLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft_orc_supplier_$key")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        supplier(s, d).write.mode("overwrite").orc(loc.toString)
+      }
+      loc.toString
+    })
+
   /** Synthetic range source (spark.range): the generator every engine
     * ships for test data and dimension scaffolding. Distributed: range
     * splits into partitions; the projection is a narrow map. */
@@ -723,7 +759,12 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** cume_dist + nth_value complete the ranking-function family. */
+  /** cume_dist + nth_value complete the ranking-function family.
+    * Deliberately NO WindowGroupLimit pin here (unlike win_rownum_topk /
+    * win_rank_dense): the query emits EVERY row and both functions need
+    * the full partition (cume_dist's denominator is the partition size,
+    * nth_value's frame is unbounded) — a group limit is semantically
+    * inapplicable, not missing. */
   def winDistNth(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     val wf = Window.partitionBy("c_mktsegment")
@@ -833,6 +874,27 @@ object Relational {
       .select(col("o_orderstatus"),
               col("o_orderpriority").as("mode_priority"), col("cnt"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Argmax/argmin aggregates (max_by/min_by): per priority class, the
+    * order key holding the extreme total price. Partial-aggregable like
+    * max (the carried struct merges by ordering key), so one map-side
+    * combined shuffle — never a per-group sort. Ties on price exist in
+    * the data, so both engines order by the same composite integer key:
+    * exact money cents (o_totalprice is 2-dp by construction) scaled
+    * past the key range, plus the key — deterministic argmax without a
+    * struct comparator (DuckDB's arg_max takes scalars only). */
+  def aggArgmax(s: SparkSession, d: String): DataFrame = {
+    val tie = (round(col("o_totalprice") * 100).cast("long") *
+                 lit(1000000000L) + col("o_orderkey")).as("tie")
+    orders(s, d)
+      .withColumn("tie", tie)
+      .groupBy("o_orderpriority")
+      .agg(max_by(col("o_orderkey"), col("tie")).as("max_price_key"),
+           min_by(col("o_orderkey"), col("tie")).as("min_price_key"),
+           round(max("o_totalprice"), 2).as("max_price"),
+           round(min("o_totalprice"), 2).as("min_price"))
+      .orderBy("o_orderpriority")
   }
 
   /** Bucketed co-located join — the 100 TB join strategy: both fact tables

@@ -87,6 +87,26 @@ object SketchOps {
     * oracle: DuckDB has no DataSketches HLL (the estimate differs from
     * exact COUNT DISTINCT by design), same no-oracle tier as
     * agg_approx_distinct. */
+  /** Mergeable quantiles (DataSketches KLL): corpus-wide p50/p90/p99 of
+    * document token length from ONE single-row aggregate whose partial
+    * state is an O(k·log n) sketch per partition — the 100 TB replacement
+    * for exact global percentiles (no sort, no value shuffle; each
+    * ingest batch could persist its sketch and any slice's quantiles
+    * union from sketches, like the HLL roll-up). No SQL oracle — the
+    * estimate is approximate by design (same tier as
+    * agg_approx_distinct); Wave10 pins the estimates inside the exact
+    * ±3%-rank envelope and exercises merge across a forced repartition. */
+  def aggKllQuantiles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    documents(s, d)
+      .select(size(split(col("text"), " ")).cast("double").as("len"))
+      .agg(expr("graft_kll(len, 200, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .select(round(element_at(col("q"), 1), 2).as("p50_est"),
+              round(element_at(col("q"), 2), 2).as("p90_est"),
+              round(element_at(col("q"), 3), 2).as("p99_est"))
+  }
+
   def aggHllUnion(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))

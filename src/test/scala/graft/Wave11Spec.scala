@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 wave: KLL mergeable quantiles, the ORC interop export, the
+  * per-event sessionizer, and the argmax family's tie determinism. */
+class Wave11Spec extends SparkTestBase {
+
+  /** Exact quantile of a sorted array at normalized rank (inclusive). */
+  private def exactQ(sorted: Array[Double], rank: Double): Double =
+    sorted(math.min(sorted.length - 1,
+                    math.max(0, math.ceil(rank * sorted.length).toInt - 1)))
+
+  test("agg_kll_quantiles estimates sit inside the exact ±3%-rank envelope") {
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("double").as("len"))
+      .collect().map(_.getDouble(0)).sorted
+    val row = SketchOps.aggKllQuantiles(spark, sf).collect().head
+    for (((rank, i)) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val est = row.getDouble(i)
+      val lo = exactQ(lens, math.max(0.0, rank - 0.03))
+      val hi = exactQ(lens, math.min(1.0, rank + 0.03))
+      assert(est >= lo && est <= hi,
+        s"p$rank estimate $est outside exact envelope [$lo, $hi]")
+    }
+  }
+
+  test("KLL sketch merge across a forced repartition keeps the bound") {
+    graft.functions.Sketches.register(spark)
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("double").as("len"))
+    val sorted = lens.collect().map(_.getDouble(0)).sorted
+    // 7 partitions force a partial-sketch merge per rank; the merged
+    // estimate must hold the same rank-error envelope as the one-pass.
+    val q = lens.repartition(7)
+      .agg(expr("graft_kll(len, 200, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .select(element_at(col("q"), 1), element_at(col("q"), 2),
+              element_at(col("q"), 3))
+      .collect().head
+    for (((rank, i)) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val est = q.getDouble(i)
+      val lo = exactQ(sorted, math.max(0.0, rank - 0.03))
+      val hi = exactQ(sorted, math.min(1.0, rank + 0.03))
+      assert(est >= lo && est <= hi,
+        s"merged p$rank estimate $est outside [$lo, $hi]")
+    }
+  }
+
+  test("scan_orc roundtrips supplier exactly and reuses the export") {
+    val viaOrc = Relational.scanOrc(spark, sf).collect()
+    val direct = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"),
+              col("s_nationkey").cast("long").as("s_nationkey"),
+              round(col("s_acctbal"), 2).as("s_acctbal_r"))
+      .orderBy("s_suppkey").collect()
+    assert(viaOrc.toSeq == direct.toSeq, "ORC roundtrip changed values")
+    // Reuse: a fresh JVM (simulated by clearing the memo) must read the
+    // existing export, not rewrite it.
+    val loc = Relational.ensureOrcExport(spark, sf)
+    def mtime: Long = {
+      val p = new org.apache.hadoop.fs.Path(loc, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    }
+    val t0 = mtime
+    Relational.resetOrcMemo()
+    val again = Relational.scanOrc(spark, sf).collect()
+    assert(again.toSeq == viaOrc.toSeq)
+    assert(mtime == t0, "re-entry rewrote the ORC export")
+  }
+
+  test("win_sessionize agrees with stream_session on session structure") {
+    val perEvent = EventOps.winSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val sessionsPerUser = perEvent.groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).max }
+    val agg = EventOps.streamSession(spark, sf).collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (u, g) => u -> g.size.toLong }
+    assert(sessionsPerUser == agg,
+      "per-event session count diverges from session_window aggregates")
+    // Ordinals are dense 1..n per user.
+    perEvent.groupBy(_._1).foreach { case (u, rows) =>
+      val ids = rows.map(_._2).distinct.sorted.toSeq
+      assert(ids == (1L to ids.length),
+        s"user $u: session ids not dense: $ids")
+    }
+  }
+
+  test("agg_argmax picks the highest-price key, ties broken by key") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = orders.groupBy(_._1).map { case (p, g) =>
+      p -> (g.maxBy(t => (t._3, t._2))._2, g.minBy(t => (t._3, t._2))._2)
+    }
+    val got = Relational.aggArgmax(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+}

@@ -110,7 +110,8 @@ class Wave1Spec extends SparkTestBase {
                        "sim_knn_label_ann", "sim_cosine_topk_ann",
                        "dedup_incremental", "agg_hll_union",
                        "text_quality_ml", "sim_kmeans_cluster",
-                       "dedup_clusters_ann", "sim_incremental_ann")
+                       "dedup_clusters_ann", "sim_incremental_ann",
+                       "agg_kll_quantiles")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
