@@ -145,6 +145,7 @@ object SparkEntry {
     "sim_incremental_ann" -> (SimOps.simIncrementalAnn _),
     "text_quality_ml" -> (MlOps.textQualityMl _),
     "sim_kmeans_cluster" -> (MlOps.simKmeansCluster _),
+    "sim_pca_reduce" -> (MlOps.simPcaReduce _),
     "merge_upsert" -> (MergeOps.mergeUpsertQuery _),
     "mm_meta" -> (MultimodalOps.mmMeta _),
     "mm_resize" -> (MultimodalOps.mmResize _),

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,6 +77,38 @@ object MlOps {
     * the assignment pass (and the distance, computed from the k=8
     * centroids carried as a constant-folded literal through the codegen'd
     * graft_dot kernel) stays a narrow full-corpus map. */
+  /** PCA dimensionality reduction (64 → k=8): fit the projection basis
+    * on the deterministic [[fitFold]] sample (covariance + eigen-solve
+    * over 20% of rows, distributed treeAggregate), then transform the
+    * FULL corpus as a narrow per-row matrix multiply — the classic
+    * embedding-compaction move before ANN indexing at scale (an 8×
+    * smaller store and dot kernel; the LSH/IVF machinery downstream is
+    * unchanged). Output contract is scalar columns (the driver
+    * comparator cannot hash array cells): leading components rounded,
+    * plus the projection's squared norm. No SQL oracle (basis sign/
+    * rotation is implementation-specific); Wave11 pins determinism,
+    * the eigenvalue variance ordering, and the norm contraction bound
+    * ‖proj‖ ≤ ‖x‖ that any orthonormal basis must satisfy. */
+  def simPcaReduce(s: SparkSession, d: String): DataFrame = {
+    val v = SimOps.normed(s, d)
+      .select(col("vec_id"), col("vd"),
+              array_to_vector(col("vd")).as("features"))
+    val model = new PCA().setK(8)
+      .setInputCol("features").setOutputCol("pca")
+      .fit(v.where(fitFold(col("vec_id"))))
+    model.transform(v)
+      .select(col("vec_id"), col("vd"),
+              vector_to_array(col("pca")).as("p"))
+      .select(col("vec_id"),
+              round(element_at(col("p"), 1), 4).as("pc1_r"),
+              round(element_at(col("p"), 2), 4).as("pc2_r"),
+              round(element_at(col("p"), 3), 4).as("pc3_r"),
+              round(aggregate(col("p"), lit(0.0), (a, x) => a + x * x), 4)
+                .as("ssq_r"),
+              round(expr("graft_dot(vd, vd)"), 4).as("orig_ssq_r"))
+      .orderBy("vec_id")
+  }
+
   def simKmeansCluster(s: SparkSession, d: String): DataFrame = {
     val v = SimOps.normed(s, d)
       .select(col("vec_id"), col("vd"),

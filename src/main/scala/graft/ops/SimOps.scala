@@ -350,7 +350,18 @@ object SimOps {
     * tier, like dedup_minhash). */
   def dedupEmbeddingAnnOn(v: DataFrame, tau: Double, tables: Int,
                           targetBucket: Int, n: Long,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L): DataFrame =
+    annPairsOn(v, tau, tables, targetBucket, n, seed)
+      .distinct() // multi-table collisions; post-filter, so rows are few
+      .orderBy("id_a", "id_b")
+
+  /** τ-filtered candidate pairs WITHOUT the declared query's
+    * distinct + total sort: duplicate-tolerant consumers (the union-find
+    * clustering — any spanning multiset of a clique's edges yields the
+    * same components) read this form and skip two exchanges. */
+  private[graft] def annPairsOn(v: DataFrame, tau: Double, tables: Int,
+                                targetBucket: Int, n: Long,
+                                seed: Long = 42L): DataFrame = {
     val cand = annCandidates(v, tables, bitsFor(n, targetBucket),
                              probe = true, seed)
       .where(col("qid") < col("nid"))
@@ -363,8 +374,6 @@ object SimOps {
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
       .where(col("cos_r") >= tau)
-      .distinct() // multi-table collisions; post-filter, so rows are few
-      .orderBy("id_a", "id_b")
   }
 
   /** IVF-style ANN — the data-adaptive alternative to hyperplane LSH
@@ -836,7 +845,11 @@ object SimOps {
 
   private[graft] def dedupClustersAnnOn(s: SparkSession, v: DataFrame,
                                         tau: Double, n: Long): DataFrame = {
-    val pairs = dedupEmbeddingAnnOn(v, tau, tables = 4, targetBucket = 64, n)
+    // annPairsOn, not dedupEmbeddingAnnOn: the union-find is duplicate-
+    // tolerant, so the pair query's distinct + total sort (two exchanges
+    // over the full edge list) buy nothing here — at scale the edge list
+    // is this operator's biggest intermediate.
+    val pairs = annPairsOn(v, tau, tables = 4, targetBucket = 64, n)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     ccLabels(s, pairs, perTask = 4000000L)
       .select(col("node").as("vec_id"), col("rep").as("cluster_rep"),

@@ -85,7 +85,15 @@ class EdgeSpec extends SparkTestBase {
       "win_range_frame" -> 2,     // window partition + sort
       "data_split" -> 1,          // narrow map + sort
       "agg_regression" -> 2,      // partial-agg shuffle + sort
-      "dedup_embedding_ann" -> 3  // sig bucket join + post-filter distinct
+      "dedup_embedding_ann" -> 3, // sig bucket join + post-filter distinct
+      // round-7 additions
+      "win_sessionize" -> 2,      // ONE user_id shuffle feeds both Window
+                                  // nodes (lag + running sum share the
+                                  // sort); + determinism orderBy
+      "agg_argmax" -> 2,          // partial-agg shuffle + sort
+      "agg_kll_quantiles" -> 1,   // map-side partial sketches, single
+                                  // SinglePartition merge, no sort
+      "scan_orc" -> 1             // ORC scan + determinism orderBy
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)

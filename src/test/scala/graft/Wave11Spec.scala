@@ -47,6 +47,17 @@ class Wave11Spec extends SparkTestBase {
     }
   }
 
+  test("agg_kll_quantiles plan merges partial sketches (no value shuffle)") {
+    val plan = SketchOps.aggKllQuantiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "expect partial + final sketch aggregate")
+    assert(plan.contains("Exchange SinglePartition"),
+      "the only exchange should carry merged sketches, not values")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "no value shuffle expected")
+  }
+
   test("scan_orc roundtrips supplier exactly and reuses the export") {
     val viaOrc = Relational.scanOrc(spark, sf).collect()
     val direct = spark.read.parquet(s"$sf/supplier.parquet")
@@ -85,6 +96,29 @@ class Wave11Spec extends SparkTestBase {
       assert(ids == (1L to ids.length),
         s"user $u: session ids not dense: $ids")
     }
+  }
+
+  test("sim_pca_reduce: deterministic, variance-ordered, norm-contracting") {
+    val a = MlOps.simPcaReduce(spark, sf).collect()
+    val b = MlOps.simPcaReduce(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "PCA projection not deterministic")
+    assert(a.length == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    // Orthonormal basis: the k-dim projection can't be longer than x.
+    a.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(5) + 1e-6,
+        s"vec ${r.getLong(0)}: projection norm exceeds the original")
+    }
+    // Eigenvalue ordering: corpus variance along pc1 >= pc2 >= pc3
+    // (fit is on the 20% fold; full-corpus variance tracks it closely —
+    // allow 5% sampling slack).
+    def varOf(i: Int): Double = {
+      val xs = a.map(_.getDouble(i))
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val (v1, v2, v3) = (varOf(1), varOf(2), varOf(3))
+    assert(v1 >= v2 * 0.95 && v2 >= v3 * 0.95,
+      s"variance not ordered: $v1, $v2, $v3")
   }
 
   test("agg_argmax picks the highest-price key, ties broken by key") {
