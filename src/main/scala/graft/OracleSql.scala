@@ -48,6 +48,31 @@ object OracleSql {
         |  ROUND(s_acctbal, 2) AS s_acctbal_r
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
+    // scan_binaryfile: DuckDB read_blob over the same committed fixture
+    // files. decode(blob), not CAST(blob AS VARCHAR): the cast emits the
+    // \xNN-escaped literal form and would hash different bytes; decode
+    // yields the raw text, so md5 matches Spark's md5(binary) exactly.
+    "scan_binaryfile" ->
+      s"""SELECT parse_filename(filename) AS fname, size,
+         |  md5(decode(content)) AS content_md5
+         |FROM read_blob('${graft.ops.Relational.fixturesDir}/*')
+         |ORDER BY fname""".stripMargin,
+
+    "sql_cte_pipeline" ->
+      """WITH seg_orders AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), ranked AS (
+        |  SELECT seg, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY seg
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM seg_orders
+        |)
+        |SELECT seg, o_orderkey, ROUND(o_totalprice, 2) AS price_r,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY seg, rn""".stripMargin,
+
     // agg_argmax: ties on (priority, price) exist, so both engines argmax
     // over the same composite integer key (exact cents scaled past the key
     // range + key) — DuckDB's arg_max accepts scalar ordering values only.

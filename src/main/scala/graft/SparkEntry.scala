@@ -21,6 +21,8 @@ object SparkEntry {
     "scan_json" -> (Relational.scanJson _),
     "scan_range" -> (Relational.scanRange _),
     "scan_orc" -> (Relational.scanOrc _),
+    "scan_binaryfile" -> (Relational.scanBinaryfile _),
+    "sql_cte_pipeline" -> (Relational.sqlCtePipeline _),
     // B. projection / filter
     "map_project" -> (Relational.mapProject _),
     "filter_pred" -> (Relational.filterPred _),

@@ -100,6 +100,47 @@ object Relational {
       loc.toString
     })
 
+  /** Binary-file ingestion source (`spark.read.format("binaryFile")`) —
+    * the opaque-payload entry point of the multimodal tier: image/audio
+    * files land as (path, length, content BINARY) rows and the mm_*
+    * operators take over from there (SURVEY §2.K). Declared over the
+    * committed fixture files; both engines report (name, size, content
+    * md5), so the oracle asserts byte-exact ingestion. At 100 TB this
+    * source partitions by file and supports pathGlobFilter/recursive
+    * lookup — the standard raw-asset landing pattern. */
+  def scanBinaryfile(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile").load(fixturesDir)
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+              col("length").as("size"),
+              md5(col("content")).as("content_md5"))
+      .orderBy("fname")
+
+  /** End-to-end SQL surface: the same engine capabilities (CTE, join,
+    * window top-k, aggregate-free filter pushdown) driven purely through
+    * `spark.sql` over registered views — the entry path for SQL-first
+    * users (spark-sql / thrift / notebooks), exercising the identical
+    * Catalyst plan the DataFrame API produces (WindowGroupLimit fires on
+    * the rn<=5 filter here exactly as in win_rownum_topk). */
+  def sqlCtePipeline(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_v")
+    customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql("""
+      WITH seg_orders AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice
+        FROM graft_orders_v o
+        JOIN graft_customer_v c ON o.o_custkey = c.c_custkey
+      ), ranked AS (
+        SELECT seg, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM seg_orders
+      )
+      SELECT seg, o_orderkey, ROUND(o_totalprice, 2) AS price_r,
+             CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 5
+      ORDER BY seg, rn""")
+  }
+
   /** Synthetic range source (spark.range): the generator every engine
     * ships for test data and dimension scaffolding. Distributed: range
     * splits into partitions; the projection is a narrow map. */
