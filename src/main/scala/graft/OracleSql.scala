@@ -58,6 +58,25 @@ object OracleSql {
          |FROM read_blob('${graft.ops.Relational.fixturesDir}/*')
          |ORDER BY fname""".stripMargin,
 
+    // agg_theta_sets: sketches are in exact mode (vocabulary << 4096
+    // nominal entries), so plain set SQL is the oracle — the same
+    // exact-regime pattern as the CMS/Misra-Gries queries.
+    "agg_theta_sets" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 = 0 AS even_doc,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), a AS (SELECT DISTINCT token FROM t WHERE even_doc),
+        |   b AS (SELECT DISTINCT token FROM t WHERE NOT even_doc)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_even,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_odd,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |     (SELECT token FROM a INTERSECT SELECT token FROM b)) AS n_both,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |     (SELECT token FROM a EXCEPT SELECT token FROM b)) AS n_even_only
+        |""".stripMargin,
+
     "sql_cte_pipeline" ->
       """WITH seg_orders AS (
         |  SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice

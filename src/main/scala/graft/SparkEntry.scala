@@ -74,6 +74,7 @@ object SparkEntry {
     "agg_topfreq" -> (SketchOps.aggTopfreqWords _),
     "agg_hll_union" -> (SketchOps.aggHllUnion _),
     "agg_kll_quantiles" -> (SketchOps.aggKllQuantiles _),
+    "agg_theta_sets" -> (SketchOps.aggThetaSets _),
     "agg_regression" -> (Relational.aggRegression _),
     "sort_pagination" -> (Relational.sortPagination _),
     "sample_seeded" -> (Relational.sampleSeeded _),

@@ -55,6 +55,10 @@ object GraftExtensions {
     d("graft_cms", classOf[CmsAgg], c => CmsAgg(c(0), c(1), c(2))),
     d("graft_topfreq", classOf[TopFreqAgg], c => TopFreqAgg(c(0), c(1))),
     d("graft_kll", classOf[KllAgg], c => KllAgg(c(0), c(1), c(2))),
+    d("graft_theta", classOf[ThetaAgg], c => ThetaAgg(c(0))),
+    d("graft_theta_est", classOf[ThetaEstimate], c => ThetaEstimate(c(0))),
+    d("graft_theta_setop", classOf[ThetaSetOp],
+      c => ThetaSetOp(c(0), c(1), c(2))),
     d("graft_ngrams", classOf[NgramGenerator],
       c => NgramGenerator(c(0), c(1))))
 }

@@ -294,5 +294,6 @@ case class KllAgg(
 object Sketches {
   def register(spark: SparkSession): Unit =
     GraftExtensions.register(spark, "graft_cms", "graft_topfreq",
-                             "graft_kll")
+                             "graft_kll", "graft_theta", "graft_theta_est",
+                             "graft_theta_setop")
 }

@@ -107,6 +107,37 @@ object SketchOps {
               round(element_at(col("q"), 3), 2).as("p99_est"))
   }
 
+  /** Theta sketch set algebra (DataSketches): distinct-token counts of
+    * two corpus slices AND their intersection / difference — the set
+    * question HLL cannot answer (HLL unions only). Each slice compresses
+    * to one mergeable sketch in the partial aggregation; the set algebra
+    * runs on two sketch blobs in the final projection. At 100 TB each
+    * ingest batch persists its sketch and any cross-slice overlap
+    * question ("how many tokens does crawl B add over crawl A?") is
+    * sketch algebra, never a re-scan. The corpus vocabulary sits far
+    * below the 4096-entry nominal threshold, so the sketches are in
+    * EXACT mode and the declared query carries an ordinary COUNT
+    * DISTINCT / INTERSECT / EXCEPT oracle (the CMS/Misra-Gries
+    * exact-regime pattern); the sampling regime is property-tested in
+    * Wave11 on a synthetic high-cardinality stream. */
+  def aggThetaSets(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val toks = documents(s, d)
+      .select((col("doc_id") % 2 === 0).as("even_doc"),
+              explode(split(col("text"), " ")).as("token"))
+    toks.groupBy("even_doc")
+      .agg(expr("graft_theta(token)").as("sk"))
+      .agg(first(when(col("even_doc"), col("sk")), ignoreNulls = true)
+             .as("ska"),
+           first(when(!col("even_doc"), col("sk")), ignoreNulls = true)
+             .as("skb"))
+      .select(expr("graft_theta_est(ska)").as("n_even"),
+              expr("graft_theta_est(skb)").as("n_odd"),
+              expr("graft_theta_setop(ska, skb, 'intersect')").as("n_both"),
+              expr("graft_theta_setop(ska, skb, 'anotb')").as("n_even_only"))
+  }
+
   def aggHllUnion(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))

@@ -74,22 +74,38 @@ object StatsOps {
     * the fact table joined last — the plan shape a 100 TB star chain
     * needs regardless of how the SQL was spelled. The plan assertion
     * lives in Wave9Spec ("cbo reorders the comma join"); the result is
-    * oracle-checked (join order cannot change the aggregate). CBO stays
-    * enabled for the session afterwards — it is strictly additive here
-    * (all other queries read bare parquet with no catalog stats, where
-    * Catalyst falls back to the same size-only estimates as before). */
+    * oracle-checked (join order cannot change the aggregate).
+    *
+    * CBO is SCOPED to this query: the confs are set, the plan is forced
+    * (QueryExecution memoizes, so later actions reuse it), and the
+    * previous values are restored before returning. Leaving CBO on for
+    * the session is NOT additive — CACHED relations carry exact
+    * rowCount stats, so CostBasedJoinReorder fires on every later query
+    * over cached data and can rebuild an ANN pair-join chain into a
+    * stats-cheap BroadcastNestedLoopJoin all-pairs (caught by Wave7's
+    * bucketed-plan pin when this query ran first in the shared test
+    * session; the same leak was silently active for half the bench). */
   def joinCboReorder(s: SparkSession, d: String): DataFrame = {
     val t = ensureAnalyzedTables(s, d)
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
     s.conf.set("spark.sql.cbo.enabled", "true")
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    s.sql(
-      s"""SELECT n.n_name,
-         |       count(*) AS n_items,
-         |       round(sum(l.l_quantity), 2) AS sum_qty
-         |FROM `${t("lineitem")}` l, `${t("nation")}` n, `${t("supplier")}` sp
-         |WHERE l.l_suppkey = sp.s_suppkey
-         |  AND sp.s_nationkey = n.n_nationkey
-         |GROUP BY n.n_name
-         |ORDER BY n.n_name""".stripMargin)
+    try {
+      val df = s.sql(
+        s"""SELECT n.n_name,
+           |       count(*) AS n_items,
+           |       round(sum(l.l_quantity), 2) AS sum_qty
+           |FROM `${t("lineitem")}` l, `${t("nation")}` n, `${t("supplier")}` sp
+           |WHERE l.l_suppkey = sp.s_suppkey
+           |  AND sp.s_nationkey = n.n_nationkey
+           |GROUP BY n.n_name
+           |ORDER BY n.n_name""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, under CBO
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
   }
 }

@@ -98,6 +98,37 @@ class Wave11Spec extends SparkTestBase {
     }
   }
 
+  test("theta sketch set algebra holds error bounds in the sampling regime") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    // Two overlapping 60k-element slices of a 100k universe — far past
+    // the 4096-entry nominal threshold, so the sketches genuinely sample
+    // (the declared query's corpus sits in exact mode; this is the other
+    // regime). Relative error at k=4096 is ~1.6% per sketch; set ops
+    // compound it, so assert a 6% envelope.
+    val sk = spark.range(0, 100000)
+      .select(col("id").cast("string").as("tok"),
+              (col("id") < 60000).as("in_a"),
+              (col("id") >= 40000).as("in_b"))
+      .agg(expr("graft_theta(CASE WHEN in_a THEN tok END)").as("ska"),
+           expr("graft_theta(CASE WHEN in_b THEN tok END)").as("skb"))
+      .select(expr("graft_theta_est(ska)").as("na"),
+              expr("graft_theta_est(skb)").as("nb"),
+              expr("graft_theta_setop(ska, skb, 'intersect')").as("ni"),
+              expr("graft_theta_setop(ska, skb, 'anotb')").as("nd"),
+              expr("graft_theta_setop(ska, skb, 'union')").as("nu"))
+      .collect().head
+    val (na, nb, ni, nd, nu) =
+      (sk.getLong(0), sk.getLong(1), sk.getLong(2), sk.getLong(3),
+       sk.getLong(4))
+    def within(est: Long, truth: Long, tol: Double): Unit =
+      assert(math.abs(est - truth) <= truth * tol,
+        s"estimate $est vs $truth (±${truth * tol})")
+    within(na, 60000, 0.06); within(nb, 60000, 0.06)
+    within(ni, 20000, 0.06); within(nd, 40000, 0.06)
+    within(nu, 100000, 0.06)
+  }
+
   test("sim_pca_reduce: deterministic, variance-ordered, norm-contracting") {
     val a = MlOps.simPcaReduce(spark, sf).collect()
     val b = MlOps.simPcaReduce(spark, sf).collect()
