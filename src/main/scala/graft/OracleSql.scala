@@ -124,6 +124,27 @@ object OracleSql {
         |  c_mktsegment AS seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // win_funnel: identical lead()-over-(ts, event_id) adjacency.
+    "win_funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type,
+        |    LEAD(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS next_ts
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS n_clicks,
+        |  CAST(COUNT(CASE WHEN event_type = 'click'
+        |                   AND next_type = 'purchase'
+        |                   AND next_ts <= ts + INTERVAL 30 MINUTE
+        |             THEN 1 END) AS BIGINT) AS n_conversions
+        |FROM o GROUP BY user_id
+        |HAVING n_conversions > 0
+        |ORDER BY user_id""".stripMargin,
+
     // win_sessionize: same islands construction (lag-gap opens + running
     // count), same >= gap comparison as stream_session's oracle.
     "win_sessionize" ->

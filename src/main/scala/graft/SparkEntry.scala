@@ -109,6 +109,7 @@ object SparkEntry {
     "stream_sliding" -> (EventOps.streamSliding _),
     "stream_session" -> (EventOps.streamSession _),
     "win_sessionize" -> (EventOps.winSessionize _),
+    "win_funnel" -> (EventOps.winFunnel _),
     // I. LLM-pipeline ops
     "dedup_exact" -> (SimOps.dedupExact _),
     "dedup_minhash" -> (SimOps.dedupMinhash _),

@@ -32,11 +32,6 @@ object EventOps {
               col("cnt"), col("sum_value_r"))
       .orderBy("win_start", "event_type")
 
-  /** Gap-based sessionization (30-min gap) per user. session_window end =
-    * last event + gap; a new session starts when ts >= prev + gap (merge
-    * requires strict overlap) — the oracle's island emulation uses the same
-    * comparison (SURVEY §7.4.2). Runs identically over a stream with
-    * watermark + mergeable session state. */
   /** Per-event session ASSIGNMENT — the event→session-id mapping that
     * joins raw events onto [[streamSession]]'s per-session aggregates
     * downstream. Islands construction: an event opens a new session when
@@ -63,6 +58,36 @@ object EventOps {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Event-sequence (funnel) detection: click→purchase conversions per
+    * user, where the purchase follows the click within 30 minutes — the
+    * MATCH_RECOGNIZE-style pattern query expressed with lead() over the
+    * per-user event order (Spark has no MATCH_RECOGNIZE; adjacent-pair
+    * windows cover the two-step funnel with one user_id shuffle). Output
+    * keeps only converting users, with their click and conversion
+    * counts. */
+  def winFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
+           count(when(col("event_type") === "click" &&
+                        col("next_type") === "purchase" &&
+                        col("next_ts") <=
+                          col("ts") + expr("INTERVAL 30 MINUTES"),
+                      1)).as("n_conversions"))
+      .where(col("n_conversions") > 0)
+      .orderBy("user_id")
+  }
+
+  /** Gap-based sessionization (30-min gap) per user. session_window end =
+    * last event + gap; a new session starts when ts >= prev + gap (merge
+    * requires strict overlap) — the oracle's island emulation uses the same
+    * comparison (SURVEY §7.4.2). Runs identically over a stream with
+    * watermark + mergeable session state. */
   def streamSession(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

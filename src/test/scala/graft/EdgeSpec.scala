@@ -93,7 +93,10 @@ class EdgeSpec extends SparkTestBase {
       "agg_argmax" -> 2,          // partial-agg shuffle + sort
       "agg_kll_quantiles" -> 1,   // map-side partial sketches, single
                                   // SinglePartition merge, no sort
-      "scan_orc" -> 1             // ORC scan + determinism orderBy
+      "scan_orc" -> 1,            // ORC scan + determinism orderBy
+      "win_funnel" -> 2           // ONE user_id shuffle feeds Window AND
+                                  // the groupBy (partitioning reused);
+                                  // + determinism orderBy
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -152,6 +152,28 @@ class Wave11Spec extends SparkTestBase {
       s"variance not ordered: $v1, $v2, $v3")
   }
 
+  test("win_funnel matches an in-memory replay of the adjacency rule") {
+    val evs = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 r.getAs[java.time.LocalDateTime](2)
+                   .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+                 r.getString(3)))
+    val want = evs.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2))
+      val clicks = sorted.count(_._4 == "click")
+      val convs = sorted.sliding(2).count {
+        case Array((_, _, t1, "click"), (_, _, t2, "purchase")) =>
+          t2 - t1 <= 30L * 60 * 1000
+        case _ => false
+      }
+      if (convs > 0) Some(u -> (clicks.toLong, convs.toLong)) else None
+    }
+    val got = EventOps.winFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("agg_argmax picks the highest-price key, ties broken by key") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
