@@ -145,6 +145,22 @@ object OracleSql {
         |HAVING n_conversions > 0
         |ORDER BY user_id""".stripMargin,
 
+    // win_retention: same cohort construction — per-user min day over the
+    // deduped (user, day) pairs, then distinct actives per cell.
+    "win_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM ud
+        |)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS offset_days,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM c GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
     // win_sessionize: same islands construction (lag-gap opens + running
     // count), same >= gap comparison as stream_session's oracle.
     "win_sessionize" ->
@@ -388,6 +404,28 @@ object OracleSql {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // text_chunk: identical window arithmetic — K = ceil((n-64)/48)+1
+    // (min 1), chunk i = 1-based words[i*48+1 .. i*48+64]. DuckDB list
+    // slices are 1-based with INCLUSIVE end and clamp at the list end,
+    // matching Spark's slice(words, start, 64) exactly.
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, words,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END AS k
+        |  FROM t
+        |), u AS (
+        |  SELECT doc_id, words, unnest(range(0, k)) AS i FROM s
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk,
+        |  CAST(len(words[i*48+1 : i*48+64]) AS INTEGER) AS n_words
+        |FROM u
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // join_cbo_reorder: oracle is the same star chain in natural order —
     // CBO join reordering is a physical choice and must not change the

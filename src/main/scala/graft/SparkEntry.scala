@@ -110,6 +110,7 @@ object SparkEntry {
     "stream_session" -> (EventOps.streamSession _),
     "win_sessionize" -> (EventOps.winSessionize _),
     "win_funnel" -> (EventOps.winFunnel _),
+    "win_retention" -> (EventOps.winRetention _),
     // I. LLM-pipeline ops
     "dedup_exact" -> (SimOps.dedupExact _),
     "dedup_minhash" -> (SimOps.dedupMinhash _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_decontaminate" -> (TextOps.textDecontaminate _),
     "text_pack_sequences" -> (TextOps.textPackSequences _),
+    "text_chunk" -> (TextOps.textChunk _),
     "text_perplexity" -> (TextOps.textPerplexity _),
     "text_bpe_tokencount" -> (BpeOps.textBpeTokencount _),
     "pipeline_corpus_clean" -> (TextOps.pipelineCorpusClean _),

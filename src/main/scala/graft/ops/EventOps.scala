@@ -83,6 +83,31 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users are cohorted by their first active day; each
+    * (cohort_day, day_offset) cell counts the distinct cohort members
+    * active that many days later — the classic retention triangle. The
+    * per-user first day is a whole-partition window min, so the plan is
+    * one user_id shuffle (window) + one (cohort, offset) agg shuffle; no
+    * self-join of events against its own firsts. At 100 TB the events
+    * scan dominates and both shuffles carry only (user, day)-level rows. */
+  def winRetention(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"),
+               datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      // timestamp_ntz, not date: the comparator's pandas read path turns a
+      // date32 column into python-date objects (and a zoned timestamp into
+      // tz-aware ones) and hash-mismatches the oracle's naive datetime64.
+      .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+              col("offset_days"), col("n_active"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   /** Gap-based sessionization (30-min gap) per user. session_window end =
     * last event + gap; a new session starts when ts >= prev + gap (merge
     * requires strict overlap) — the oracle's island emulation uses the same

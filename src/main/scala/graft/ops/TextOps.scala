@@ -377,4 +377,32 @@ object TextOps {
               (col("start") % seqLen).as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** Overlapping fixed-window chunking — the per-document complement of
+    * [[textPackSequences]]: each doc is cut into 64-token windows on a
+    * 48-token stride (16-token overlap), the standard long-doc →
+    * context-window preprocessing for embedding and retrieval corpora.
+    * Chunk count is ceil((n-W)/S)+1 with a single chunk when n <= W, so
+    * only the final window may run short. Pure generator plan — split
+    * once, explode a K-element sequence per doc, slice — no shuffle
+    * until the determinism sort; at 100 TB this is a narrow flatMap
+    * emitting ~n/S rows per doc with no skew beyond doc length. */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (64, 48)
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .withColumn("k",
+        when(col("n") <= w, lit(1L))
+          .otherwise(expr(s"(n - ${w - st + 1}) DIV $st + 1")))
+      .select(col("doc_id"), col("words"),
+              explode(sequence(lit(0L), col("k") - 1)).as("cid"))
+      .select(col("doc_id"),
+              col("cid").cast("int").as("chunk_id"),
+              array_join(slice(col("words"), (col("cid") * st + 1).cast("int"),
+                               lit(w)), " ").as("chunk"),
+              size(slice(col("words"), (col("cid") * st + 1).cast("int"),
+                         lit(w))).as("n_words"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }
