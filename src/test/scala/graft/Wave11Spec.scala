@@ -185,4 +185,52 @@ class Wave11Spec extends SparkTestBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
   }
+
+  test("win_retention matches an in-memory cohort replay") {
+    val days = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0),
+                 r.getAs[java.time.LocalDateTime](1).toLocalDate))
+      .distinct
+    val first = days.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val want = days
+      .map { case (u, day) =>
+        val c = first(u)
+        (c, java.time.temporal.ChronoUnit.DAYS.between(c, day).toInt) -> u
+      }
+      .groupBy(_._1).map { case (cell, g) => cell -> g.map(_._2).distinct.size.toLong }
+    val got = EventOps.winRetention(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate,
+                 r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // the day-0 cell is the cohort size, the row maximum by definition
+    got.groupBy(_._1._1).foreach { case (c, cells) =>
+      assert(cells((c, 0)) == cells.values.max,
+        s"cohort $c: day-0 cell is not the row max")
+    }
+  }
+
+  test("text_chunk windows are exact slices on the 48-token stride") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = TextOps.textChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every doc must emit chunks")
+    for ((id, words) <- docs) {
+      val n = words.length
+      val expectK = if (n <= 64) 1 else (n - 17) / 48 + 1
+      val got = byDoc(id).sortBy(_._2)
+      assert(got.length == expectK, s"doc $id: ${got.length} != $expectK chunks")
+      for ((_, cid, chunk, nw) <- got) {
+        val expect = words.slice(cid * 48, cid * 48 + 64)
+        assert(chunk == expect.mkString(" "), s"doc $id chunk $cid mismatch")
+        assert(nw == expect.length, s"doc $id chunk $cid n_words")
+      }
+      // all but the final window are full-width
+      assert(got.dropRight(1).forall(_._4 == 64),
+        s"doc $id: non-final chunk shorter than the 64-token window")
+    }
+  }
 }
