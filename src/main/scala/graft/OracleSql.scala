@@ -161,6 +161,30 @@ object OracleSql {
         |FROM c GROUP BY cohort_day, offset_days
         |ORDER BY cohort_day, offset_days""".stripMargin,
 
+    // ts_gapfill: same dense-grid construction — generate_series over the
+    // per-user [min, max] day span, left join of observed daily sums,
+    // IGNORE NULLS running last_value as the forward fill.
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM span
+        |)
+        |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+        |  d.day_value IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
     // win_sessionize: same islands construction (lag-gap opens + running
     // count), same >= gap comparison as stream_session's oracle.
     "win_sessionize" ->

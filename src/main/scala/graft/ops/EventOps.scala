@@ -121,4 +121,34 @@ object EventOps {
               col("session_window.end").as("session_end"), col("n_events"),
               col("sum_value_r"))
       .orderBy("user_id", "session_start")
+
+  /** Time-series resample + gap-fill: per-user daily purchase totals
+    * re-gridded onto a dense min→max day axis, missing days forward-
+    * filled from the last observed value (`is_observed` keeps the real/
+    * imputed distinction). The raw event scan collapses to (user, day)
+    * cardinality in the FIRST shuffle's partial agg; the dense grid is a
+    * narrow per-user `sequence` explode off the span aggregate, and the
+    * grid⋈daily join plus the fill window both reuse user_id keys — at
+    * 100 TB the grid side is tiny (users × span days) and nothing after
+    * the first agg touches raw-event volume. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_value"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+              col("day").cast("timestamp_ntz").as("day"),
+              last(col("day_value"), ignoreNulls = true).over(fill)
+                .as("value_ff"),
+              col("day_value").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day")
+  }
 }

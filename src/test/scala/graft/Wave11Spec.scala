@@ -210,6 +210,47 @@ class Wave11Spec extends SparkTestBase {
     }
   }
 
+  test("ts_gapfill grid is dense per user and fills from the last observation") {
+    val rows = EventOps.tsGapfill(spark, sf).collect()
+      .map(r => (r.getLong(0),
+                 r.getAs[java.time.LocalDateTime](1).toLocalDate,
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+                 r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val days = g.map(_._2).sorted
+      // dense: every day between span endpoints, exactly once
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1,
+        s"user $u: grid has holes")
+      assert(days.distinct.length == days.length, s"user $u: duplicate days")
+      // span endpoints are real observations, and the fill replays exactly
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4 && sorted.last._4, s"user $u: span edge imputed")
+      var lastSeen: Option[Double] = None
+      for ((_, day, vff, observed) <- sorted) {
+        if (observed) lastSeen = vff
+        else assert(vff == lastSeen, s"user $u $day: fill != last observation")
+        assert(vff.nonEmpty, s"user $u $day: null after an observed head")
+      }
+    }
+    // the observed cells are exactly the per-(user, day) purchase sums
+    val want = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => ((r.getLong(0),
+                  r.getAs[java.time.LocalDateTime](1).toLocalDate),
+                 r.getDouble(2)))
+      .groupBy(_._1).map { case (k, g) =>
+        k -> BigDecimal(g.map(_._2).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val observed = rows.collect { case (u, d, Some(v), true) => (u, d) -> v }.toMap
+    assert(observed.keySet == want.keySet, "observed cells != purchase days")
+    observed.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v != ${want(k)}")
+    }
+  }
+
   test("text_chunk windows are exact slices on the 48-token stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
