@@ -85,28 +85,30 @@ object EventOps {
 
   /** Cohort retention: users are cohorted by their first active day; each
     * (cohort_day, day_offset) cell counts the distinct cohort members
-    * active that many days later — the classic retention triangle. The
-    * per-user first day is a whole-partition window min, so the plan is
-    * one user_id shuffle (window) + one (cohort, offset) agg shuffle; no
-    * self-join of events against its own firsts. At 100 TB the events
-    * scan dominates and both shuffles carry only (user, day)-level rows. */
-  def winRetention(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * active that many days later — the classic retention triangle. One
+    * user_id shuffle folds each user to their distinct-day set (map-side
+    * partial collect_set bounds state at the corpus day span), cohort =
+    * array_min — no window sort, no events self-join. Exploding that set
+    * makes every (cohort, offset, user) row unique BY CONSTRUCTION, so
+    * the distinct-actives count is a plain count: the count_distinct
+    * two-phase expansion never appears and the whole triangle costs
+    * 3 exchanges (user fold, cell agg, determinism sort). At 100 TB
+    * nothing after the first partial agg touches raw-event volume. */
+  def winRetention(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-      .withColumn("cohort_day",
-        min("day").over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(collect_set(to_date(col("ts"))).as("days"))
+      .select(array_min(col("days")).as("cohort_day"),
+              explode(col("days")).as("day"))
       .groupBy(col("cohort_day"),
                datediff(col("day"), col("cohort_day")).as("offset_days"))
-      .agg(count_distinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       // timestamp_ntz, not date: the comparator's pandas read path turns a
       // date32 column into python-date objects (and a zoned timestamp into
       // tz-aware ones) and hash-mismatches the oracle's naive datetime64.
       .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
               col("offset_days"), col("n_active"))
       .orderBy("cohort_day", "offset_days")
-  }
 
   /** Gap-based sessionization (30-min gap) per user. session_window end =
     * last event + gap; a new session starts when ts >= prev + gap (merge

@@ -94,9 +94,15 @@ class EdgeSpec extends SparkTestBase {
       "agg_kll_quantiles" -> 1,   // map-side partial sketches, single
                                   // SinglePartition merge, no sort
       "scan_orc" -> 1,            // ORC scan + determinism orderBy
-      "win_funnel" -> 2           // ONE user_id shuffle feeds Window AND
+      "win_funnel" -> 2,          // ONE user_id shuffle feeds Window AND
                                   // the groupBy (partitioning reused);
                                   // + determinism orderBy
+      "win_retention" -> 3,       // user-fold agg + cell agg + sort; the
+                                  // collect_set form keeps count_distinct's
+                                  // two-phase expansion out of the plan
+      "ts_gapfill" -> 4           // daily agg + span agg + fill window
+                                  // (grid join reuses user partitioning)
+                                  // + sort
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)
