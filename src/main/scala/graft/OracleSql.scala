@@ -185,6 +185,49 @@ object OracleSql {
         |FROM grid g LEFT JOIN daily d USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
 
+    // ts_interpolate: same grid; both neighbor scans restated as IGNORE
+    // NULLS running extremes, the blend arithmetic written in the
+    // identical operation order (v0 + (v1-v0) * (d-d0)/(d1-d0)), and the
+    // quantization as floor(x*1e4 + 0.5)/1e4 — pure IEEE ops that agree
+    // bit-for-bit (ROUND would not: the engines disagree on shortest-
+    // repr half-boundary doubles).
+    "ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM span
+        |), n AS (
+        |  SELECT g.user_id, g.day, d.day_value,
+        |    last_value(d.day_value IGNORE NULLS) OVER wb AS v0,
+        |    last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+        |               IGNORE NULLS) OVER wb AS day0,
+        |    first_value(d.day_value IGNORE NULLS) OVER wf AS v1,
+        |    first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+        |                IGNORE NULLS) OVER wf AS day1
+        |  FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |  WINDOW
+        |    wb AS (PARTITION BY g.user_id ORDER BY g.day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY g.user_id ORDER BY g.day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  FLOOR((CASE WHEN day_value IS NOT NULL THEN day_value
+        |        ELSE v0 + (v1 - v0) *
+        |          (CAST(date_diff('day', day0, day) AS DOUBLE) /
+        |           CAST(date_diff('day', day0, day1) AS DOUBLE)) END)
+        |        * 10000.0 + 0.5) / 10000.0
+        |    AS value_li,
+        |  day_value IS NOT NULL AS is_observed
+        |FROM n ORDER BY user_id, day""".stripMargin,
+
     // win_sessionize: same islands construction (lag-gap opens + running
     // count), same >= gap comparison as stream_session's oracle.
     "win_sessionize" ->

@@ -135,6 +135,22 @@ object EventOps {
     * the first agg touches raw-event volume. */
   def tsGapfill(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (grid, daily) = denseDailyGrid(s, d)
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+              col("day").cast("timestamp_ntz").as("day"),
+              last(col("day_value"), ignoreNulls = true).over(fill)
+                .as("value_ff"),
+              col("day_value").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** (dense per-user day grid, observed daily purchase sums) — the shared
+    * regrid substrate for [[tsGapfill]] and [[tsInterpolate]]. */
+  private def denseDailyGrid(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val daily = events(s, d)
       .where(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -143,13 +159,44 @@ object EventOps {
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("user_id"),
               explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-    val fill = Window.partitionBy("user_id").orderBy("day")
+    (grid, daily)
+  }
+
+  /** Linear interpolation on the same dense grid: each unobserved day is
+    * the distance-weighted blend of its surrounding observations (the
+    * span's edges are observed by construction, so both neighbors always
+    * exist). Two IGNORE-NULLS running extremes over ONE user_id sort —
+    * forward last for the previous observation, backward first for the
+    * next — replace any self-join of the grid against the observations;
+    * same 3-exchange shape as [[tsGapfill]] at any scale. */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (grid, daily) = denseDailyGrid(s, d)
+    val back = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_value"),
+              last(col("day_value"), ignoreNulls = true).over(back).as("v0"),
+              last(when(col("day_value").isNotNull, col("day")),
+                   ignoreNulls = true).over(back).as("day0"),
+              first(col("day_value"), ignoreNulls = true).over(fwd).as("v1"),
+              first(when(col("day_value").isNotNull, col("day")),
+                    ignoreNulls = true).over(fwd).as("day1"))
       .select(col("user_id"),
               col("day").cast("timestamp_ntz").as("day"),
-              last(col("day_value"), ignoreNulls = true).over(fill)
-                .as("value_ff"),
+              // floor(x·1e4 + 0.5)/1e4, NOT round(x, 4): Spark's round
+              // re-reads the double through BigDecimal's shortest decimal
+              // repr (5.216249999…→"5.21625"→5.2163) while DuckDB rounds
+              // the true binary value — this formulation is the same IEEE
+              // op sequence in both engines, so it cannot diverge.
+              (floor((when(col("day_value").isNotNull, col("day_value"))
+                .otherwise(col("v0") + (col("v1") - col("v0")) *
+                  (datediff(col("day"), col("day0")).cast("double") /
+                   datediff(col("day1"), col("day0")).cast("double"))))
+                * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+                .as("value_li"),
               col("day_value").isNotNull.as("is_observed"))
       .orderBy("user_id", "day")
   }

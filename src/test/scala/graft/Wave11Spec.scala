@@ -251,6 +251,40 @@ class Wave11Spec extends SparkTestBase {
     }
   }
 
+  test("ts_interpolate blends lie on the segment between the neighbors") {
+    val rows = EventOps.tsInterpolate(spark, sf).collect()
+      .map(r => (r.getLong(0),
+                 r.getAs[java.time.LocalDateTime](1).toLocalDate,
+                 r.getDouble(2), r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4 && sorted.last._4, s"user $u: span edge imputed")
+      // every imputed value sits between its surrounding observations and
+      // equals the closed-form blend replayed from them
+      val obs = sorted.zipWithIndex.filter(_._1._4)
+      for (((prev, pi), (next, ni)) <- obs.zip(obs.tail); i <- pi + 1 until ni) {
+        val (_, day, v, _) = sorted(i)
+        val frac = java.time.temporal.ChronoUnit.DAYS
+          .between(prev._2, day).toDouble /
+          java.time.temporal.ChronoUnit.DAYS.between(prev._2, next._2)
+        val want = math.floor((prev._3 + (next._3 - prev._3) * frac)
+          * 10000.0 + 0.5) / 10000.0
+        assert(v == want, s"user $u $day: $v != replay $want")
+        assert(v >= math.min(prev._3, next._3) - 1e-9 &&
+               v <= math.max(prev._3, next._3) + 1e-9,
+          s"user $u $day: $v outside [${prev._3}, ${next._3}]")
+      }
+    }
+    // same grid as ts_gapfill: identical (user, day, is_observed) triples
+    val ff = EventOps.tsGapfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+                 r.getBoolean(3))).toSet
+    val li = rows.map(t => (t._1,
+      java.time.LocalDateTime.of(t._2, java.time.LocalTime.MIDNIGHT),
+      t._4)).toSet
+    assert(ff == li, "gapfill and interpolate disagree on the grid")
+  }
+
   test("text_chunk windows are exact slices on the 48-token stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
