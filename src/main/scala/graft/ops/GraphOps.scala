@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Iterative graph operators (SURVEY.md §2.I extension rows). The graph is
+  * derived from the data itself: customers and suppliers are nodes, and a
+  * distinct (customer, supplier) trade relationship — any lineitem of any
+  * of the customer's orders filled by that supplier — is an undirected
+  * edge. No oracle SQL: fixed-point float iteration is not expressible as
+  * one DuckDB query; the spec replays the identical power iteration in
+  * memory instead (exact up to summation order).
+  *
+  * Scale design: each PageRank step is ONE hashpartitioning(dst) exchange
+  * — the contribution join keys (src) reuse the degree/rank partitioning,
+  * edges and degrees are computed once and cached, and the rank lineage is
+  * cut with localCheckpoint every iteration (the standard Spark idiom for
+  * iterative algorithms; without it the plan deepens linearly and analysis
+  * time blows up long before 100 TB does). Edge/degree state is O(E)/O(V)
+  * and partitioned, never collected. */
+object GraphOps {
+
+  /** Supplier node ids are offset into their own space so the two key
+    * domains cannot collide. */
+  private val SuppBase = 1000000000L
+
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+              (col("l_suppkey") + lit(SuppBase)).as("dst"))
+      .distinct()
+    cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** (src, dst, deg) rows, pre-partitioned by src and persisted. A cached
+    * InMemoryTableScan PRESERVES outputPartitioning (localCheckpoint does
+    * not), so every iteration's contribution join sees the big static
+    * side already clustered by src and only exchanges the O(V) rank rows. */
+  private[graft] def pagerankSubstrate(s: SparkSession, d: String)
+      : DataFrame = {
+    val edges = tradeEdges(s, d)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src").repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One damped power-iteration step: rank flows src→dst in proportion
+    * to 1/deg; the dst aggregation partially sums map-side. */
+  private[graft] def pagerankStep(edgesDeg: DataFrame,
+                                  ranks: DataFrame): DataFrame =
+    edgesDeg
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      .groupBy(col("dst").as("node"))
+      .agg((lit(0.15) + lit(0.85) * sum("c")).as("rank"))
+
+  /** 10-iteration damped PageRank (d=0.85) over the undirected trade
+    * graph. The undirected closure has no dangling nodes, so total rank
+    * is invariant at |V| every iteration (the spec pins this). Rank
+    * lineage is cut with an eager localCheckpoint per iteration; the
+    * static side stays cached, so a step costs two exchanges — the rank
+    * rows re-keying to src and the dst aggregation. Output ranks are
+    * quantized to 6 decimals; ordering is (rank desc, node) so float
+    * ties stay deterministic. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val edgesDeg = pagerankSubstrate(s, d)
+    var ranks = edgesDeg.select(col("src").as("node"), lit(1.0).as("rank"))
+      .distinct()
+    for (i <- 1 to 10) {
+      ranks = pagerankStep(edgesDeg, ranks)
+      // cut lineage every 2nd step: depth-2 plans analyze fine, and
+      // halving the eager materializations halves job-launch overhead
+      if (i % 2 == 0) ranks = ranks.localCheckpoint()
+    }
+    edgesDeg.unpersist(false)
+    ranks
+      .select(when(col("node") >= SuppBase, col("node") - SuppBase)
+                .otherwise(col("node")).as("node_id"),
+              (col("node") >= SuppBase).as("is_supplier"),
+              round(col("rank"), 6).as("rank_r"))
+      .orderBy(col("rank_r").desc, col("is_supplier"), col("node_id"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 wave (cont.): the iterative graph operator. */
+class Wave12Spec extends SparkTestBase {
+
+  private def replayPagerank(): Map[Long, Double] = {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = li.map { case (ok, sk) => (orders(ok), sk + 1000000000L) }.distinct
+    val edges = (cs ++ cs.map(_.swap)).toSeq
+    val deg = edges.groupBy(_._1).map { case (n, g) => n -> g.size }
+    var ranks: Map[Long, Double] = deg.map { case (n, _) => n -> 1.0 }.toMap
+    for (_ <- 1 to 10)
+      ranks = edges.groupBy(_._2).map { case (dst, in) =>
+        dst -> (0.15 + 0.85 * in.map(e => ranks(e._1) / deg(e._1)).sum)
+      }
+    ranks
+  }
+
+  test("graph_pagerank matches the in-memory power iteration") {
+    val want = replayPagerank()
+    val got = GraphOps.graphPagerank(spark, sf).collect()
+      .map { r =>
+        val id = if (r.getBoolean(1)) r.getLong(0) + 1000000000L else r.getLong(0)
+        id -> r.getDouble(2)
+      }.toMap
+    assert(got.keySet == want.keySet, "node sets differ")
+    got.foreach { case (n, v) =>
+      assert(math.abs(v - want(n)) < 2e-6, s"node $n: $v != ${want(n)}")
+    }
+  }
+
+  test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
+    val rows = GraphOps.graphPagerank(spark, sf).collect()
+    val total = rows.map(_.getDouble(2)).sum
+    // undirected graph has no dangling nodes: sum stays |V| each step
+    assert(math.abs(total - rows.length) < 1e-3,
+      s"total rank $total drifted from |V|=${rows.length}")
+    assert(rows.forall(_.getDouble(2) >= 0.15 - 1e-9), "rank below the floor")
+    // suppliers are the high-degree side of the bipartite graph — the top
+    // rank must be a supplier at every SF
+    assert(rows.head.getBoolean(1), "top-ranked node should be a supplier")
+  }
+
+  test("pagerank step shuffles only ranks + the dst agg (edges stay put)") {
+    val edgesDeg = GraphOps.pagerankSubstrate(spark, sf)
+    try {
+      edgesDeg.count() // materialize the cache so its partitioning is live
+      val ranks = edgesDeg.select(col("src").as("node"), lit(1.0).as("rank"))
+        .distinct().localCheckpoint()
+      val exec = GraphOps.pagerankStep(edgesDeg, ranks)
+        .queryExecution.executedPlan
+      // the string rendering inlines the cached InMemoryRelation's BUILD
+      // plan (with its one-time exchanges); collect() stops at the
+      // InMemoryTableScan leaf and sees only the live per-iteration ops
+      val n = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(n <= 2, s"a pagerank step shuffles $n times:\n$exec")
+      val plan = exec.toString
+      assert(plan.contains("InMemoryTableScan"),
+        "the static side should come from cache with live partitioning")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        "contributions should partially aggregate map-side")
+    } finally edgesDeg.unpersist(true)
+  }
+}

@@ -111,7 +111,8 @@ class Wave1Spec extends SparkTestBase {
                        "dedup_incremental", "agg_hll_union",
                        "text_quality_ml", "sim_kmeans_cluster",
                        "dedup_clusters_ann", "sim_incremental_ann",
-                       "agg_kll_quantiles", "sim_pca_reduce")
+                       "agg_kll_quantiles", "sim_pca_reduce",
+                       "graph_pagerank")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
