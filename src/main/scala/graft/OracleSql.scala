@@ -807,6 +807,30 @@ object OracleSql {
         |  ROUND((sdt - sd * st / n) / (n - 1), 6) + 0.0 AS cov_dt_r
         |FROM t ORDER BY l_returnflag""".stripMargin,
 
+    // agg_skew_kurt: same exact decimal power sums, same raw-moment
+    // algebra in textually identical double arithmetic. The intermediate
+    // products are explicitly widened to int128-backed decimals — DuckDB
+    // multiplies int64-backed DECIMAL(≤18) physically and raises a runtime
+    // overflow on price³ otherwise. The widening casts are exact, so the
+    // sums still equal Spark's bit-for-bit after the double cast.
+    "agg_skew_kurt" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(20,4)) * CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(18,4))) AS DOUBLE) AS s4,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS p1,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS p2,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2)) AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS p3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) + 0.0 AS skew_qty_r,
+        |  ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4) + 0.0 AS kurt_qty_r,
+        |  ROUND((p3 / n - 3 * (p1 / n) * (p2 / n) + 2 * (p1 / n) * (p1 / n) * (p1 / n)) / pow(p2 / n - (p1 / n) * (p1 / n), 1.5), 4) + 0.0 AS skew_price_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

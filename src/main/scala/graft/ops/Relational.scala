@@ -277,6 +277,43 @@ object Relational {
         expr("ROUND((sdt - sd * st / n) / (n - 1), 6) + 0.0").as("cov_dt_r"))
       .orderBy("l_returnflag")
 
+  /** Skewness + kurtosis from EXACT decimal power sums, extending
+    * [[aggStats]]'s playbook to the 3rd/4th moments: Σx/Σx²/Σx³/Σx⁴ are
+    * exact decimals in both engines regardless of merge order, and the
+    * raw-moment algebra (m3/m2^1.5, m4/m2²−3, population form — what the
+    * builtins compute) runs in double with textually identical formulas.
+    * Decimal widths are picked so no product exceeds 38 digits in EITHER
+    * engine's multiply rules: quantity as DECIMAL(7,2) (x⁴ → 31,8 in
+    * Spark, 28,8 in DuckDB), price as DECIMAL(9,2) up to x³ only (x⁴
+    * would overflow Spark's cap and silently round). Same single-shuffle
+    * partial-agg plan as the built-in moments. */
+  def aggSkewKurt(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2))")).cast("double").as("s1"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))"))
+          .cast("double").as("s2"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))"))
+          .cast("double").as("s3"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))"))
+          .cast("double").as("s4"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(9,2))"))
+          .cast("double").as("p1"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))"))
+          .cast("double").as("p2"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))"))
+          .cast("double").as("p3"))
+      .select(col("l_returnflag"),
+        expr("ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) + 0.0")
+          .as("skew_qty_r"),
+        expr("ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4) + 0.0")
+          .as("kurt_qty_r"),
+        expr("ROUND((p3 / n - 3 * (p1 / n) * (p2 / n) + 2 * (p1 / n) * (p1 / n) * (p1 / n)) / pow(p2 / n - (p1 / n) * (p1 / n), 1.5), 4) + 0.0")
+          .as("skew_price_r"))
+      .orderBy("l_returnflag")
+
   /** HLL approximate distinct — the 100 TB replacement for exact distinct.
     * No oracle: HLL sketches differ across engines (SURVEY §2.D); the unit
     * test bounds relative error against the exact count instead. */

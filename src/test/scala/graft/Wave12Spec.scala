@@ -49,6 +49,26 @@ class Wave12Spec extends SparkTestBase {
     assert(rows.head.getBoolean(1), "top-ranked node should be a supplier")
   }
 
+  test("agg_skew_kurt agrees with Spark's built-in moment aggregates") {
+    val got = Relational.aggSkewKurt(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+                                   r.getDouble(3))).toMap
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(skewness("l_quantity"), kurtosis("l_quantity"),
+           skewness("l_extendedprice"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+                                   r.getDouble(3))).toMap
+    assert(got.keySet == builtin.keySet)
+    got.foreach { case (k, (sq, kq, sp)) =>
+      val (bsq, bkq, bsp) = builtin(k)
+      assert(math.abs(sq - bsq) < 1e-3, s"$k skew_qty $sq vs builtin $bsq")
+      assert(math.abs(kq - bkq) < 1e-3, s"$k kurt_qty $kq vs builtin $bkq")
+      assert(math.abs(sp - bsp) < 1e-3, s"$k skew_price $sp vs builtin $bsp")
+    }
+  }
+
   test("pagerank step shuffles only ranks + the dst agg (edges stay put)") {
     val edgesDeg = GraphOps.pagerankSubstrate(spark, sf)
     try {
