@@ -185,6 +185,32 @@ object OracleSql {
         |FROM grid g LEFT JOIN daily d USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
 
+    // ts_ewma: the same left fold — list_reduce inits from the first
+    // element exactly like aggregate(slice(...,2,...), element_at(...,1));
+    // identical multiply-add order keeps the doubles bit-equal, and the
+    // floor quantization matches ts_interpolate's rationale.
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), g AS (
+        |  SELECT user_id,
+        |         list(day ORDER BY day) AS days,
+        |         list(day_value ORDER BY day) AS vals
+        |  FROM daily GROUP BY user_id
+        |), e AS (
+        |  SELECT user_id, days, vals,
+        |         unnest(generate_series(1, len(vals))) AS i
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(days[i] AS TIMESTAMP) AS day,
+        |  FLOOR(list_reduce(vals[1:i],
+        |          (acc, x) -> CAST(0.2 AS DOUBLE) * x
+        |                      + CAST(0.8 AS DOUBLE) * acc)
+        |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
+        |FROM e ORDER BY user_id, day""".stripMargin,
+
     // ts_interpolate: same grid; both neighbor scans restated as IGNORE
     // NULLS running extremes, the blend arithmetic written in the
     // identical operation order (v0 + (v1-v0) * (d-d0)/(d1-d0)), and the

@@ -162,6 +162,46 @@ object EventOps {
     (grid, daily)
   }
 
+  /** Exponentially-weighted moving average (α=0.2, adjust=false: y₀=x₀,
+    * yᵢ = αxᵢ + (1−α)yᵢ₋₁) over each user's observed daily purchase sums.
+    * The recursion is evaluated as a LEFT FOLD over the per-user value
+    * array — Spark's `aggregate` HOF and DuckDB's `list_reduce` both fold
+    * left with the same multiply-add order, so the doubles agree
+    * bit-for-bit (a closed-form Σα(1−α)^(i-j)xⱼ restatement would hang
+    * cross-engine identity on libm pow ulps instead). Per-day prefix
+    * folds are O(span²) per user, but the span is bounded by corpus age
+    * and the work is embarrassingly parallel per user — the plan is the
+    * daily partial agg, one user fold shuffle, and the determinism sort;
+    * state per user is one bounded array. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_value"))
+    daily
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("day_value"))))
+        .as("arr"))
+      .select(col("user_id"),
+              expr("transform(arr, p -> p.day)").as("days"),
+              expr("transform(arr, p -> p.day_value)").as("vals"))
+      .select(col("user_id"), col("days"), col("vals"),
+              posexplode(col("days")).as(Seq("pos", "day")))
+      .select(col("user_id"),
+              col("day").cast("timestamp_ntz").as("day"),
+              // CAST(FLOOR(..) AS DOUBLE): in SQL-expr form Spark's FLOOR
+              // of a double yields LONG and bare 10000.0 parses as
+              // DECIMAL, so the undecorated division would produce a
+              // DECIMAL column (the DSL floor()/lit() path used by the
+              // other ts ops sidesteps this)
+              expr("""CAST(FLOOR(aggregate(slice(vals, 2, pos),
+                              element_at(vals, 1),
+                              (acc, x) -> double(0.2) * x + double(0.8) * acc)
+                        * double(10000.0) + double(0.5)) AS DOUBLE)
+                      / double(10000.0)""").as("ewma_r"))
+      .orderBy("user_id", "day")
+  }
+
   /** Linear interpolation on the same dense grid: each unobserved day is
     * the distance-weighted blend of its surrounding observations (the
     * span's edges are observed by construction, so both neighbors always

@@ -285,6 +285,36 @@ class Wave11Spec extends SparkTestBase {
     assert(ff == li, "gapfill and interpolate disagree on the grid")
   }
 
+  test("ts_ewma matches the recursive definition replayed in memory") {
+    val daily = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => ((r.getLong(0),
+                  r.getAs[java.time.LocalDateTime](1).toLocalDate),
+                 r.getDouble(2)))
+      .groupBy(_._1).map { case (k, g) =>
+        k -> BigDecimal(g.map(_._2).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val want = daily.groupBy(_._1._1).flatMap { case (u, cells) =>
+      val series = cells.toSeq.map { case ((_, day), v) => (day, v) }
+        .sortBy(_._1)
+      series.tail.scanLeft(series.head) { case ((_, acc), (day, x)) =>
+        (day, 0.2 * x + 0.8 * acc)
+      }.map { case (day, y) =>
+        (u, day) -> math.floor(y * 10000.0 + 0.5) / 10000.0
+      }
+    }
+    val got = EventOps.tsEwma(spark, sf).collect()
+      .map(r => (r.getLong(0),
+                 r.getAs[java.time.LocalDateTime](1).toLocalDate)
+        -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet, "cell sets differ")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v != ${want(k)}")
+    }
+  }
+
   test("text_chunk windows are exact slices on the 48-token stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
