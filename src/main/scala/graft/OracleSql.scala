@@ -211,6 +211,71 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // graph_triangles: integer-only restatement of the same projection →
+    // top-3 → canonical-edge → ordered triangle join; the (w DESC, b)
+    // ranking is total, so both engines keep identical edge sets.
+    "graph_triangles" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), pc AS (
+        |  SELECT x.supp AS a, y.supp AS b, COUNT(*) AS w
+        |  FROM cs x JOIN cs y ON x.cust = y.cust AND x.supp <> y.supp
+        |  GROUP BY 1, 2
+        |), tk AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b,
+        |           ROW_NUMBER() OVER (PARTITION BY a
+        |                              ORDER BY w DESC, b) AS rn
+        |    FROM pc) WHERE rn <= 3
+        |), e AS (
+        |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM tk
+        |), tri AS (
+        |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        |), corners AS (
+        |  SELECT ta AS supp FROM tri
+        |  UNION ALL SELECT tb FROM tri
+        |  UNION ALL SELECT tc FROM tri
+        |)
+        |SELECT supp, COUNT(*) AS n_tri FROM corners
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ts_anomaly: window moments restated with the same DECIMAL sums
+    // (exact regardless of DuckDB's segment-tree combine order) and the
+    // z formula written in the identical double op sequence; 4dp floor
+    // quantization as in the sibling ts ops.
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, day, day_value,
+        |    CAST(SUM(CAST(day_value AS DECIMAL(18,2))) OVER fr AS DOUBLE)
+        |      AS s1,
+        |    CAST(SUM(CAST(day_value AS DECIMAL(18,2))
+        |             * CAST(day_value AS DECIMAL(18,2))) OVER fr AS DOUBLE)
+        |      AS s2,
+        |    CAST(COUNT(*) OVER fr AS DOUBLE) AS n
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), z AS (
+        |  SELECT user_id, day, day_value,
+        |    CASE WHEN n >= 5.0 AND (s2 - s1*s1/n) / (n - 1.0) > 0.0
+        |         THEN FLOOR((day_value - s1/n)
+        |                    / SQRT((s2 - s1*s1/n) / (n - 1.0))
+        |                    * 10000.0 + 0.5) / 10000.0
+        |    END AS z_r
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, day_value, z_r,
+        |       COALESCE(ABS(z_r) > 2.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY user_id, day""".stripMargin,
+
     // ts_interpolate: same grid; both neighbor scans restated as IGNORE
     // NULLS running extremes, the blend arithmetic written in the
     // identical operation order (v0 + (v1-v0) * (d-d0)/(d1-d0)), and the

@@ -202,6 +202,49 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Rolling z-score anomaly flags over each user's observed daily
+    * purchase sums: each day is scored against its trailing window of up
+    * to 7 observations (6 preceding + current). The window moments (Σx,
+    * Σx², n) are summed in DECIMAL — exact, order-independent integers —
+    * because the two engines disagree on window-aggregate mechanics
+    * (Spark re-scans each frame; DuckDB combines a segment tree) and a
+    * double Σ would differ in ulps between those addition orders. The z
+    * formula then runs ONCE in double with the identical op sequence on
+    * both sides and is floor-quantized to 4dp. Days with fewer than 5
+    * trailing observations, or a zero-variance window, score NULL (flag
+    * false). Plan: daily partial agg, one user_id exchange shared by the
+    * window sort, determinism sort — per-row state is the 7-row frame,
+    * so the op scales with user count like the other ts queries. */
+  def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    val dec = col("day_value").cast("decimal(18,2)")
+    val nd = col("n").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val variance = (s2d - s1d * s1d / nd) / (nd - lit(1.0))
+    val z = (col("day_value") - s1d / nd) / sqrt(variance)
+    events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_value"))
+      .select(col("user_id"), col("day"), col("day_value"),
+              sum(dec).over(fr).as("s1"),
+              sum(dec * dec).over(fr).as("s2"),
+              count(lit(1)).over(fr).as("n"))
+      .select(col("user_id"),
+              col("day").cast("timestamp_ntz").as("day"),
+              col("day_value"),
+              when(col("n") >= 5 && variance > lit(0.0),
+                   floor(z * lit(10000.0) + lit(0.5)).cast("double")
+                     / lit(10000.0)).as("z_r"))
+      .select(col("user_id"), col("day"), col("day_value"), col("z_r"),
+              coalesce(abs(col("z_r")) > lit(2.0), lit(false))
+                .as("is_anomaly"))
+      .orderBy("user_id", "day")
+  }
+
   /** Linear interpolation on the same dense grid: each unobserved day is
     * the distance-weighted blend of its surrounding observations (the
     * span's edges are observed by construction, so both neighbors always

@@ -315,6 +315,56 @@ class Wave11Spec extends SparkTestBase {
     }
   }
 
+  test("ts_anomaly matches the trailing-window z-score replayed in memory") {
+    val daily = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => ((r.getLong(0),
+                  r.getAs[java.time.LocalDateTime](1).toLocalDate),
+                 r.getDouble(2)))
+      .groupBy(_._1).map { case (k, g) =>
+        k -> BigDecimal(g.map(_._2).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val want = daily.groupBy(_._1._1).flatMap { case (u, cells) =>
+      val series = cells.toSeq.map { case ((_, day), v) => (day, v) }
+        .sortBy(_._1)
+      series.indices.map { i =>
+        val frame = series.slice(math.max(0, i - 6), i + 1).map(_._2)
+        // decimal-exact moments, as both engines compute them
+        val s1 = frame.map(v => BigDecimal(v).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val s2 = frame.map { v =>
+          val b = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          b * b
+        }.sum.toDouble
+        val n = frame.size.toDouble
+        val variance = (s2 - s1 * s1 / n) / (n - 1.0)
+        val z =
+          if (n >= 5.0 && variance > 0.0)
+            Some(math.floor((series(i)._2 - s1 / n) / math.sqrt(variance)
+              * 10000.0 + 0.5) / 10000.0)
+          else None
+        (u, series(i)._1) -> ((z, z.exists(v => math.abs(v) > 2.0)))
+      }
+    }
+    val got = EventOps.tsAnomaly(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toLocalDate) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))
+    }.toMap
+    assert(got.keySet == want.keySet, "cell sets differ")
+    want.foreach { case (k, (wz, wa)) =>
+      val (gz, ga) = got(k)
+      assert(gz.isDefined == wz.isDefined, s"$k: null-ness $gz vs $wz")
+      for (g <- gz; w <- wz)
+        assert(math.abs(g - w) < 1e-9, s"$k: $g != $w")
+      assert(ga == wa, s"$k: flag $ga != $wa")
+    }
+    assert(got.values.exists(_._2), "no anomaly flagged anywhere")
+    assert(got.values.exists(_._1.isEmpty), "no short-window NULL present")
+  }
+
   test("text_chunk windows are exact slices on the 48-token stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -37,6 +37,45 @@ class Wave12Spec extends SparkTestBase {
     }
   }
 
+  test("graph_triangles matches the in-memory projection replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = li.map { case (ok, sk) => (orders(ok), sk) }.distinct
+    val byCust = cs.groupBy(_._1)
+      .map { case (c, g) => c -> g.map(_._2).toSeq }
+    val w = byCust.values.toSeq
+      .flatMap(ss => for (a <- ss; b <- ss if a != b) yield (a, b))
+      .groupBy(identity).map { case (p, g) => p -> g.size }
+    val topk = w.groupBy(_._1._1).flatMap { case (_, nb) =>
+      nb.toSeq.map { case ((a, b), c) => (a, b, c) }
+        .sortBy { case (_, b, c) => (-c, b) }.take(3)
+    }
+    val e = topk.map { case (a, b, _) =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val tri = for {
+      (a, b) <- e.toSeq; (b2, c) <- e.toSeq
+      if b2 == b && e.contains((a, c))
+    } yield (a, b, c)
+    val want = tri.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    val got = GraphOps.graphTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"triangle counts differ: got ${got.size} nodes, " +
+      s"want ${want.size}")
+    assert(want.nonEmpty, "degenerate fixture: no triangles at all")
+  }
+
+  test("graph_triangles prunes the top-k rank inside WindowGroupLimit") {
+    val plan = GraphOps.graphTriangles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rn <= 3 should push into WindowGroupLimit before the full sort")
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum
