@@ -211,6 +211,63 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // ts_resample: arg_min/arg_max on the scalar day key restate
+    // min_by/max_by; the week total re-sums the same exact decimals.
+    // Both engines' date_trunc('week') snap to Monday.
+    "ts_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |       CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+        |       COUNT(*) AS n_days,
+        |       arg_min(day_value, day) AS open_v,
+        |       arg_max(day_value, day) AS close_v,
+        |       MIN(day_value) AS lo_v,
+        |       MAX(day_value) AS hi_v,
+        |       CAST(SUM(CAST(day_value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_v
+        |FROM daily GROUP BY 1, 2 ORDER BY user_id, week""".stripMargin,
+
+    // dq_audit: same fused conditional counts + NOT-EXISTS restatements
+    // of the anti-joins; all-integer outputs.
+    "dq_audit" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem_bad_discount' AS chk,
+        |         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS n_bad
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpos_qty',
+        |         COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_null_shipdate',
+        |         COUNT(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_null_user',
+        |         COUNT(*) FILTER (WHERE user_id IS NULL) FROM events
+        |  UNION ALL
+        |  SELECT 'events_negative_value',
+        |         COUNT(*) FILTER (WHERE value < 0) FROM events
+        |  UNION ALL
+        |  SELECT 'documents_empty_text',
+        |         COUNT(*) FILTER (WHERE text IS NULL OR LENGTH(text) = 0)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents_dup_text',
+        |         COUNT(*) - COUNT(DISTINCT text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_order', COUNT(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', COUNT(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)
+        |)
+        |SELECT chk, n_bad FROM checks ORDER BY chk""".stripMargin,
+
     // graph_triangles: integer-only restatement of the same projection →
     // top-3 → canonical-edge → ordered triangle join; the (w DESC, b)
     // ranking is total, so both engines keep identical edge sets.

@@ -245,6 +245,31 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Weekly OHLC downsample of each user's daily purchase sums: open =
+    * first observed day's value in the ISO week, close = last, plus
+    * lo/hi/count/total. open/close use min_by/max_by on the unique day
+    * key — deterministic, no window sort — and the week total is summed
+    * in decimal (partial-agg addition order is partition-dependent, a
+    * double Σ could ulp-diverge from the oracle's). One extra partial
+    * agg above the daily rollup; grouping key count shrinks ~7×, so the
+    * op costs less than the daily agg it feeds on at any scale. */
+  def tsResample(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_value"))
+      .groupBy(col("user_id"),
+               date_trunc("week", col("day")).cast("timestamp_ntz")
+                 .as("week"))
+      .agg(count(lit(1)).as("n_days"),
+           min_by(col("day_value"), col("day")).as("open_v"),
+           max_by(col("day_value"), col("day")).as("close_v"),
+           min("day_value").as("lo_v"),
+           max("day_value").as("hi_v"),
+           sum(col("day_value").cast("decimal(18,2)")).cast("double")
+             .as("total_v"))
+      .orderBy("user_id", "week")
+
   /** Linear interpolation on the same dense grid: each unobserved day is
     * the distance-weighted blend of its surrounding observations (the
     * span's edges are observed by construction, so both neighbors always

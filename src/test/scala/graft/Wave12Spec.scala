@@ -76,6 +76,72 @@ class Wave12Spec extends SparkTestBase {
       "rn <= 3 should push into WindowGroupLimit before the full sort")
   }
 
+  test("ts_resample matches the weekly OHLC replay") {
+    val daily = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => ((r.getLong(0),
+                  r.getAs[java.time.LocalDateTime](1).toLocalDate),
+                 r.getDouble(2)))
+      .groupBy(_._1).map { case (k, g) =>
+        k -> BigDecimal(g.map(_._2).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val want = daily.toSeq.groupBy { case ((u, day), _) =>
+      (u, day.`with`(java.time.DayOfWeek.MONDAY))
+    }.map { case ((u, wk), cells) =>
+      val series = cells.map { case ((_, day), v) => (day, v) }.sortBy(_._1)
+      val vals = series.map(_._2)
+      (u, wk) -> ((series.size.toLong, series.head._2, series.last._2,
+                   vals.min, vals.max,
+                   vals.map(v => BigDecimal(v).setScale(2,
+                     BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = EventOps.tsResample(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toLocalDate) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))
+    }.toMap
+    assert(got.keySet == want.keySet, "week cells differ")
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"$k: ${got(k)} != $w")
+    }
+    assert(want.exists(_._2._1 > 1L), "no multi-day week in fixture")
+  }
+
+  test("dq_audit counts match an in-memory replay of every rule") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").collect()
+    val ords = spark.read.parquet(s"$sf/orders.parquet").collect()
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "value").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+    val custKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val ordKeys = ords.map(_.getAs[Long]("o_orderkey")).toSet
+    val texts = docs.map(r => Option(r.getString(0)))
+    val want = Map(
+      "lineitem_bad_discount" -> li.count { r =>
+        val x = r.getAs[Double]("l_discount"); x < 0 || x > 1 },
+      "lineitem_nonpos_qty" -> li.count(_.getAs[Double]("l_quantity") <= 0),
+      "lineitem_null_shipdate" -> li.count(_.isNullAt(
+        li.head.fieldIndex("l_shipdate"))),
+      "events_null_user" -> 0,
+      "events_negative_value" -> ev.count(_.getDouble(1) < 0),
+      "documents_empty_text" -> texts.count(t => t.isEmpty || t.get.isEmpty),
+      "documents_dup_text" -> (texts.length - texts.distinct.length),
+      "lineitem_orphan_order" -> li.count(r =>
+        !ordKeys.contains(r.getAs[Long]("l_orderkey"))),
+      "orders_orphan_customer" -> ords.count(r =>
+        !custKeys.contains(r.getAs[Long]("o_custkey")))
+    ).map { case (k, v) => k -> v.toLong }
+    val got = AuditOps.dqAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"audit rows differ:\n got $got\nwant $want")
+    assert(got.size == 9, "audit must emit exactly one row per rule")
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum
