@@ -886,6 +886,20 @@ object OracleSql {
         |    ON p.user_id = c.user_id AND c.ts < p.ts) t
         |WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
+    // join_asof_sorted: identical semantics to join_asof (the Spark side
+    // replaces the inequality join with a sort + running window; the
+    // result contract is unchanged), so the oracle is the same SQL.
+    "join_asof_sorted" ->
+      """SELECT user_id, p_id, p_ts, c_id, c_ts FROM (
+        |  SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+        |    c.event_id AS c_id, c.ts AS c_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts < p.ts) t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
     // ---- wave 2: aggregations ----
 
     "agg_multikey_having" ->

@@ -687,6 +687,39 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** Scale-superior as-of twin: instead of [[joinAsof]]'s per-user
+    * inequality join (whose pair stream grows with clicks×purchases on a
+    * hot user), ONE scan tags both event kinds, ONE user_id sort orders
+    * them by (ts, kind, id), and each purchase reads the latest click
+    * seen so far from an IGNORE NULLS running window — O(n log n) with a
+    * single exchange and no quadratic pair blowup. Purchases sort before
+    * clicks at equal ts (kind 0 < 1), reproducing the strict
+    * c_ts < p_ts bound; within equal-ts clicks the id sort makes `last`
+    * pick the max id — the exact argmax tiebreak of [[joinAsof]], so the
+    * two queries are row-identical (the spec pins it; the oracle is the
+    * same SQL). */
+  def joinAsofSorted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+              when(col("event_type") === "click", 1).otherwise(0)
+                .as("kind"),
+              col("event_id"))
+      .select(col("user_id"), col("ts"), col("kind"), col("event_id"),
+              last(when(col("kind") === 1,
+                        struct(col("ts"), col("event_id"))),
+                   ignoreNulls = true).over(w).as("lastc"))
+      .where(col("kind") === 0)
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"), col("lastc.event_id").as("c_id"),
+              col("lastc.ts").as("c_ts"))
+      .orderBy("p_id")
+  }
+
   // ---- D. aggregations (wave 2) ----
 
   /** Multi-key group + HAVING. */

@@ -142,6 +142,18 @@ class Wave12Spec extends SparkTestBase {
     assert(got.size == 9, "audit must emit exactly one row per rule")
   }
 
+  test("join_asof_sorted is row-identical to join_asof, with no join node") {
+    val a = Relational.joinAsof(spark, sf).collect().toSeq
+    val b = Relational.joinAsofSorted(spark, sf).collect().toSeq
+    assert(a == b, "the sorted as-of twin must reproduce join_asof exactly")
+    val plan = Relational.joinAsofSorted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "sorted as-of must not contain any join operator")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "one user_id exchange feeds both the window sort and the filter")
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum
