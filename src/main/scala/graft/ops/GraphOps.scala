@@ -129,10 +129,16 @@ object GraphOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("w").desc, col("b"))))
       .where(col("rn") <= 3)
+    // e is referenced by all three legs of the triangle join; uncached,
+    // Spark re-runs the whole projection+top-k pipeline per leg (the
+    // executed plan showed 3× the exchanges). The edge table is ≤ k·|V|
+    // rows — persisting it is the canonical iterative-substrate move
+    // (same rationale as pagerankSubstrate).
     val e = topk
       .select(least(col("a"), col("b")).as("a"),
               greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e1.a") === col("e3.a") &&
