@@ -211,6 +211,37 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // scan_text: the oracle reads the ORIGINAL parquet table — the
+    // line-file roundtrip must preserve every character (texts are
+    // verified newline-free at export time by construction).
+    "scan_text" ->
+      """SELECT text, LENGTH(text) AS n_chars
+        |FROM documents ORDER BY text""".stripMargin,
+
+    // win_streak: identical islands construction; the (len DESC,
+    // start_day DESC) row_number restates the max-struct argmax tiebreak.
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INTEGER)
+        |      AS anchor
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM isl GROUP BY 1, 2
+        |), best AS (
+        |  SELECT user_id, len AS best_streak, start_day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY len DESC, start_day DESC) AS rn
+        |  FROM runs
+        |)
+        |SELECT user_id, best_streak,
+        |       CAST(start_day AS TIMESTAMP) AS streak_start
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // ts_resample: arg_min/arg_max on the scalar day key restate
     // min_by/max_by; the week total re-sums the same exact decimals.
     // Both engines' date_trunc('week') snap to Monday.

@@ -245,6 +245,29 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Longest consecutive-day activity streak per user (gaps-and-islands):
+    * day − row_number collapses each run of consecutive days to a
+    * constant anchor date, runs are counted per (user, anchor), and the
+    * per-user best takes the longest run (ties → latest start, via the
+    * same max-struct argmax as [[Relational.joinAsof]]). Integer/date
+    * arithmetic only — no float surface. The raw event volume collapses
+    * at the first distinct's partial agg; everything after is per-user
+    * day counts on one user_id exchange. */
+  def winStreak(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      .groupBy("user_id")
+      .agg(max(struct(col("len"), col("start_day"))).as("t"))
+      .select(col("user_id"), col("t.len").as("best_streak"),
+              col("t.start_day").cast("timestamp_ntz").as("streak_start"))
+      .orderBy("user_id")
+  }
+
   /** Weekly OHLC downsample of each user's daily purchase sums: open =
     * first observed day's value in the ISO week, close = last, plus
     * lo/hi/count/total. open/close use min_by/max_by on the unique day

@@ -100,6 +100,37 @@ object Relational {
       loc.toString
     })
 
+  /** Plain-text source (`spark.read.text`): one line per document from a
+    * durable newline-free export ([[ensureTextExport]]) — the landing
+    * format of raw text dumps. The oracle reads the ORIGINAL parquet
+    * table, so the text roundtrip must preserve every character; length
+    * is recomputed per line to pin that. At 100 TB this source splits by
+    * file/line-block like any other file scan. */
+  def scanText(s: SparkSession, d: String): DataFrame =
+    s.read.text(ensureTextExport(s, d))
+      .select(col("value").as("text"),
+              length(col("value")).cast("long").as("n_chars"))
+      .orderBy("text")
+
+  /** One-time documents→text export per dataset dir — same durable
+    * `_SUCCESS`-guarded warehouse layout as [[ensureOrcExport]]. */
+  private val textExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureTextExport(s: SparkSession, d: String): String =
+    textExported.getOrElseUpdate(d, bucketedLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft_text_documents_$key")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        documents(s, d).select("text").write.mode("overwrite")
+          .text(loc.toString)
+      }
+      loc.toString
+    })
+
   /** Binary-file ingestion source (`spark.read.format("binaryFile")`) —
     * the opaque-payload entry point of the multimodal tier: image/audio
     * files land as (path, length, content BINARY) rows and the mm_*

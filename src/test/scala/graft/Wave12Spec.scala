@@ -154,6 +154,40 @@ class Wave12Spec extends SparkTestBase {
       "one user_id exchange feeds both the window sort and the filter")
   }
 
+  test("win_streak matches a gaps-and-islands replay") {
+    val days = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0),
+                 r.getAs[java.time.LocalDateTime](1).toLocalDate))
+      .distinct
+    val want = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      val runs = sorted.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+        case ((start, len) :: tail, day)
+          if start.plusDays(len) == day => (start, len + 1) :: tail
+        case (acc, day) => (day, 1L) :: acc
+      }
+      val best = runs.maxBy { case (st, len) => (len, st.toEpochDay) }
+      u -> ((best._2, best._1))
+    }
+    val got = EventOps.winStreak(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+    }.toMap
+    assert(got == want, "streaks differ from replay")
+    assert(want.values.exists(_._1 > 1L), "no multi-day streak in fixture")
+  }
+
+  test("scan_text roundtrips every document character-exactly") {
+    val got = Relational.scanText(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(r => (r.getString(0), r.getString(0).length.toLong))
+      .toSeq.sortBy(_._1)
+    assert(got == want, "text export roundtrip lost or altered lines")
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum
