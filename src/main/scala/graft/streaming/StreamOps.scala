@@ -73,6 +73,45 @@ object StreamOps {
       .toDF("user_id", "running_events")
   }
 
+  /** Streaming twin of the batch ts_anomaly: per-user running moments
+    * (Welford n/mean/M2) held as keyed state; each purchase is scored
+    * against the state as it stood BEFORE that row folds in, so a value
+    * is never judged against itself. State is three numbers per user —
+    * bounded and sharded by the groupByKey shuffle — where the batch op
+    * sorts a trailing window; the trade is expanding-window moments
+    * instead of a sliding frame, the standard online form. Rows within a
+    * microbatch fold in event_id order so replays are deterministic. */
+  def streamingAnomaly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.where(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double),
+                              (Long, Long, Double, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+            val z =
+              if (n >= 5 && m2 > 0)
+                Some((v - mean) / math.sqrt(m2 / (n - 1)))
+              else None
+            n += 1
+            val delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+            (user, id, v, z)
+          }
+          state.update((n, mean, m2))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "value", "z")
+  }
+
   /** Stream-stream inner join: purchases joined to the click that preceded
     * them by at most 10 minutes, per user. Watermarks on both sides bound
     * the join state; the time-range condition tells Spark when buffered

@@ -125,6 +125,40 @@ class Wave4Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly scores against pre-update state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.streamingAnomaly(in.toDF())
+      .writeStream.format("memory").queryName("sanom")
+      .outputMode("append").start()
+    try {
+      // batch 1: five calm purchases — none scorable (state n < 5)
+      in.addData((1 to 5).map(i =>
+        Ev(i, t(i), 7, "purchase", 10.0 + i * 0.1)): _*)
+      q.processAllAvailable()
+      // batch 2: one calm value then a wild outlier; both score against
+      // state built in batch 1 (proves state survives the batch boundary)
+      in.addData(Ev(6, t(6), 7, "purchase", 10.3),
+                 Ev(7, t(7), 7, "purchase", 500.0))
+      q.processAllAvailable()
+      val rows = spark.table("sanom").collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert((1 to 5).forall(i => rows(i.toLong).isEmpty),
+        "first five rows must be unscored (n < 5)")
+      // replay Welford in the test to the exact expected z for row 6
+      var (n, mean, m2) = (0L, 0.0, 0.0)
+      for (v <- Seq(10.1, 10.2, 10.3, 10.4, 10.5)) {
+        n += 1; val d = v - mean; mean += d / n; m2 += d * (v - mean)
+      }
+      val z6 = (10.3 - mean) / math.sqrt(m2 / (n - 1))
+      assert(math.abs(rows(6L).get - z6) < 1e-12,
+        s"row 6 z ${rows(6L)} != replay $z6")
+      assert(rows(7L).get > 100.0, "the outlier must score a huge z")
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
