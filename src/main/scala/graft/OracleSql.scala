@@ -1024,6 +1024,28 @@ object OracleSql {
         |  ROUND((p3 / n - 3 * (p1 / n) * (p2 / n) + 2 * (p1 / n) * (p1 / n) * (p1 / n)) / pow(p2 / n - (p1 / n) * (p1 / n), 1.5), 4) + 0.0 AS skew_price_r
         |FROM t ORDER BY l_returnflag""".stripMargin,
 
+    // agg_corr: same exact-decimal cross sums (q×p → DECIMAL(17,4), under
+    // both engines' 38-digit caps with room), same double formula text.
+    "agg_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  FLOOR((sxy - sx * sy / n)
+        |        / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS corr_r,
+        |  FLOOR((sxy - sx * sy / n) / (n - 1.0)
+        |        * 10000.0 + 0.5) / 10000.0 AS covs_r,
+        |  FLOOR((sxy - sx * sy / n) / n
+        |        * 10000.0 + 0.5) / 10000.0 AS covp_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

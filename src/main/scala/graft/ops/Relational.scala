@@ -345,6 +345,39 @@ object Relational {
           .as("skew_price_r"))
       .orderBy("l_returnflag")
 
+  /** Pearson correlation + sample/population covariance of (quantity,
+    * price) per return flag, from EXACT decimal cross sums — the
+    * agg_skew_kurt playbook on two variables: Σx Σy Σxy Σx² Σy² are
+    * order-independent decimals (the builtins' streaming co-moment
+    * updates would ulp-drift with partition order), then ONE double
+    * formula with the identical op sequence on both engines,
+    * floor-quantized. Same single-shuffle partial-agg plan as any
+    * grouped sum; decimal widths keep every product under the 38-digit
+    * cap (q DECIMAL(7,2) × p DECIMAL(9,2) → (17,4)). */
+  def aggCorr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2))")).cast("double").as("sx"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(9,2))")).cast("double").as("sy"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_extendedprice AS DECIMAL(9,2))"))
+          .cast("double").as("sxy"),
+        sum(expr("CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))"))
+          .cast("double").as("sxx"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))"))
+          .cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        expr("""CAST(FLOOR((sxy - sx * sy / n)
+                  / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0""")
+          .as("corr_r"),
+        expr("""CAST(FLOOR((sxy - sx * sy / n) / (n - 1.0)
+                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("covs_r"),
+        expr("""CAST(FLOOR((sxy - sx * sy / n) / n
+                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("covp_r"))
+      .orderBy("l_returnflag")
+
   /** HLL approximate distinct — the 100 TB replacement for exact distinct.
     * No oracle: HLL sketches differ across engines (SURVEY §2.D); the unit
     * test bounds relative error against the exact count instead. */

@@ -188,6 +188,24 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("agg_corr agrees with Spark's built-in corr/covar aggregates") {
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+           covar_samp(col("l_quantity"), col("l_extendedprice")).as("cs"),
+           covar_pop(col("l_quantity"), col("l_extendedprice")).as("cp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    Relational.aggCorr(spark, sf).collect().foreach { r =>
+      val (c, cs, cp) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(1) - c) < 1e-5, s"corr ${r.getDouble(1)} vs $c")
+      assert(math.abs(r.getDouble(2) - cs) < 1e-3 * math.abs(cs) + 1e-3,
+        s"covar_samp ${r.getDouble(2)} vs $cs")
+      assert(math.abs(r.getDouble(3) - cp) < 1e-3 * math.abs(cp) + 1e-3,
+        s"covar_pop ${r.getDouble(3)} vs $cp")
+    }
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum
