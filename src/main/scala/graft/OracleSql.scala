@@ -299,6 +299,35 @@ object OracleSql {
         |)
         |SELECT chk, n_bad FROM checks ORDER BY chk""".stripMargin,
 
+    // sim_label_centroids: same decimal component sums; the cosine folds
+    // restate Spark's aggregate-with-0-init as list_reduce (first-element
+    // init) — identical in IEEE since 0+x ≡ x. generate_series indexes the
+    // product list so its fold order is the component order.
+    "sim_label_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, i AS pos,
+        |    CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY 1, 2
+        |), vecs AS (
+        |  SELECT label, list(c ORDER BY pos) AS vec FROM comp GROUP BY 1
+        |)
+        |SELECT a.label AS la, b.label AS lb,
+        |  FLOOR(list_reduce(list_transform(generate_series(1, len(a.vec)),
+        |                                   i -> a.vec[i] * b.vec[i]),
+        |                    (acc, t) -> acc + t)
+        |        / SQRT(list_reduce(list_transform(
+        |                 generate_series(1, len(a.vec)),
+        |                 i -> a.vec[i] * a.vec[i]), (acc, t) -> acc + t)
+        |             * list_reduce(list_transform(
+        |                 generate_series(1, len(b.vec)),
+        |                 i -> b.vec[i] * b.vec[i]), (acc, t) -> acc + t))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS cos_r
+        |FROM vecs a JOIN vecs b ON a.label <= b.label
+        |ORDER BY la, lb""".stripMargin,
+
     // graph_triangles: integer-only restatement of the same projection →
     // top-3 → canonical-edge → ordered triangle join; the (w DESC, b)
     // ranking is total, so both engines keep identical edge sets.

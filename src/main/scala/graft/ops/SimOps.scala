@@ -838,6 +838,42 @@ object SimOps {
     * No SQL oracle (candidate membership is probabilistic in the hash
     * draw); property-tested for cluster agreement with the exact CC on
     * planted near-dup cliques. */
+  /** Per-label embedding centroids + the pairwise centroid-cosine matrix
+    * — class prototypes and inter-class geometry, the standard
+    * label-space health check before training on a labeled corpus.
+    *
+    * Determinism is engineered at both stages: (1) component sums run in
+    * DECIMAL(18,9) (a double Σ over the posexplode'd stream would
+    * ulp-drift with partition order; the decimal snap of the same float
+    * inputs is identical in both engines), and (2) each cosine folds its
+    * 64-component arrays SEQUENTIALLY (Spark `aggregate` with 0 init ≡
+    * DuckDB `list_reduce` first-element init, since 0+x ≡ x in IEEE) —
+    * so no parallel reduction touches a double anywhere.
+    *
+    * Scale: the explode stream partial-aggregates to labels×dim rows
+    * before its one shuffle; everything after is centroid-matrix-sized
+    * (labels ≤ class cardinality — for id-scale keys use the ANN tier). */
+  def simLabelCentroids(s: SparkSession, d: String): DataFrame = {
+    val comp = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(expr("CAST(v AS DECIMAL(18,9))")).cast("double")
+              / count(lit(1)).cast("double")).as("c"))
+    val vecs = comp.groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c)))," +
+                " p -> p.c)").as("vec"))
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, t) -> acc + t)"
+    vecs.select(col("label").as("la"), col("vec").as("va"))
+      .join(vecs.select(col("label").as("lb"), col("vec").as("vb")),
+            col("la") <= col("lb"))
+      .select(col("la"), col("lb"),
+        expr(s"""CAST(FLOOR(${dot("va", "vb")}
+                 / SQRT(${dot("va", "va")} * ${dot("vb", "vb")})
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0""").as("cos_r"))
+      .orderBy("la", "lb")
+  }
+
   def dedupClustersAnn(s: SparkSession, d: String): DataFrame = {
     val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
     dedupClustersAnnOn(s, v, tau = 0.40, n = v.count())

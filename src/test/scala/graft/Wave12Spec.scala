@@ -188,6 +188,34 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("sim_label_centroids matches an in-memory centroid replay") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cents = rows.groupBy(_._1).map { case (l, g) =>
+      val dim = g.head._2.length
+      l -> Array.tabulate(dim) { i =>
+        val s = g.map(x => BigDecimal(x._2(i).toDouble).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / g.size.toDouble
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val want = (for {
+      (la, va) <- cents; (lb, vb) <- cents if la <= lb
+    } yield (la, lb) -> math.floor(dot(va, vb)
+      / math.sqrt(dot(va, va) * dot(vb, vb)) * 1e6 + 0.5) / 1e6).toMap
+    val got = SimOps.simLabelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet, "label pair sets differ")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v != ${want(k)}")
+    }
+    got.filter { case ((a, b), _) => a == b }.values.foreach(v =>
+      assert(math.abs(v - 1.0) < 1e-6, "self-cosine must be 1"))
+  }
+
   test("agg_corr agrees with Spark's built-in corr/covar aggregates") {
     val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
