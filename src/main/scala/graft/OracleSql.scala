@@ -211,6 +211,46 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // join_interval_overlap: identical islands → intervals, same top-24
+    // busiest hours (total order on cnt DESC, hour), and the same
+    // hour-bucket expansion — bucket equality is the overlap predicate.
+    "join_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev
+        |        FROM events) t
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(opens) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id,
+        |    ts
+        |  FROM o
+        |), iv AS (
+        |  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2
+        |), busy AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS hour_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY hour_cnt DESC, hour LIMIT 24
+        |), cov AS (
+        |  SELECT user_id, session_id, s_start,
+        |    unnest(generate_series(date_trunc('hour', s_start),
+        |                           date_trunc('hour', s_end),
+        |                           INTERVAL 1 HOUR)) AS hour
+        |  FROM iv
+        |)
+        |SELECT c.user_id, c.session_id,
+        |       CAST(c.s_start AS TIMESTAMP) AS s_start,
+        |       CAST(c.hour AS TIMESTAMP) AS hour, b.hour_cnt
+        |FROM cov c JOIN busy b USING (hour)
+        |ORDER BY user_id, session_id, hour""".stripMargin,
+
     // scan_text: the oracle reads the ORIGINAL parquet table — the
     // line-file roundtrip must preserve every character (texts are
     // verified newline-free at export time by construction).

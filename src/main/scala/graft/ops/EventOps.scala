@@ -58,6 +58,52 @@ object EventOps {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Interval×interval overlap join — the operator class join_theta_range
+    * (point-in-range) doesn't cover. Left: per-user sessions (the
+    * win_sessionize islands collapsed to [first_ts, last_ts]); right: the
+    * 24 globally busiest hours (cnt DESC, hour tiebreak — a fixed-N
+    * semantic that scales, where any fixed count threshold drifts with
+    * corpus size). A session matches every busy hour it overlaps.
+    * Instead of an inequality join (BNLJ at scale), each session explodes
+    * to the hour buckets it covers — bounded by ceil(span/bucket) — and
+    * the join is plain hash-equi on the bucket; busy hours are
+    * bucket-aligned, so bucket equality IS the overlap predicate: no
+    * residual condition, no duplicate pairs. Both sides collapse before
+    * the join (sessions to one row per island, hours to a 24-row
+    * TakeOrdered that broadcasts). */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("opens",
+        when(col("prev_ts").isNull ||
+               col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+             1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("opens").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val busy = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("hour_cnt"))
+      .orderBy(col("hour_cnt").desc, col("hour"))
+      .limit(24)
+    sessions
+      .select(col("user_id"), col("session_id"), col("s_start"),
+        explode(expr("""sequence(date_trunc('hour', s_start),
+                                 date_trunc('hour', s_end),
+                                 interval 1 hour)""")).as("hour"))
+      .join(broadcast(busy), Seq("hour"))
+      .select(col("user_id"), col("session_id"),
+              col("s_start").cast("timestamp_ntz").as("s_start"),
+              col("hour").cast("timestamp_ntz").as("hour"),
+              col("hour_cnt"))
+      .orderBy("user_id", "session_id", "hour")
+  }
+
   /** Event-sequence (funnel) detection: click→purchase conversions per
     * user, where the purchase follows the click within 30 minutes — the
     * MATCH_RECOGNIZE-style pattern query expressed with lead() over the

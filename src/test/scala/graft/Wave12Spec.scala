@@ -188,6 +188,40 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("join_interval_overlap matches a direct interval-intersection replay") {
+    val evs = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 r.getAs[java.time.LocalDateTime](2)))
+    // sessions: 30-min gap islands per user, replayed independently
+    val sessions = evs.toSeq.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val sorted = g.map(t => (t._3, t._2)).sortBy(identity)
+      var sid = 0L
+      var prev: Option[java.time.LocalDateTime] = None
+      sorted.map { case (ts, _) =>
+        if (prev.forall(p => !ts.isBefore(p.plusMinutes(30)))) sid += 1
+        prev = Some(ts)
+        (u, sid, ts)
+      }
+    }.toSeq.groupBy(t => (t._1, t._2)).map { case ((u, sid), rows) =>
+      (u, sid, rows.map(_._3).min, rows.map(_._3).max)
+    }
+    val busy = evs.groupBy(_._3.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
+      .map { case (h, g) => (h, g.size.toLong) }.toSeq
+      .sortBy { case (h, c) => (-c, h) }.take(24).toMap
+    // DIRECT overlap: closed session interval vs half-open hour window
+    val want = (for {
+      (u, sid, st, en) <- sessions
+      (h, cnt) <- busy
+      if !h.plusHours(1).minusNanos(1).isBefore(st) && !h.isAfter(en)
+    } yield (u, sid, h) -> cnt).toMap
+    val got = EventOps.joinIntervalOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 r.getAs[java.time.LocalDateTime](3)) -> r.getLong(4)).toMap
+    assert(got == want, s"overlap sets differ: got ${got.size} want ${want.size}")
+    assert(want.nonEmpty, "fixture produced no busy-hour overlaps")
+  }
+
   test("sim_label_centroids matches an in-memory centroid replay") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
