@@ -15,7 +15,13 @@ class InvarianceSpec extends SparkTestBase {
     "dedup_simhash",    // simhash sketch aggregate
     "sim_ann_bucket",   // LSH candidates + argmax rerank
     "sim_ann_ivf",      // IVF assignment + argmax rerank
-    "text_entropy")     // float-sum rounding exposure
+    "text_entropy",     // float-sum rounding exposure
+    "agg_skew_kurt",    // exact decimal power sums
+    "agg_corr",         // exact decimal cross sums
+    "ts_anomaly",       // decimal window moments
+    "ts_resample",      // decimal week totals + min_by/max_by argmax
+    "ts_ewma",          // per-user sequential fold
+    "sim_label_centroids") // decimal component sums + sequential folds
 
   test("results are invariant to shuffle partition count") {
     val conf = spark.conf
