@@ -145,4 +145,26 @@ object SketchOps {
       .agg(hll_sketch_agg(col("token")).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
              .as("distinct_tokens_est"))
+
+  /** Rolling 7-day distinct users per day — the mergeable-sketch answer
+    * to overlapping-window distinct. Exact rolling distinct at 100 TB
+    * recomputes each day's users 7× (overlapping frames defeat partial
+    * aggregation); here the raw volume collapses ONCE into a per-day HLL
+    * sketch and each output row merges 7 sketches (register-wise max —
+    * commutative, so window merge order can't change the estimate).
+    * Deterministic (DataSketches HLL has no random state), but no SQL
+    * oracle: DuckDB's approx_count_distinct is a different HLL; the spec
+    * bounds the estimate against the exact rolling distinct instead. */
+  def winRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           count(lit(1)).as("n_events"))
+      .select(col("day").cast("timestamp_ntz").as("day"), col("n_events"),
+              hll_sketch_estimate(hll_union_agg(col("sk")).over(fr))
+                .as("users_7d_est"))
+      .orderBy("day")
+  }
 }

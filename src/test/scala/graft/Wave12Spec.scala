@@ -188,6 +188,29 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("win_rolling_distinct tracks the exact rolling distinct within 5%") {
+    val cells = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1).toLocalDate,
+                 r.getLong(0))).toSeq
+    val byDay = cells.groupBy(_._1).map { case (d, g) =>
+      d -> g.map(_._2).toSet
+    }
+    val days = byDay.keys.toSeq.sorted
+    val exact = days.zipWithIndex.map { case (d, i) =>
+      d -> days.slice(math.max(0, i - 6), i + 1)
+        .flatMap(byDay).toSet.size
+    }.toMap
+    val got = SketchOps.winRollingDistinct(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toLocalDate ->
+        r.getLong(2).toDouble).toMap
+    assert(got.keySet == exact.keySet, "day sets differ")
+    exact.foreach { case (d, ex) =>
+      assert(math.abs(got(d) - ex) <= math.max(2.0, 0.05 * ex),
+        s"$d: est ${got(d)} vs exact $ex")
+    }
+  }
+
   test("join_interval_overlap matches a direct interval-intersection replay") {
     val evs = graft.engine.Tables.events(spark, sf)
       .select("user_id", "event_id", "ts").collect()
