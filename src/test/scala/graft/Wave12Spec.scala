@@ -188,6 +188,16 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("join_interval_overlap broadcasts the busy side, no nested loop") {
+    val plan = EventOps.joinIntervalOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 24-row busy side must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      "bucket equality must keep the overlap join out of BNLJ")
+  }
+
   test("win_rolling_distinct tracks the exact rolling distinct within 5%") {
     val cells = graft.engine.Tables.events(spark, sf)
       .select("user_id", "ts").collect()
