@@ -211,6 +211,23 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // join_overlap_self: identical interval build + canonical a<b pairs;
+    // closed-interval overlap, all date/int arithmetic.
+    "join_overlap_self" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS okey,
+        |         MIN(o_orderdate) AS d0, MAX(l_shipdate) AS d1
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.cust AS custkey, a.okey AS okey_a, b.okey AS okey_b,
+        |       CAST(GREATEST(a.d0, b.d0) AS TIMESTAMP) AS ov_start,
+        |       CAST(LEAST(a.d1, b.d1) AS TIMESTAMP) AS ov_end
+        |FROM iv a JOIN iv b
+        |  ON a.cust = b.cust AND a.okey < b.okey
+        | AND a.d0 <= b.d1 AND b.d0 <= a.d1
+        |ORDER BY custkey, okey_a, okey_b""".stripMargin,
+
     // join_interval_overlap: identical islands → intervals, same top-24
     // busiest hours (total order on cnt DESC, hour), and the same
     // hour-bucket expansion — bucket equality is the overlap predicate.

@@ -104,6 +104,35 @@ object EventOps {
       .orderBy("user_id", "session_id", "hour")
   }
 
+  /** Self interval-overlap within a partition key: pairs of the SAME
+    * customer's orders whose fulfillment intervals [orderdate, last
+    * shipdate] overlap — concurrent-order detection. This is the
+    * PARTITIONED form of the interval-join family (complementing
+    * [[joinIntervalOverlap]]'s bucket-expanded global form): the join is
+    * plain hash-equi on the customer key and the overlap predicate is a
+    * cheap post-shuffle residual, so pair fan-out is bounded by each
+    * customer's own order count, never corpus-wide. okey_a < okey_b
+    * canonicalizes pairs; date/int arithmetic only. Skewed mega-customers
+    * at scale → the AQE skew-join split pinned in Wave8Spec. */
+  def joinOverlapSelf(s: SparkSession, d: String): DataFrame = {
+    val iv = graft.engine.Tables.orders(s, d)
+      .join(graft.engine.Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("o_orderkey").as("okey"))
+      .agg(min("o_orderdate").as("d0"), max("l_shipdate").as("d1"))
+    iv.as("a").join(iv.as("b"),
+        col("a.cust") === col("b.cust") &&
+        col("a.okey") < col("b.okey") &&
+        col("a.d0") <= col("b.d1") && col("b.d0") <= col("a.d1"))
+      .select(col("a.cust").as("custkey"),
+              col("a.okey").as("okey_a"), col("b.okey").as("okey_b"),
+              greatest(col("a.d0"), col("b.d0")).cast("timestamp_ntz")
+                .as("ov_start"),
+              least(col("a.d1"), col("b.d1")).cast("timestamp_ntz")
+                .as("ov_end"))
+      .orderBy("custkey", "okey_a", "okey_b")
+  }
+
   /** Event-sequence (funnel) detection: click→purchase conversions per
     * user, where the purchase follows the click within 30 minutes — the
     * MATCH_RECOGNIZE-style pattern query expressed with lead() over the

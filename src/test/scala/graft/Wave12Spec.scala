@@ -188,6 +188,32 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("join_overlap_self matches a per-customer pair replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val lastShip = li.toSeq.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(_._2).max(Ordering.by((d: java.time.LocalDateTime) =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC)))
+    }
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 r.getAs[java.time.LocalDateTime](2)))
+      .filter(o => lastShip.contains(o._1))
+    val want = ords.toSeq.groupBy(_._2).values.flatMap { g =>
+      for {
+        (oa, _, da) <- g; (ob, _, db) <- g
+        if oa < ob &&
+          !da.isAfter(lastShip(ob)) && !db.isAfter(lastShip(oa))
+      } yield (g.head._2, oa, ob)
+    }.toSet
+    val got = EventOps.joinOverlapSelf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"pair sets differ: got ${got.size} want ${want.size}")
+    assert(want.nonEmpty, "fixture has no concurrent orders")
+  }
+
   test("join_interval_overlap broadcasts the busy side, no nested loop") {
     val plan = EventOps.joinIntervalOverlap(spark, sf)
       .queryExecution.executedPlan.toString
