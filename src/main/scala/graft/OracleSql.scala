@@ -211,6 +211,26 @@ object OracleSql {
         |        * 10000.0 + 0.5) / 10000.0 AS ewma_r
         |FROM e ORDER BY user_id, day""".stripMargin,
 
+    // win_rolling_distinct_exact: identical contribution expansion —
+    // each (day, user) is visible from the 7 calendar days day..day+6;
+    // only observed days emit output rows. Integer counts.
+    "win_rolling_distinct_exact" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), contrib AS (
+        |  SELECT CAST(g AS DATE) AS rday, user_id
+        |  FROM du,
+        |       unnest(generate_series(CAST(day AS TIMESTAMP),
+        |                              CAST(day AS TIMESTAMP)
+        |                                + INTERVAL 6 DAY,
+        |                              INTERVAL 1 DAY)) AS t(g)
+        |)
+        |SELECT CAST(rday AS TIMESTAMP) AS day,
+        |       COUNT(DISTINCT user_id) AS users_7d
+        |FROM contrib
+        |WHERE rday IN (SELECT day FROM du)
+        |GROUP BY rday ORDER BY day""".stripMargin,
+
     // join_overlap_self: identical interval build + canonical a<b pairs;
     // closed-interval overlap, all date/int arithmetic.
     "join_overlap_self" ->

@@ -155,6 +155,27 @@ object SketchOps {
     * Deterministic (DataSketches HLL has no random state), but no SQL
     * oracle: DuckDB's approx_count_distinct is a different HLL; the spec
     * bounds the estimate against the exact rolling distinct instead. */
+  /** Exact oracle twin of [[winRollingDistinct]], calendar semantics:
+    * distinct users over the trailing 7 CALENDAR days of each observed
+    * day. The classic exact-rolling-distinct expansion — each (day,
+    * user) row contributes to the 7 output days it can be seen from
+    * (a fixed 7× blowup of the already-collapsed distinct table), then
+    * one count-distinct per output day. That 7× is exactly what the
+    * sketch twin deletes at 100 TB; here it is the hash-matchable
+    * baseline. All integer/date math. */
+  def winRollingDistinctExact(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val obs = du.select("day").distinct().withColumnRenamed("day", "rday")
+    du.select(explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+        .as("rday"), col("user_id"))
+      .join(obs, Seq("rday"), "left_semi")
+      .groupBy("rday")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .select(col("rday").cast("timestamp_ntz").as("day"), col("users_7d"))
+      .orderBy("day")
+  }
+
   def winRollingDistinct(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fr = Window.orderBy("day").rowsBetween(-6, Window.currentRow)

@@ -188,6 +188,31 @@ class Wave12Spec extends SparkTestBase {
     assert(got == want, "text export roundtrip lost or altered lines")
   }
 
+  test("win_rolling_distinct_exact matches a calendar-window replay " +
+       "and its sketch twin tracks it") {
+    val cells = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1).toLocalDate,
+                 r.getLong(0))).toSeq
+    val byDay = cells.groupBy(_._1).map { case (d, g) =>
+      d -> g.map(_._2).toSet }
+    val want = byDay.keys.map { d =>
+      d -> (0 to 6).flatMap(k => byDay.getOrElse(d.minusDays(k), Set.empty))
+        .toSet.size.toLong
+    }.toMap
+    val exact = SketchOps.winRollingDistinctExact(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toLocalDate ->
+        r.getLong(1)).toMap
+    assert(exact == want, "exact rolling distinct differs from replay")
+    val est = SketchOps.winRollingDistinct(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toLocalDate ->
+        r.getLong(2)).toMap
+    est.foreach { case (d, e) =>
+      assert(math.abs(e - exact(d)) <= math.max(2.0, 0.05 * exact(d)),
+        s"$d: sketch $e vs exact ${exact(d)}")
+    }
+  }
+
   test("join_overlap_self matches a per-customer pair replay") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_shipdate").collect()
