@@ -24,16 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * as a timestamp; read it as nanos-since-epoch long and truncate to µs
-    * with integer division (exact — a double round-trip would lose ns bits
-    * at 2024-era epochs). DuckDB truncates ns→µs identically (SURVEY §1.2).
-    * timestamp_ntz keeps the written parquet naive, matching the source. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * drops: parquet TIMESTAMP(NANOS) — which Spark 4 refuses to read as a
+    * timestamp, so it is read as nanos-since-epoch long and truncated to µs
+    * with integer division (exact; a double round-trip would lose ns bits
+    * at 2024-era epochs; DuckDB truncates ns→µs identically, SURVEY §1.2) —
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which already
+    * arrives as TIMESTAMP_NTZ. Dispatch on the footer type so either drop
+    * loads; every downstream op sees one canonical `ts: TIMESTAMP_NTZ`. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case LongType =>       // legacy TIMESTAMP(NANOS) footer, read as long
+        t.withColumn("ts",
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampType =>  // µs footer inferred TZ-adjusted: strip to naive
+        t.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case _ => t            // already TIMESTAMP_NTZ
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
