@@ -742,6 +742,80 @@ object OracleSql {
     // chain, generated from the same merges constant (see BpeOps.oracle).
     "text_bpe_tokencount" -> graft.ops.BpeOps.oracle,
 
+    // text_pii_scrub: the pseudo-PII injection is replayed verbatim (same
+    // residue rules), then the same RE2/Java-compatible patterns are counted
+    // and masked; md5 digests the scrubbed text on both engines.
+    "text_pii_scrub" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com' ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' cc admin' || doc_id || '@corp.example.org'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '${graft.ops.TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '${graft.ops.TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(raw, '${graft.ops.TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.ops.TextOps.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+         |FROM raw
+         |ORDER BY doc_id""".stripMargin,
+
+    // text_url_domains: DuckDB has no parse_url — the host is the regexp
+    // capture between the scheme and the first path slash, which is exactly
+    // what parse_url(url,'HOST') returns for these synthesized URLs.
+    "text_url_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract('https://' || source || '.example.com/doc/' || doc_id,
+        |                   'https://([^/]+)/', 1) AS host
+        |  FROM documents)
+        |SELECT host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u
+        |WHERE host NOT IN ('src0.example.com', 'src7.example.com')
+        |GROUP BY host
+        |ORDER BY host""".stripMargin,
+
+    // sample_rebalance: identical all-integer keep rule — md5-prefix int
+    // (DuckDB parses '0x…', Spark uses conv(…,16,10)) scaled by the class
+    // histogram; both engines therefore keep exactly the same rows.
+    "sample_rebalance" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |f AS (SELECT min(n_lang) AS n_min FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang) CROSS JOIN f
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      * c.n_lang < f.n_min * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // text_vocab_topp: identical exclusive-prefix window; the 90% rule is
+    // cross-multiplied to integers on both sides (no float division).
+    "text_vocab_topp" ->
+      """WITH freq AS (
+        |  SELECT lang, u.token AS token, count(*) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY lang, u.token),
+        |w AS (
+        |  SELECT lang, token, cnt,
+        |    row_number() OVER
+        |      (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank,
+        |    coalesce(sum(cnt) OVER
+        |      (PARTITION BY lang ORDER BY cnt DESC, token ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(cnt) OVER (PARTITION BY lang) AS total
+        |  FROM freq)
+        |SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM w
+        |WHERE cum_before * 10 < total * 9
+        |ORDER BY lang, rank""".stripMargin,
+
     // text_pack_sequences: the Spark side computes the running token
     // count as a distributed prefix sum; the oracle is the equivalent
     // single-window formulation.

@@ -405,4 +405,120 @@ object TextOps {
                          lit(w))).as("n_words"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  // Shared by textPiiScrub and its oracle: lowercase-only patterns (the
+  // corpus is lowercase, FIXTURES.md) valid in BOTH Java regex and RE2 —
+  // no lookarounds, no \b, no possessive quantifiers.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing: mask emails/phones, report per-doc entity counts and a
+    * digest of the scrubbed text. The corpus is synthetic word soup with no
+    * real PII, so the query first DERIVES a deterministic pseudo-PII layer
+    * from the row's own keys (1-2 emails + 0-1 phones per doc, varied by
+    * doc_id residues) — the injection is part of the query on BOTH engines,
+    * so the masking chain itself is what the oracle checks.
+    *
+    * Scale: a pure narrow map (regexp chain is codegen'd, no UDF); at
+    * 100 TB this is the shape of every redaction pass — embarrassingly
+    * parallel, zero shuffles before the sink. */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("raw", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+             concat(lit(" cc admin"), col("doc_id"), lit("@corp.example.org")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+             concat(lit(" call +1-555-"),
+                    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+                           PhoneRe, "<PHONE>")).as("scrub_md5"))
+      .orderBy("doc_id")
+
+  /** Web-pipeline hygiene: per-domain doc counts with a blocklist gate.
+    * URLs are derived deterministically from (source, doc_id) — the corpus
+    * has no real URLs — then parsed with Spark's native `parse_url` (HOST
+    * extraction), anti-joined against a broadcast blocklist, and rolled up
+    * per domain.
+    *
+    * Scale: the blocklist is a tiny broadcast (left_anti, no shuffle); the
+    * domain rollup is one partial-agg shuffle over ~|domains| groups. This
+    * is the crawl-filtering shape: parse → blocklist gate → domain stats. */
+  def textUrlDomains(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocked = Seq("src0.example.com", "src7.example.com")
+      .toDF("blocked_host")
+    documents(s, d)
+      .withColumn("url", concat(lit("https://"), col("source"),
+                                lit(".example.com/doc/"), col("doc_id")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .join(broadcast(blocked), col("host") === col("blocked_host"),
+            "left_anti")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("host")
+  }
+
+  /** Deterministic class rebalancing: downsample every language class to
+    * (approximately) the minority-class size with a content-stable hash
+    * threshold — keep a doc iff
+    * `int(md5(doc_id)[0:8]) * n_lang < n_min * 2^32`, i.e. a per-class keep
+    * fraction of n_min/n_lang decided row-locally. All-integer comparison,
+    * so both engines keep EXACTLY the same rows.
+    *
+    * Scale: this is the whole point of the hash-threshold formulation —
+    * the alternative (row_number per class ≤ n_min) needs a per-class
+    * ranking shuffle whose partitions are the class sizes (the largest
+    * class is by construction the skew key). Here the class histogram is a
+    * tiny broadcast and the filter is stateless/narrow; the trade is ±√n
+    * binomial jitter around the exact quota, which a corpus mixer accepts. */
+  def sampleRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val floor  = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(floor))
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+               .cast("long") * col("n_lang") < col("n_min") * lit(4294967296L))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language vocabulary nucleus (top-p) truncation: keep the smallest
+    * prefix of the frequency-sorted vocabulary whose cumulative mass
+    * reaches 90% — the classic vocab/logit truncation rule, run corpus-side.
+    * A token survives iff the mass STRICTLY BEFORE it is < 0.9 of the class
+    * total (exclusive prefix sum ⇒ the crossing token is kept). The 0.9
+    * comparison is cross-multiplied into integers (`cum*10 < total*9`) so
+    * no floating division exists anywhere.
+    *
+    * Scale: the window runs over the per-class VOCABULARY (post-groupBy),
+    * not the token stream — the corpus collapses at the first partial agg;
+    * vocab per class is bounded (≪ corpus), so the per-class sort is safe. */
+  def textVocabTopp(s: SparkSession, d: String): DataFrame = {
+    val freq = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val order  = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val whole  = Window.partitionBy("lang")
+    freq
+      .withColumn("rank", row_number().over(order))
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(whole))
+      .where(col("cum_before") * 10 < col("total") * 9)
+      .select(col("lang"), col("token"), col("cnt"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank")
+  }
 }
