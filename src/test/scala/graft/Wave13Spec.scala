@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 wave (cont.): PII scrub, URL hygiene, hash rebalance, vocab
+  * nucleus truncation. Each test replays the operator's rule in memory
+  * (independent derivation) and the shuffle-sensitive ones pin plan shape. */
+class Wave13Spec extends SparkTestBase {
+
+  test("text_pii_scrub: entity counts follow the residue rules; digests scrubbed") {
+    val rows = TextOps.textPiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val wantEmails = 1L + (if (id % 5 == 0) 1L else 0L)
+      val wantPhones = if (id % 3 == 0) 1L else 0L
+      assert(r.getLong(1) == wantEmails, s"doc $id emails")
+      assert(r.getLong(2) == wantPhones, s"doc $id phones")
+      assert(r.getString(3).matches("[0-9a-f]{32}"), s"doc $id digest")
+    }
+    // Masking really removed every injected entity: re-scan the scrubbed
+    // text of a few docs for residual matches.
+    val scrubbed = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .select(regexp_replace(col("raw"), TextOps.EmailRe, "<EMAIL>").as("s"))
+      .where(col("s").rlike(TextOps.EmailRe))
+    assert(scrubbed.count() == 0, "residual email after masking")
+  }
+
+  test("text_url_domains: blocklist enforced, counts partition the corpus") {
+    val rows = TextOps.textUrlDomains(spark, sf).collect()
+    val hosts = rows.map(_.getString(0)).toSet
+    assert(!hosts.contains("src0.example.com") &&
+           !hosts.contains("src7.example.com"), "blocked host leaked")
+    assert(hosts.forall(_.endsWith(".example.com")), "parse_url host shape")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wantDocs = docs.where(!col("source").isin("src0", "src7")).count()
+    assert(rows.map(_.getLong(1)).sum == wantDocs, "doc counts don't partition")
+    // Blocklist gate must be a broadcast anti-join, never a shuffle.
+    val plan = TextOps.textUrlDomains(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join, got:\n$plan")
+  }
+
+  test("sample_rebalance: near-quota per class, deterministic, no window") {
+    val kept = TextOps.sampleRebalance(spark, sf)
+    val rows = kept.collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = byLang.values.min
+    val keptByLang = rows.groupBy(_.getString(1)).map { case (l, g) => l -> g.size }
+    // Binomial jitter bound: |kept - n_min| <= 4 * sqrt(n_min) per class.
+    byLang.keys.foreach { l =>
+      val k = keptByLang.getOrElse(l, 0)
+      assert(math.abs(k - nMin.toDouble) <= 4 * math.sqrt(nMin.toDouble) + 1,
+        s"class $l kept $k vs quota $nMin")
+    }
+    // Deterministic: a second evaluation keeps the identical row set.
+    val again = TextOps.sampleRebalance(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+    // The scalable shape: no Window operator anywhere in the plan.
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rebalance must not rank per class:\n$plan")
+  }
+
+  test("text_vocab_topp: kept prefix is the minimal 90% nucleus per lang") {
+    val rows = TextOps.textVocabTopp(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val freq = docs.groupBy(identity).map { case ((l, t), g) => (l, t, g.size.toLong) }
+    freq.map(_._1).toSet.foreach { (lang: String) =>
+      val sorted = freq.filter(_._1 == lang).toSeq
+        .sortBy { case (_, t, c) => (-c, t) }
+      val total = sorted.map(_._3).sum
+      // minimal prefix whose mass reaches 90% (strict-before rule)
+      var cum = 0L
+      val want = sorted.takeWhile { case (_, _, c) =>
+        val keep = cum * 10 < total * 9; cum += c; keep
+      }
+      val got = rows.filter(_._1 == lang).sortBy(_._4)
+      assert(got.map(t => (t._2, t._3)).toSeq == want.map(t => (t._2, t._3)),
+        s"nucleus mismatch for $lang")
+      // the nucleus really covers >= 90% and is minimal
+      val mass = got.map(_._3).sum
+      assert(mass * 10 >= total * 9, s"$lang nucleus < 90%")
+      assert((mass - got.last._3) * 10 < total * 9, s"$lang nucleus not minimal")
+      // ranks are contiguous 1..k
+      assert(got.map(_._4).toSeq == (1L to got.size).toSeq)
+    }
+  }
+}
