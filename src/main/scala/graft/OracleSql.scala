@@ -561,6 +561,14 @@ object OracleSql {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // agg_bitmap_distinct: the dense-bitmap aggregate is EXACT by
+    // construction, so the oracle is the plain count-distinct.
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // agg_topfreq: Misra-Gries with m=64 counters over a 31-word
     // vocabulary never decrements — exact top-20 by (count, word).
     "agg_topfreq" ->

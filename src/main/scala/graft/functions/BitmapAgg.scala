@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.util.{BitSet => JBitSet}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Exact distinct count over a BOUNDED non-negative integer id domain via
+  * a dense bitmap: `graft_bitmap_distinct(id)` → BIGINT.
+  *
+  * This is the ClickHouse/Doris "bitmap" pattern re-expressed as a native
+  * Spark TypedImperativeAggregate. Where `count(DISTINCT id)` shuffles
+  * every distinct (group, id) pair — at 100 TB that is a second full
+  * shuffle of the fact table's key column — the bitmap buffer makes the
+  * partial aggregate ITSELF the deduplicator: each map task compresses
+  * its billions of rows into one |domain|/8-byte bitmap per group, merge
+  * is a word-wise OR (commutative/associative → partition-order proof),
+  * and only the bitmaps cross the wire. For a 10^8-user id space that is
+  * a fixed 12.5 MB per group regardless of row count, and the result is
+  * EXACT — the trade HLL refuses.
+  *
+  * The domain bound is the contract: ids must be 0 ≤ id < 2^31-8 (dense
+  * surrogate user/entity keys — the id spaces warehouses bitmap-index).
+  * Out-of-domain ids THROW rather than silently degrade; sparse/huge
+  * domains belong to `agg_approx_distinct`/`agg_hll_union` instead. */
+case class BitmapDistinctAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[JBitSet] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_distinct expects an integer id column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_distinct"
+
+  override def createAggregationBuffer(): JBitSet = new JBitSet()
+
+  override def update(buf: JBitSet, input: InternalRow): JBitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (id < 0L || id >= (Int.MaxValue - 8).toLong)
+        throw new IllegalArgumentException(
+          s"graft_bitmap_distinct id $id outside the dense domain [0, 2^31-8)")
+      buf.set(id.toInt)
+    }
+    buf
+  }
+
+  override def merge(buf: JBitSet, other: JBitSet): JBitSet = {
+    buf.or(other); buf
+  }
+
+  override def eval(buf: JBitSet): Any = buf.cardinality().toLong
+
+  override def serialize(buf: JBitSet): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): JBitSet = JBitSet.valueOf(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

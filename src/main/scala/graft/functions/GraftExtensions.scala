@@ -53,6 +53,8 @@ object GraftExtensions {
     d("graft_top1", classOf[Top1Neighbor], c => Top1Neighbor(c(0), c(1))),
     d("graft_simhash", classOf[SimhashAgg], c => SimhashAgg(c(0))),
     d("graft_cms", classOf[CmsAgg], c => CmsAgg(c(0), c(1), c(2))),
+    d("graft_bitmap_distinct", classOf[BitmapDistinctAgg],
+      c => BitmapDistinctAgg(c(0))),
     d("graft_topfreq", classOf[TopFreqAgg], c => TopFreqAgg(c(0), c(1))),
     d("graft_kll", classOf[KllAgg], c => KllAgg(c(0), c(1), c(2))),
     d("graft_theta", classOf[ThetaAgg], c => ThetaAgg(c(0))),

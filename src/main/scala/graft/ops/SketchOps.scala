@@ -188,4 +188,25 @@ object SketchOps {
                 .as("users_7d_est"))
       .orderBy("day")
   }
+
+  /** Exact distinct users per event type via the native dense-bitmap
+    * aggregate (`graft_bitmap_distinct`, BitmapAgg.scala) — the
+    * ClickHouse/Doris bitmap pattern. `count(DISTINCT user_id)` plans as
+    * a two-phase expand: the fact table's (type, user_id) pairs are
+    * shuffled BEFORE deduplication, so the wire cost scales with the raw
+    * distinct-pair volume. The bitmap partial agg dedups inside each map
+    * task and ships one |domain|/8-byte bitmap per (partition, group);
+    * merge is word-wise OR (order-proof). Exact — unlike the HLL twin
+    * (`agg_approx_distinct`) — whenever ids live in a dense bounded
+    * domain, which dense surrogate user keys do by construction.
+    * Cross-checked against the plain count-distinct oracle. */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    events(s, d)
+      .groupBy("event_type")
+      .agg(expr("graft_bitmap_distinct(user_id)").as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
 }

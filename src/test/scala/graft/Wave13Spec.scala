@@ -94,4 +94,25 @@ class Wave13Spec extends SparkTestBase {
       assert(got.map(_._4).toSeq == (1L to got.size).toSeq)
     }
   }
+
+  test("graft_bitmap_distinct: exact across partitionings; domain enforced") {
+    graft.functions.Sketches.register(spark)
+    val ev = graft.engine.Tables.events(spark, sf)
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Different partition counts force the serialize/merge (word-wise OR)
+    // path with different partial groupings — result must be invariant.
+    Seq(1, 2, 7).foreach { p =>
+      val got = ev.repartition(p).groupBy("event_type")
+        .agg(expr("graft_bitmap_distinct(user_id)").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"mismatch at $p partitions")
+    }
+    // Out-of-domain ids throw rather than silently degrade.
+    val bad = intercept[Exception] {
+      ev.select(expr("graft_bitmap_distinct(user_id * -1 - 1)")).collect()
+    }
+    assert(bad.getMessage != null)
+  }
 }
