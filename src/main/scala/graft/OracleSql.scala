@@ -569,6 +569,55 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // agg_ttest: Welch t + Satterthwaite df from the same exact conditional
+    // decimal sums; the double formula text is identical to the Spark side
+    // (op-order-sensitive — do not "simplify" one side only).
+    "agg_ttest" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |  GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(n1 AS BIGINT) AS n_f,
+        |  CAST(n2 AS BIGINT) AS n_o,
+        |  FLOOR((s1 / n1 - s2 / n2)
+        |    / SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+        |         + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+        |    * 10000.0 + 0.5) / 10000.0 AS t_r,
+        |  FLOOR(((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+        |       + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+        |    * ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+        |     + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+        |    / ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+        |       * ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1) / (n1 - 1.0)
+        |     + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2
+        |       * ((q2 - s2 * s2 / n2) / (n2 - 1.0) / n2) / (n2 - 1.0))
+        |    * 100.0 + 0.5) / 100.0 AS df_r
+        |FROM t ORDER BY o_orderpriority""".stripMargin,
+
+    // join_point_in_range: same literal band dimension; the decimal sum is
+    // exact (integer cents < 2^53), so the 2dp round is an identity on
+    // both engines.
+    "join_point_in_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('T1_budget',        0.0, 100000.0),
+        |  ('T2_mid',      100000.0, 250000.0),
+        |  ('T3_high',     250000.0, 400000.0),
+        |  ('T4_premium',  400000.0, 1000000.0))
+        |SELECT band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value_r
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
     // agg_topfreq: Misra-Gries with m=64 counters over a 31-word
     // vocabulary never decrements — exact top-20 by (count, word).
     "agg_topfreq" ->

@@ -378,6 +378,79 @@ object Relational {
                   * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("covp_r"))
       .orderBy("l_returnflag")
 
+  /** Welch's two-sample t-test of finished ('F') vs open ('O') order
+    * value per priority class — the A/B-experiment read-out shape (metric
+    * delta between two cohorts, unequal variances). The decimal-moment
+    * playbook of [[aggStats]]/[[aggCorr]] applies verbatim: per-cohort
+    * n/Σx/Σx² as EXACT conditional decimal sums in ONE grouped scan (no
+    * per-cohort subqueries, no second shuffle), then the t statistic and
+    * Welch–Satterthwaite df in one double formula with the identical op
+    * sequence on both engines, floor-quantized. At 100 TB this is a
+    * single partial-agg pass over the fact table — the naive two-query
+    * per-cohort formulation scans twice and joins. */
+  def aggTtest(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .cast("double").as("n1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .cast("double").as("n2"),
+        sum(expr("CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END"))
+          .cast("double").as("s1"),
+        sum(expr("CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END"))
+          .cast("double").as("s2"),
+        sum(expr("CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END"))
+          .cast("double").as("q1"),
+        sum(expr("CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END"))
+          .cast("double").as("q2"))
+      .select(col("o_orderpriority"),
+        col("n1").cast("long").as("n_f"),
+        col("n2").cast("long").as("n_o"),
+        expr("""CAST(FLOOR((s1 / n1 - s2 / n2)
+                  / SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                       + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0""").as("t_r"),
+        expr("""CAST(FLOOR(((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                          + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+                  * ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                   + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)
+                  / ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                     * ((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1) / (n1 - 1.0)
+                   + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2
+                     * ((q2 - s2 * s2 / n2) / (n2 - 1.0) / n2) / (n2 - 1.0))
+                  * 100.0 + 0.5) AS DOUBLE) / 100.0 + 0.0""").as("df_r"))
+      .orderBy("o_orderpriority")
+
+  /** Point-in-range dimension join: classify each order into a literal
+    * price band ([lo, hi) intervals) — the IP→geo / value→tier lookup
+    * shape. The band table is a tiny broadcast, so the non-equi predicate
+    * runs as a BroadcastNestedLoopJoin with an O(|bands|) probe per row —
+    * for a literal dimension of a few dozen intervals that IS the right
+    * plan (each row streams through once, no shuffle, no pair blowup
+    * because bands partition the domain). When the interval dimension is
+    * itself large, this shape is wrong and the bucket-expansion equi-join
+    * of [[joinIntervalOverlap]] applies instead. */
+  def joinPointInRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("T1_budget",        0.0, 100000.0),
+      ("T2_mid",      100000.0, 250000.0),
+      ("T3_high",     250000.0, 400000.0),
+      ("T4_premium",  400000.0, 1000000.0)).toDF("band", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+             .cast("double").as("total_value"))
+      .select(col("band"), col("n_orders"),
+              expr("ROUND(total_value, 2) + 0.0").as("total_value_r"))
+      .orderBy("band")
+  }
+
   /** HLL approximate distinct — the 100 TB replacement for exact distinct.
     * No oracle: HLL sketches differ across engines (SURVEY §2.D); the unit
     * test bounds relative error against the exact count instead. */

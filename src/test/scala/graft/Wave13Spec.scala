@@ -115,4 +115,44 @@ class Wave13Spec extends SparkTestBase {
     }
     assert(bad.getMessage != null)
   }
+
+  test("agg_ttest matches an in-memory Welch computation") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val got = ops.Relational.aggTtest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.map(_._1).distinct.foreach { pri =>
+      val f = rows.filter(t => t._1 == pri && t._2 == "F").map(_._3)
+      val o = rows.filter(t => t._1 == pri && t._2 == "O").map(_._3)
+      val (n1, n2) = (f.length.toDouble, o.length.toDouble)
+      def mv(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val ((m1, v1), (m2, v2)) = (mv(f), mv(o))
+      val se2 = v1 / n1 + v2 / n2
+      val t = (m1 - m2) / math.sqrt(se2)
+      val df = se2 * se2 /
+        (v1 / n1 * (v1 / n1) / (n1 - 1) + v2 / n2 * (v2 / n2) / (n2 - 1))
+      val (gn1, gn2, gt, gdf) = got(pri)
+      assert(gn1 == f.length && gn2 == o.length, s"$pri cohort sizes")
+      assert(math.abs(gt - t) < 2e-3, s"$pri t: $gt vs $t")
+      assert(math.abs(gdf - df) < 1.0, s"$pri df: $gdf vs $df")
+    }
+  }
+
+  test("join_point_in_range: bands partition orders; broadcast plan") {
+    val df = ops.Relational.joinPointInRange(spark, sf)
+    val rows = df.collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_totalprice") >= 0 && col("o_totalprice") < 1000000).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "bands must partition the order value domain")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"tiny literal interval dim should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
 }
