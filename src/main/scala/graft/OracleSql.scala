@@ -601,6 +601,48 @@ object OracleSql {
         |    * 100.0 + 0.5) / 100.0 AS df_r
         |FROM t ORDER BY o_orderpriority""".stripMargin,
 
+    // agg_chisq: identical integer contingency algebra; the cell-term sum
+    // is an ORDER BY (t,b) list fold on both engines (sequential, 0-init ≡
+    // first-init since 0+x is exact), so no parallel double reduction.
+    "agg_chisq" ->
+      """WITH ev AS (
+        |  SELECT event_type AS t,
+        |    CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS b
+        |  FROM events),
+        |cells AS (
+        |  SELECT t, b, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY t, b),
+        |rt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY t),
+        |kb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY b),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT cells.t, cells.b, nn.n,
+        |    CAST(c * n - r * k AS DOUBLE) * CAST(c * n - r * k AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(k AS DOUBLE)
+        |      AS term
+        |  FROM cells JOIN rt USING (t) JOIN kb USING (b) CROSS JOIN nn)
+        |SELECT
+        |  CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  FLOOR(list_reduce(list(term ORDER BY t, b), (acc, v) -> acc + v)
+        |        * 10000.0 + 0.5) / 10000.0 AS chi2_r
+        |FROM terms""".stripMargin,
+
+    // fn_fuzzy_match: DuckDB's levenshtein is the same unit-cost DP as
+    // Spark's; the argmin tie-break (min distance, then min name) is
+    // restated as a two-level min.
+    "fn_fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT a.n_name AS name, b.n_name AS other,
+        |         levenshtein(a.n_name, b.n_name) AS dist
+        |  FROM nation a JOIN nation b ON a.n_name <> b.n_name),
+        |m AS (SELECT name, MIN(dist) AS dist FROM p GROUP BY name)
+        |SELECT p.name, CAST(p.dist AS BIGINT) AS dist,
+        |  MIN(p.other) AS closest
+        |FROM p JOIN m ON p.name = m.name AND p.dist = m.dist
+        |GROUP BY p.name, p.dist
+        |ORDER BY p.name""".stripMargin,
+
     // join_point_in_range: same literal band dimension; the decimal sum is
     // exact (integer cents < 2^53), so the 2dp round is an identity on
     // both engines.

@@ -244,4 +244,26 @@ object Functions {
       shiftright(col("o_orderkey"), 4).as("shr"),
       bit_count(col("o_orderkey")).cast("long").as("bcnt")
     ).orderBy("o_orderkey")
+
+  /** Fuzzy string matching: each nation's closest OTHER nation name by
+    * Levenshtein edit distance — the master-data / entity-resolution
+    * shape (dirty dimension values → canonical names). The argmin is a
+    * `min(struct(dist, name))` (lexicographic: distance, then name), so
+    * ties break deterministically without a window sort.
+    *
+    * Scale: edit distance is only ever run dimension×dimension (both
+    * sides broadcast-size); the fact-table variant is fact×broadcast-dim.
+    * An n² self-compare over a FACT-scale column would be the blocked /
+    * LSH dedup family's job instead ([[SimOps]]). */
+  def fnFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val a = nation(s, d).select(col("n_name").as("name"))
+    val b = nation(s, d).select(col("n_name").as("other"))
+    a.join(broadcast(b), col("name") =!= col("other"))
+      .groupBy("name")
+      .agg(min(struct(levenshtein(col("name"), col("other")).as("dist"),
+                      col("other").as("closest"))).as("m"))
+      .select(col("name"), col("m.dist").cast("long").as("dist"),
+              col("m.closest").as("closest"))
+      .orderBy("name")
+  }
 }

@@ -108,4 +108,49 @@ object StatsOps {
       s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
     }
   }
+
+  /** Chi-squared independence test of event type × value bucket — the
+    * categorical counterpart of [[graft.ops.Relational.aggTtest]] in the
+    * experimentation family (is the metric bucket independent of the
+    * variant?). Everything before the final statistic is INTEGER-exact:
+    * contingency cells, margins, and each cell's numerator
+    * `d = c·n − r·k` (the ±d form of obs−exp scaled by n, exact in int64
+    * at any realistic contingency size). Each cell term
+    * `d²/(n·r·k)` is one fixed-order double expression, and the sum over
+    * cells is a SEQUENTIAL fold of the (type, bucket)-sorted term array —
+    * the [[graft.ops.SimOps.simLabelCentroids]] trick — so no parallel
+    * double reduction exists anywhere and both engines add in the same
+    * order. Floor-quantized at 4dp.
+    *
+    * Scale: the raw stream collapses at the first (type, bucket) partial
+    * agg; everything after is contingency-sized (|types|·|buckets| rows).
+    * The collect_list is over those cells, not the data. */
+  def aggChisq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = graft.engine.Tables.events(s, d)
+      .select(col("event_type").as("t"),
+              when(col("value") >= 50, "hi").otherwise("lo").as("b"))
+      .groupBy("t", "b").agg(count(lit(1)).as("c"))
+    val rt = cells.groupBy("t").agg(sum("c").as("r"))
+    val kb = cells.groupBy("b").agg(sum("c").as("k"))
+    val nn = cells.agg(sum("c").as("n"))
+    cells.join(broadcast(rt), "t").join(broadcast(kb), "b")
+      .crossJoin(broadcast(nn))
+      .select(col("t"), col("b"), col("n"),
+        expr("""CAST(c * n - r * k AS DOUBLE) * CAST(c * n - r * k AS DOUBLE)
+                / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(k AS DOUBLE)""")
+          .as("term"))
+      .agg(
+        first(col("n")).as("nv"),
+        countDistinct("t").as("nt"),
+        countDistinct("b").as("nb"),
+        expr("""aggregate(transform(sort_array(collect_list(struct(t, b, term))),
+                                    x -> x.term),
+                          0D, (acc, v) -> acc + v)""").as("chi2"))
+      .select(
+        col("nv").cast("long").as("n"),
+        ((col("nt") - 1) * (col("nb") - 1)).cast("long").as("dof"),
+        expr("CAST(FLOOR(chi2 * 10000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0")
+          .as("chi2_r"))
+  }
 }

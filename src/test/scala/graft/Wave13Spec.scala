@@ -143,6 +143,45 @@ class Wave13Spec extends SparkTestBase {
     }
   }
 
+  test("agg_chisq matches an in-memory contingency computation") {
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), if (r.getDouble(1) >= 50) "hi" else "lo"))
+    val cells = ev.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val n = ev.length.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val kb = cells.groupBy(_._1._2).map { case (b, g) => b -> g.values.sum }
+    val want = cells.map { case ((t, b), c) =>
+      val e = rt(t) * kb(b) / n
+      (c - e) * (c - e) / e
+    }.sum
+    val row = ops.StatsOps.aggChisq(spark, sf).collect().head
+    assert(row.getLong(0) == ev.length)
+    assert(row.getLong(1) == (rt.size - 1) * (kb.size - 1))
+    assert(math.abs(row.getDouble(2) - want) < 1e-3,
+      s"chi2 ${row.getDouble(2)} vs $want")
+  }
+
+  test("fn_fuzzy_match: argmin distance verified against a direct scan") {
+    val names = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_name").collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = ops.Functions.fnFuzzyMatch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == names.toSet)
+    names.foreach { a =>
+      val best = names.filter(_ != a).map(b => (lev(a, b).toLong, b)).min
+      assert(got(a) == best, s"$a: ${got(a)} vs $best")
+    }
+  }
+
   test("join_point_in_range: bands partition orders; broadcast plan") {
     val df = ops.Relational.joinPointInRange(spark, sf)
     val rows = df.collect()
