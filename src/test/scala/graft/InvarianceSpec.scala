@@ -21,7 +21,11 @@ class InvarianceSpec extends SparkTestBase {
     "ts_anomaly",       // decimal window moments
     "ts_resample",      // decimal week totals + min_by/max_by argmax
     "ts_ewma",          // per-user sequential fold
-    "sim_label_centroids") // decimal component sums + sequential folds
+    "sim_label_centroids", // decimal component sums + sequential folds
+    "agg_ttest",           // exact conditional decimal moments
+    "agg_chisq",           // integer contingency + sorted sequential fold
+    "agg_bitmap_distinct", // bitmap OR merge (order-proof by construction)
+    "sample_rebalance")    // row-local hash threshold, no merge state
 
   test("results are invariant to shuffle partition count") {
     val conf = spark.conf
