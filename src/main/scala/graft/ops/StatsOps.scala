@@ -127,15 +127,21 @@ object StatsOps {
     * The collect_list is over those cells, not the data. */
   def aggChisq(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Margins come from WINDOW sums over the contingency table itself —
+    // deriving them with separate groupBy branches would re-aggregate the
+    // raw stream once per margin (4 scans of the fact table; EdgeSpec's
+    // budget pin guards against regressing to that shape). The windows run
+    // over |types|·|buckets| rows, so the unpartitioned total is a
+    // single-task exchange of a handful of rows, not a scale hazard.
     val cells = graft.engine.Tables.events(s, d)
       .select(col("event_type").as("t"),
               when(col("value") >= 50, "hi").otherwise("lo").as("b"))
       .groupBy("t", "b").agg(count(lit(1)).as("c"))
-    val rt = cells.groupBy("t").agg(sum("c").as("r"))
-    val kb = cells.groupBy("b").agg(sum("c").as("k"))
-    val nn = cells.agg(sum("c").as("n"))
-    cells.join(broadcast(rt), "t").join(broadcast(kb), "b")
-      .crossJoin(broadcast(nn))
+      .withColumn("r", sum("c").over(Window.partitionBy("t")))
+      .withColumn("k", sum("c").over(Window.partitionBy("b")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    cells
       .select(col("t"), col("b"), col("n"),
         expr("""CAST(c * n - r * k AS DOUBLE) * CAST(c * n - r * k AS DOUBLE)
                 / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(k AS DOUBLE)""")

@@ -100,9 +100,22 @@ class EdgeSpec extends SparkTestBase {
       "win_retention" -> 3,       // user-fold agg + cell agg + sort; the
                                   // collect_set form keeps count_distinct's
                                   // two-phase expansion out of the plan
-      "ts_gapfill" -> 4           // daily agg + span agg + fill window
+      "ts_gapfill" -> 4,          // daily agg + span agg + fill window
                                   // (grid join reuses user partitioning)
                                   // + sort
+      // round-7 hygiene/stat additions
+      "text_pii_scrub" -> 1,      // pure narrow map + determinism sort
+      "text_url_domains" -> 2,    // domain agg + sort (blocklist broadcast)
+      "sample_rebalance" -> 3,    // class histogram agg (broadcast build)
+                                  // + min agg + sort; NO per-class window
+      "text_vocab_topp" -> 3,     // vocab agg + per-lang window + sort
+      "agg_bitmap_distinct" -> 2, // bitmap partial/final agg + sort
+      "agg_ttest" -> 2,           // one conditional-moment agg + sort
+      "agg_chisq" -> 3,           // cells agg + two margin aggs (broadcast
+                                  // builds); final fold is SinglePartition
+      "fn_fuzzy_match" -> 2,      // argmin agg + sort (dim self-compare
+                                  // broadcasts)
+      "join_point_in_range" -> 2  // band agg + sort (bands broadcast)
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)
