@@ -231,6 +231,26 @@ object OracleSql {
         |WHERE rday IN (SELECT day FROM du)
         |GROUP BY rday ORDER BY day""".stripMargin,
 
+    // win_rolling_distinct_bitmap: the bitmap form is EXACT with the same
+    // calendar-window semantics, so its oracle is the identical
+    // contribution-expansion SQL as win_rolling_distinct_exact.
+    "win_rolling_distinct_bitmap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), contrib AS (
+        |  SELECT CAST(g AS DATE) AS rday, user_id
+        |  FROM du,
+        |       unnest(generate_series(CAST(day AS TIMESTAMP),
+        |                              CAST(day AS TIMESTAMP)
+        |                                + INTERVAL 6 DAY,
+        |                              INTERVAL 1 DAY)) AS t(g)
+        |)
+        |SELECT CAST(rday AS TIMESTAMP) AS day,
+        |       COUNT(DISTINCT user_id) AS users_7d
+        |FROM contrib
+        |WHERE rday IN (SELECT day FROM du)
+        |GROUP BY rday ORDER BY day""".stripMargin,
+
     // join_overlap_self: identical interval build + canonical a<b pairs;
     // closed-interval overlap, all date/int arithmetic.
     "join_overlap_self" ->

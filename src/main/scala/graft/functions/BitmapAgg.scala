@@ -79,3 +79,108 @@ case class BitmapDistinctAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** `graft_bitmap(id)` → the bitmap ITSELF as bytes — the materialized
+  * form of [[BitmapDistinctAgg]], for when the per-group bitmap is reused
+  * (rolling windows, incremental stores) rather than counted once. Same
+  * domain contract. */
+case class BitmapBuildAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[JBitSet] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap expects an integer id column, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap"
+  override def createAggregationBuffer(): JBitSet = new JBitSet()
+  override def update(buf: JBitSet, input: InternalRow): JBitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (id < 0L || id >= (Int.MaxValue - 8).toLong)
+        throw new IllegalArgumentException(
+          s"graft_bitmap id $id outside the dense domain [0, 2^31-8)")
+      buf.set(id.toInt)
+    }
+    buf
+  }
+  override def merge(buf: JBitSet, other: JBitSet): JBitSet = {
+    buf.or(other); buf
+  }
+  override def eval(buf: JBitSet): Any = buf.toByteArray
+  override def serialize(buf: JBitSet): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): JBitSet = JBitSet.valueOf(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapBuildAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapBuildAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** `graft_bitmap_union(bm)` → OR-merge of bitmap bytes (aggregate, also
+  * valid as a window function — how the exact rolling distinct merges a
+  * frame of per-day bitmaps). Commutative/associative, so partition and
+  * frame-iteration order are both immaterial. */
+case class BitmapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[JBitSet] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure("graft_bitmap_union expects bitmap bytes")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_union"
+  override def createAggregationBuffer(): JBitSet = new JBitSet()
+  override def update(buf: JBitSet, input: InternalRow): JBitSet = {
+    val v = child.eval(input)
+    if (v != null) buf.or(JBitSet.valueOf(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(buf: JBitSet, other: JBitSet): JBitSet = {
+    buf.or(other); buf
+  }
+  override def eval(buf: JBitSet): Any = buf.toByteArray
+  override def serialize(buf: JBitSet): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): JBitSet = JBitSet.valueOf(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapUnionAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapUnionAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** `graft_bitmap_card(bytes)` → exact cardinality of a serialized bitmap.
+  * CodegenFallback like the sketch scalars: it only ever runs on post-agg
+  * rows (one per group/frame), never in the fact-scan hot path. */
+case class BitmapCard(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure("graft_bitmap_card expects bitmap bytes")
+    else TypeCheckResult.TypeCheckSuccess
+  override def prettyName: String = "graft_bitmap_card"
+  override protected def nullSafeEval(b: Any): Any =
+    JBitSet.valueOf(b.asInstanceOf[Array[Byte]]).cardinality().toLong
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

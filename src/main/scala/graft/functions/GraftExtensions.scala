@@ -55,6 +55,10 @@ object GraftExtensions {
     d("graft_cms", classOf[CmsAgg], c => CmsAgg(c(0), c(1), c(2))),
     d("graft_bitmap_distinct", classOf[BitmapDistinctAgg],
       c => BitmapDistinctAgg(c(0))),
+    d("graft_bitmap", classOf[BitmapBuildAgg], c => BitmapBuildAgg(c(0))),
+    d("graft_bitmap_union", classOf[BitmapUnionAgg],
+      c => BitmapUnionAgg(c(0))),
+    d("graft_bitmap_card", classOf[BitmapCard], c => BitmapCard(c(0))),
     d("graft_topfreq", classOf[TopFreqAgg], c => TopFreqAgg(c(0), c(1))),
     d("graft_kll", classOf[KllAgg], c => KllAgg(c(0), c(1), c(2))),
     d("graft_theta", classOf[ThetaAgg], c => ThetaAgg(c(0))),

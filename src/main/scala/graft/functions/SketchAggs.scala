@@ -295,5 +295,7 @@ object Sketches {
   def register(spark: SparkSession): Unit =
     GraftExtensions.register(spark, "graft_cms", "graft_topfreq",
                              "graft_kll", "graft_theta", "graft_theta_est",
-                             "graft_theta_setop", "graft_bitmap_distinct")
+                             "graft_theta_setop", "graft_bitmap_distinct",
+                             "graft_bitmap", "graft_bitmap_union",
+                             "graft_bitmap_card")
 }

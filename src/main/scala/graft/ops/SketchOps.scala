@@ -189,6 +189,32 @@ object SketchOps {
       .orderBy("day")
   }
 
+  /** EXACT rolling 7-calendar-day distinct users via per-day BITMAPS —
+    * the third member of the rolling-distinct family, strictly dominating
+    * the other two where its domain contract holds:
+    * [[winRollingDistinctExact]] expands every (day, user) row 7× before
+    * its count-distinct (the hash-matchable baseline; that 7× is the
+    * scale cost), and [[winRollingDistinct]] merges HLL sketches (fixed
+    * memory, any id space — but ±estimate error). Per-day bitmaps merge
+    * over a RANGE frame on the day number (true calendar window, gap-
+    * proof) with word-wise OR: raw volume collapses ONCE at the day agg,
+    * each output day unions ≤7 bitmaps, and the count is exact. Same
+    * oracle as the expansion form — the result contract is identical. */
+  def winRollingDistinctBitmap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Sketches.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.orderBy("dnum").rangeBetween(-6, 0)
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("graft_bitmap(user_id)").as("bm"))
+      .withColumn("dnum", unix_date(col("day")))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+              call_function("graft_bitmap_card",
+                expr("graft_bitmap_union(bm)").over(fr)).as("users_7d"))
+      .orderBy("day")
+  }
+
   /** Exact distinct users per event type via the native dense-bitmap
     * aggregate (`graft_bitmap_distinct`, BitmapAgg.scala) — the
     * ClickHouse/Doris bitmap pattern. `count(DISTINCT user_id)` plans as

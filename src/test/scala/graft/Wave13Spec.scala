@@ -143,6 +143,14 @@ class Wave13Spec extends SparkTestBase {
     }
   }
 
+  test("win_rolling_distinct_bitmap equals the exact expansion form") {
+    val exact = ops.SketchOps.winRollingDistinctExact(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val bitmap = ops.SketchOps.winRollingDistinctBitmap(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
+  }
+
   test("agg_chisq matches an in-memory contingency computation") {
     val ev = graft.engine.Tables.events(spark, sf)
       .select(col("event_type"), col("value")).collect()
