@@ -48,6 +48,17 @@ object OracleSql {
         |  ROUND(s_acctbal, 2) AS s_acctbal_r
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
+    // scan_evolved: the oracle replays the union-by-name semantics from
+    // the ORIGINAL orders table via the same content-stable even/odd
+    // split — even keys predate the priority column, so they null-fill.
+    // Equality asserts both batch contents AND the mergeSchema fill.
+    "scan_evolved" ->
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice, 2) AS o_totalprice_r,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |       ELSE '<pre-schema>' END AS priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // scan_binaryfile: DuckDB read_blob over the same committed fixture
     // files. decode(blob), not CAST(blob AS VARCHAR): the cast emits the
     // \xNN-escaped literal form and would hash different bytes; decode

@@ -100,6 +100,54 @@ object Relational {
       loc.toString
     })
 
+  /** Schema-evolution source: a two-batch parquet dataset whose batches
+    * disagree on schema (batch 1 predates the `o_orderpriority` column),
+    * read back with `mergeSchema` so the union schema null-fills the
+    * missing column — the ingest reality of any long-lived corpus (new
+    * crawls add fields; old files are never rewritten). The export is
+    * durable and `_SUCCESS`-guarded like the ORC/text exports; the split
+    * rule (even/odd order key) is content-stable, so the ORACLE replays
+    * the same union from the ORIGINAL orders table with no path coupling.
+    *
+    * Scale: mergeSchema=true footer-merges at planning time — O(#files)
+    * on the driver, which is why production tables pin the merged schema
+    * in a catalog instead; the read itself stays an ordinary parallel
+    * scan. */
+  def scanEvolved(s: SparkSession, d: String): DataFrame = {
+    val loc = ensureEvolvedExport(s, d)
+    s.read.option("mergeSchema", "true").parquet(s"$loc/b1", s"$loc/b2")
+      .select(col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("o_totalprice_r"),
+              coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+                .as("priority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val evolvedExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureEvolvedExport(s: SparkSession, d: String): String =
+    evolvedExported.getOrElseUpdate(d, bucketedLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft_evolved_orders_$key")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val o = orders(s, d)
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$loc/b1")
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$loc/b2")
+        // the batch dirs carry their own _SUCCESS; this one marks the
+        // whole two-batch export complete (torn exports redo both)
+        fs.create(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")).close()
+      }
+      loc.toString
+    })
+
   /** Plain-text source (`spark.read.text`): one line per document from a
     * durable newline-free export ([[ensureTextExport]]) — the landing
     * format of raw text dumps. The oracle reads the ORIGINAL parquet

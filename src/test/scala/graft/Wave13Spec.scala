@@ -151,6 +151,23 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("scan_evolved: union schema null-fills only the pre-schema batch") {
+    val rows = ops.Relational.scanEvolved(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      if (key % 2 == 0)
+        assert(r.getString(2) == "<pre-schema>", s"even key $key must fill")
+      else assert(r.getString(2) != "<pre-schema>", s"odd key $key has real col")
+    }
+    // durable export: a second call must not rewrite the files
+    val loc = ops.Relational.ensureEvolvedExport(spark, sf)
+    val p = new java.io.File(loc, "_SUCCESS")
+    val t0 = p.lastModified()
+    ops.Relational.scanEvolved(spark, sf).count()
+    assert(p.lastModified() == t0, "export must be built once per dataset")
+  }
+
   test("agg_chisq matches an in-memory contingency computation") {
     val ev = graft.engine.Tables.events(spark, sf)
       .select(col("event_type"), col("value")).collect()
