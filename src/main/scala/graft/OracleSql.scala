@@ -924,6 +924,18 @@ object OracleSql {
         |      * c.n_lang < f.n_min * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
 
+    // text_quality_pctl: percentile ↔ quantile_cont produce bit-equal
+    // interpolated doubles (the agg_percentiles contract), so the strict
+    // comparison keeps identical rows.
+    "text_quality_pctl" ->
+      """WITH thr AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.9) AS thr
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE n_chars > thr
+        |ORDER BY doc_id""".stripMargin,
+
     // text_vocab_topp: identical exclusive-prefix window; the 90% rule is
     // cross-multiplied to integers on both sides (no float division).
     "text_vocab_topp" ->

@@ -494,6 +494,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distribution-derived quality gate: keep each language's docs above
+    * that language's own p90 length — the dynamic-threshold filter every
+    * quality pipeline ends with ("top decile by score"), as opposed to
+    * the fixed-constant gates of [[textQuality]]. The per-class quantile
+    * table is a tiny broadcast; the filter is then row-local.
+    *
+    * Scale: `percentile` here is the exact sort-based form (it IS the
+    * oracle contract); at 100 TB swap in the mergeable-sketch
+    * `approx_percentile` (declared as `agg_approx_percentile`) — the
+    * plan shape (threshold agg → broadcast → narrow filter) is unchanged. */
+  def textQualityPctl(s: SparkSession, d: String): DataFrame = {
+    val thr = documents(s, d).groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.9)").as("thr"))
+    documents(s, d).join(broadcast(thr), "lang")
+      .where(col("n_chars") > col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language vocabulary nucleus (top-p) truncation: keep the smallest
     * prefix of the frequency-sorted vocabulary whose cumulative mass
     * reaches 90% — the classic vocab/logit truncation rule, run corpus-side.

@@ -151,6 +151,29 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("text_quality_pctl: kept docs sit strictly above their class p90") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val kept = ops.TextOps.textQualityPctl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val keptIds = kept.map(_._1).toSet
+    docs.groupBy(_._2).foreach { case (lang, g) =>
+      // exact interpolated p90 replayed in memory
+      val v = g.map(_._3.toDouble).sorted
+      val rank = (v.length - 1) * 0.9
+      val (lo, frac) = (rank.toInt, rank - rank.toInt)
+      val p90 = if (lo + 1 < v.length) v(lo) + frac * (v(lo + 1) - v(lo))
+                else v(lo)
+      g.foreach { case (id, _, n) =>
+        assert(keptIds.contains(id) == (n > p90), s"doc $id lang $lang")
+      }
+    }
+    // a p90 gate keeps roughly the top decile of each class
+    assert(kept.length <= docs.length / 5, "gate should be selective")
+  }
+
   test("scan_evolved: union schema null-fills only the pre-schema batch") {
     val rows = ops.Relational.scanEvolved(spark, sf).collect()
     assert(rows.nonEmpty)
