@@ -59,6 +59,32 @@ object OracleSql {
         |       ELSE '<pre-schema>' END AS priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // graph_sssp: DuckDB recursive CTE replays the identical BFS — the
+    // UNION fixpoint accumulates (node, hop) rows, MIN(hop) per node is
+    // the shortest-path reduction; edge build is textually the same
+    // undirected distinct trade projection as the Spark substrate.
+    "graph_sssp" ->
+      """WITH RECURSIVE cs AS (
+        |  SELECT DISTINCT o_custkey AS src,
+        |                  l_suppkey + 1000000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM cs
+        |      UNION ALL SELECT dst, src FROM cs),
+        |bfs(node, hop) AS (
+        |  SELECT MIN(o_custkey), 0 FROM orders
+        |  UNION
+        |  SELECT e.dst, bfs.hop + 1
+        |  FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.hop < 6)
+        |SELECT
+        |  CASE WHEN node >= 1000000000 THEN node - 1000000000
+        |       ELSE node END AS node_id,
+        |  node >= 1000000000 AS is_supplier,
+        |  CAST(MIN(hop) AS BIGINT) AS hops
+        |FROM bfs
+        |GROUP BY node
+        |ORDER BY hops, is_supplier, node_id""".stripMargin,
+
     // scan_binaryfile: DuckDB read_blob over the same committed fixture
     // files. decode(blob), not CAST(blob AS VARCHAR): the cast emits the
     // \xNN-escaped literal form and would hash different bytes; decode

@@ -149,4 +149,42 @@ object GraphOps {
       .groupBy("supp").agg(count(lit(1)).as("n_tri"))
       .orderBy("supp")
   }
+
+  /** Single-source shortest hops (BFS, ≤6 hops) over the trade graph from
+    * the minimum customer key — min-hop distances are INTEGER-exact, so
+    * unlike PageRank this iterative op carries a SQL oracle (DuckDB
+    * recursive CTE, the dedup_clusters precedent: UNION-fixpoint rows
+    * reduced by MIN(hop)).
+    *
+    * Frontier BFS, the scalable shape: each step joins the CURRENT
+    * FRONTIER (≤ O(V) rows) against the pre-partitioned edge substrate
+    * and anti-joins the settled set, so a step exchanges frontier-sized
+    * data only; lineage is cut per iteration exactly like PageRank. The
+    * hop bound (6) is the output contract, not a convergence guess —
+    * social/trade graphs are small-world, and bounded-hop reachability
+    * ("blast radius") is the production question this answers. */
+  def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val start = orders(s, d).agg(min(col("o_custkey")).as("node"))
+      .withColumn("hop", lit(0L))
+    var dist = start.localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to 6) {
+      frontier = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+    }
+    edges.unpersist(false)
+    dist.select(
+        when(col("node") >= SuppBase, col("node") - SuppBase)
+          .otherwise(col("node")).as("node_id"),
+        (col("node") >= SuppBase).as("is_supplier"),
+        col("hop").as("hops"))
+      .orderBy("hops", "is_supplier", "node_id")
+  }
 }

@@ -151,6 +151,32 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("graph_sssp matches an in-memory BFS replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val om = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = li.map { case (ok, sk) => (om(ok), sk + 1000000000L) }.distinct
+    val adj = (cs ++ cs.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val src = om.values.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (h <- 1L to 6L) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    val got = ops.GraphOps.graphSssp(spark, sf).collect()
+      .map { r =>
+        val id = if (r.getBoolean(1)) r.getLong(0) + 1000000000L else r.getLong(0)
+        id -> r.getLong(2)
+      }.toMap
+    assert(got == dist, s"BFS mismatch: ${got.size} vs ${dist.size} nodes")
+  }
+
   test("text_quality_pctl: kept docs sit strictly above their class p90") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "n_chars").collect()
