@@ -1935,6 +1935,23 @@ object OracleSql {
         |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
         |             AS BIGINT) % 100 AS bucket
         |      FROM orders)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge_scd2: the history is a pure function of the source table —
+    // v0 row per customer (closed at version 1 iff the key changed, i.e.
+    // odd) plus a v1 open row per changed key. The double-apply in the
+    // Spark query must be a no-op, so equality also proves idempotence.
+    "merge_scd2" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ROUND(c_acctbal, 2) AS c_acctbal_r,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CASE WHEN c_custkey % 2 = 1 THEN CAST(1 AS BIGINT) END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'V2_' || c_mktsegment,
+        |  ROUND(ROUND(c_acctbal, 2) + 100, 2),
+        |  CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

@@ -89,4 +89,90 @@ object MergeOps {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy("o_orderkey")
   }
+
+  /** Type-2 slowly-changing-dimension merge: fold a change batch into a
+    * versioned history table — open rows whose attributes CHANGED are
+    * closed (`valid_to` = version) and a new open row is appended;
+    * unchanged keys are left untouched, which is what makes re-applying
+    * the same batch a no-op (idempotence falls out of the attribute
+    * comparison, not a transaction log). `merge_upsert` keeps only the
+    * latest truth; SCD2 keeps every version — the as-of-join side input
+    * ([[Relational.joinAsof]]) every point-in-time feature pipeline needs.
+    *
+    * Scale: histories are dimension-sized (≪ facts); the change detection
+    * is one key-equi join of batch × OPEN rows (open set ≤ |dimension|),
+    * and the null-safe `<=>` comparison keeps NULL attribute transitions
+    * honest. The rewrite is the whole history dir here — at warehouse
+    * scale, partition it by a key hash and rewrite only touched
+    * partitions exactly as [[mergeUpsert]] does. */
+  def mergeScd2(s: SparkSession, historyDir: String, changes: DataFrame,
+                keyCol: String, attrCols: Seq[String],
+                version: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to")
+    if (!fs.exists(p)) {
+      changes.withColumn("valid_from", lit(version))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .selectExpr(outCols: _*)
+        .write.parquet(historyDir)
+      return
+    }
+    val hist = s.read.parquet(historyDir)
+    val open = hist.where(col("valid_to").isNull)
+    // keys whose open version differs on ANY attribute — or brand-new keys
+    val diff = changes.alias("c")
+      .join(open.alias("o"), col(s"c.$keyCol") === col(s"o.$keyCol"), "left")
+      .where(col(s"o.$keyCol").isNull ||
+             attrCols.map(a => !(col(s"c.$a") <=> col(s"o.$a")))
+               .reduce(_ || _))
+      .select(col(s"c.$keyCol").as(keyCol) +:
+              attrCols.map(a => col(s"c.$a").as(a)): _*)
+    if (diff.isEmpty) return  // nothing changed: the no-op that makes
+                              // re-applying a batch idempotent
+    val diffKeys = diff.select(keyCol)
+    val newHist = hist.where(col("valid_to").isNotNull)              // closed: keep
+      .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))    // open, unchanged
+      .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")     // open, changed:
+                     .withColumn("valid_to", lit(version)))          //   close
+      .unionByName(diff.withColumn("valid_from", lit(version))       // new version:
+                     .withColumn("valid_to", lit(null).cast("long")))//   open
+      .selectExpr(outCols: _*)
+      .localCheckpoint()  // cut lineage off the files we overwrite
+    newHist.write.mode("overwrite").parquet(historyDir)
+  }
+
+  /** Declared merge_scd2 query: customer history at version 0, a change
+    * batch at version 1 (odd keys move segment + balance), applied TWICE
+    * — the second application must be a no-op — then the full history
+    * read back. The oracle replays the same pure function of the source
+    * table: every customer's v0 row (closed iff the key changed) plus a
+    * v1 open row for the changed keys. */
+  def mergeScd2Query(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_scd2_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal"), 2).as("c_acctbal_r"))
+    val attrs = Seq("c_mktsegment", "c_acctbal_r")
+    mergeScd2(s, dir, base, "c_custkey", attrs, version = 0L)
+    val batch = base.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(2)) === 1,
+             concat(lit("V2_"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal_r",
+        when(pmod(col("c_custkey"), lit(2)) === 1,
+             round(col("c_acctbal_r") + 100, 2))
+          .otherwise(col("c_acctbal_r")))
+    mergeScd2(s, dir, batch, "c_custkey", attrs, version = 1L)
+    mergeScd2(s, dir, batch, "c_custkey", attrs, version = 1L)
+    s.read.parquet(dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal_r"),
+              col("valid_from"), col("valid_to"))
+      .orderBy("c_custkey", "valid_from")
+  }
 }

@@ -151,6 +151,31 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("merge_scd2: one open row per key; further applies are no-ops") {
+    val hist = ops.MergeOps.mergeScd2Query(spark, sf).collect()
+    val byKey = hist.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rows) =>
+      val open = rows.filter(_.isNullAt(4))
+      assert(open.length == 1, s"key $k must have exactly one open row")
+      // versions chain: closed row (if any) ends where the open one starts
+      rows.filterNot(_.isNullAt(4)).foreach { closed =>
+        assert(open.head.getLong(3) == closed.getLong(4),
+          s"key $k version chain broken")
+      }
+    }
+    // a third apply of the same batch must not grow the history
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_scd2_" + sf.replaceAll("[^A-Za-z0-9]+", "_")
+        .replaceAll("^_+", "")).getAbsolutePath
+    val before = spark.read.parquet(dir).count()
+    val batch = spark.read.parquet(dir).where(col("valid_to").isNull)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal_r"))
+    ops.MergeOps.mergeScd2(spark, dir, batch, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal_r"), version = 2L)
+    assert(spark.read.parquet(dir).count() == before,
+      "re-applying current state must be a no-op")
+  }
+
   test("graph_sssp matches an in-memory BFS replay") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_suppkey").collect()
