@@ -168,19 +168,24 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val start = orders(s, d).agg(min(col("o_custkey")).as("node"))
       .withColumn("hop", lit(0L))
-    var dist = start.localCheckpoint()
-    var frontier = dist
+    // Only the FRONTIER is checkpointed per step; the settled set is a
+    // lazy union of those already-materialized frontiers (depth ≤ hops,
+    // each leaf an in-memory block), so it needs no checkpoint of its
+    // own — half the per-iteration job launches of the naive version.
+    var frontier = start.localCheckpoint()
+    var settled = Vector(frontier)
     for (h <- 1 to 6) {
+      val dist = settled.reduce(_ union _)
       frontier = frontier
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint()
-      dist = dist.union(frontier).localCheckpoint()
+      settled :+= frontier
     }
     edges.unpersist(false)
-    dist.select(
+    settled.reduce(_ union _).select(
         when(col("node") >= SuppBase, col("node") - SuppBase)
           .otherwise(col("node")).as("node_id"),
         (col("node") >= SuppBase).as("is_supplier"),
