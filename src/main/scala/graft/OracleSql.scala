@@ -570,6 +570,24 @@ object OracleSql {
         |  day_value IS NOT NULL AS is_observed
         |FROM n ORDER BY user_id, day""".stripMargin,
 
+    // win_transitions: identical lead window + count + row-window
+    // normalization; the probability divides the same two integers on
+    // both engines, floor-quantized.
+    "win_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |t AS (
+        |  SELECT cur, next, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE next IS NOT NULL GROUP BY cur, next)
+        |SELECT cur, next, n,
+        |  FLOOR(CAST(n AS DOUBLE)
+        |        / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE)
+        |        * 10000.0 + 0.5) / 10000.0 AS p_r
+        |FROM t ORDER BY cur, next""".stripMargin,
+
     // win_sessionize: same islands construction (lag-gap opens + running
     // count), same >= gap comparison as stream_session's oracle.
     "win_sessionize" ->

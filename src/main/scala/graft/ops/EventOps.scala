@@ -406,4 +406,34 @@ object EventOps {
               col("day_value").isNotNull.as("is_observed"))
       .orderBy("user_id", "day")
   }
+
+  /** Event-transition matrix (first-order Markov view of the user
+    * journey): P(next = b | current = a) over each user's time-ordered
+    * event stream — the "what do users do after X" read-out behind
+    * funnel design and anomaly baselines. One user-partitioned lag
+    * window produces (cur, next) pairs; counts collapse to the
+    * |types|² transition table, and the row-normalization runs as a
+    * window sum over THAT table (the [[graft.ops.StatsOps.aggChisq]]
+    * margin trick — never a second pass over events). The probability
+    * is one count/count division of identical integers on both
+    * engines, floor-quantized at 4dp.
+    *
+    * Scale: the only event-sized operation is the lag window's single
+    * user_id shuffle (shared shape with win_sessionize/win_funnel);
+    * everything after is O(|types|²). */
+  def winTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type").as("cur"))
+      .withColumn("next", lead("cur", 1).over(w))
+      .where(col("next").isNotNull)
+      .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(Window.partitionBy("cur")))
+      .select(col("cur"), col("next"), col("n"),
+        (expr("FLOOR(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)" +
+              " * 10000.0 + 0.5)").cast("double") / 10000.0).as("p_r"))
+      .orderBy("cur", "next")
+  }
 }

@@ -151,6 +151,21 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("win_transitions: row-stochastic matrix accounting for every step") {
+    val rows = ops.EventOps.winTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.engine.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes (his event count - 1) transitions
+    assert(rows.map(_._3).sum == nEvents - nUsers, "transition count")
+    rows.groupBy(_._1).foreach { case (cur, g) =>
+      val pSum = g.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < g.size * 1e-4 + 1e-9,
+        s"row $cur not stochastic: $pSum")
+    }
+  }
+
   test("merge_scd2: one open row per key; further applies are no-ops") {
     val hist = ops.MergeOps.mergeScd2Query(spark, sf).collect()
     val byKey = hist.groupBy(_.getLong(0))
