@@ -644,6 +644,26 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // join_star_schema: identical six-relation join + residual + exact
+    // decimal revenue product (order-proof), one textual formula.
+    "join_star_schema" ->
+      """SELECT n_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE), 2) AS revenue_r,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |  AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name
+        |ORDER BY revenue_r DESC, n_name""".stripMargin,
+
     // agg_ttest: Welch t + Satterthwaite df from the same exact conditional
     // decimal sums; the double formula text is identical to the Spark side
     // (op-order-sensitive — do not "simplify" one side only).

@@ -426,6 +426,41 @@ object Relational {
                   * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("covp_r"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q5-shaped star join: local-supplier revenue per nation — six
+    * relations (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region) with the classic same-nation residual
+    * (s_nationkey = c_nationkey), a date-range fact filter, and a region
+    * slice. The whole chain plans as one pipelined BroadcastHashJoin
+    * cascade over a single lineitem scan at this scale; revenue is the
+    * exact decimal product formulation (ulp-proof under any partial-agg
+    * order).
+    *
+    * Scale: orders/customer stop being broadcastable at fact-scale —
+    * that is exactly the CBO/bucketing story ([[joinBucketed]],
+    * [[graft.ops.StatsOps.joinCboReorder]]); the date filter pushes to
+    * the orders scan and region/nation stay broadcast at any scale. */
+  def joinStarSchema(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d)
+              .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                     col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+                            col("s_nationkey") === col("c_nationkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy("n_name")
+      .agg(sum(expr(
+             "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+             "(CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))
+             .cast("double").as("rev"),
+           count(lit(1)).as("n_items"))
+      .select(col("n_name"),
+              expr("ROUND(rev, 2) + 0.0").as("revenue_r"), col("n_items"))
+      .orderBy(col("revenue_r").desc, col("n_name"))
+
   /** Welch's two-sample t-test of finished ('F') vs open ('O') order
     * value per priority class — the A/B-experiment read-out shape (metric
     * delta between two cohorts, unequal variances). The decimal-moment

