@@ -48,6 +48,14 @@ object OracleSql {
         |  ROUND(s_acctbal, 2) AS s_acctbal_r
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
+    // scan_partitioned: the oracle replays the partition slice from the
+    // original table — equality proves the hive-partitioned write
+    // round-trip (values AND the re-attached partition column).
+    "scan_partitioned" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_evolved: the oracle replays the union-by-name semantics from
     // the ORIGINAL orders table via the same content-stable even/odd
     // split — even keys predate the priority column, so they null-fill.

@@ -123,6 +123,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Partition-pruned scan as a DECLARED query: orders exported once as a
+    * hive-partitioned table (dir per o_orderstatus, `_SUCCESS`-guarded,
+    * durable) and read back through a partition-column filter — the
+    * listing never opens the other partitions' files (PartitionFilters,
+    * pinned in Wave13). The oracle replays the same slice from the
+    * ORIGINAL table, so equality also proves the partitioned write
+    * round-trip. This is §2.A's layout story made checkable end-to-end:
+    * at 100 TB the partition column is the date/ingest key and this scan
+    * shape is why a day's query doesn't touch a year's files. */
+  def scanPartitioned(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensurePartitionedExport(s, d))
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"),
+              col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  private val partExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensurePartitionedExport(s: SparkSession, d: String)
+      : String =
+    partExported.getOrElseUpdate(d, bucketedLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft_part_orders_$key")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        orders(s, d).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(loc.toString)
+      }
+      loc.toString
+    })
+
   private val evolvedExported =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

@@ -151,6 +151,17 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("scan_partitioned: the status filter prunes at the partition level") {
+    val df = ops.Relational.scanPartitioned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
+      s"status filter must prune partitions, not rows:\n$plan")
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderstatus") === "F").count()
+    assert(df.count() == want)
+  }
+
   test("join_star_schema: broadcast cascade with the date filter pushed down") {
     val df = ops.Relational.joinStarSchema(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
