@@ -142,6 +142,11 @@ object Relational {
   private val partExported =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Test hooks: forget the per-JVM memos (NOT the files) — simulates a
+    * fresh process for export-reuse tests, like [[resetOrcMemo]]. */
+  private[graft] def resetPartitionedMemo(): Unit = partExported.clear()
+  private[graft] def resetEvolvedMemo(): Unit = evolvedExported.clear()
+
   private[graft] def ensurePartitionedExport(s: SparkSession, d: String)
       : String =
     partExported.getOrElseUpdate(d, bucketedLock.synchronized {

@@ -151,6 +151,25 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("durable exports are reused by a fresh process (memo reset)") {
+    // Prime both exports, capture their _SUCCESS mtimes, forget the
+    // per-JVM memos (= what a restart loses), re-run: the `_SUCCESS`
+    // guard must short-circuit — same files, no rewrite.
+    ops.Relational.scanPartitioned(spark, sf).count()
+    ops.Relational.scanEvolved(spark, sf).count()
+    val pDir = ops.Relational.ensurePartitionedExport(spark, sf)
+    val eDir = ops.Relational.ensureEvolvedExport(spark, sf)
+    val (p, e) = (new java.io.File(pDir, "_SUCCESS"),
+                  new java.io.File(eDir, "_SUCCESS"))
+    val (pT, eT) = (p.lastModified(), e.lastModified())
+    ops.Relational.resetPartitionedMemo()
+    ops.Relational.resetEvolvedMemo()
+    ops.Relational.scanPartitioned(spark, sf).count()
+    ops.Relational.scanEvolved(spark, sf).count()
+    assert(p.lastModified() == pT && e.lastModified() == eT,
+      "a fresh JVM must reuse the durable exports, not rebuild them")
+  }
+
   test("scan_partitioned: the status filter prunes at the partition level") {
     val df = ops.Relational.scanPartitioned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
