@@ -578,6 +578,27 @@ object OracleSql {
         |  day_value IS NOT NULL AS is_observed
         |FROM n ORDER BY user_id, day""".stripMargin,
 
+    // ml_fpgrowth: FP-Growth counts exactly, so the size<=2 slice is
+    // SQL-replayable — singles + unordered pairs over distinct
+    // (order, brand) rows, same ceil(1% of baskets) integer threshold.
+    "ml_fpgrowth" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        |singles AS (
+        |  SELECT b AS itemset, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM ob GROUP BY b),
+        |pairs AS (
+        |  SELECT x.b || ',' || y.b AS itemset,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY x.b, y.b),
+        |u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+        |SELECT itemset, freq FROM u, nb
+        |WHERE freq >= CEIL(0.01 * n)
+        |ORDER BY itemset""".stripMargin,
+
     // win_transitions: identical lead window + count + row-window
     // normalization; the probability divides the same two integers on
     // both engines, floor-quantized.

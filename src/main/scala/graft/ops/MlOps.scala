@@ -124,4 +124,35 @@ object MlOps {
                      " + graft_dot(cv, cv)"))), 4).as("dist_r"))
       .orderBy("vec_id")
   }
+
+  /** Frequent-itemset mining (market-basket association) with MLlib's
+    * distributed FP-Growth: each order's distinct part brands form a
+    * basket; itemsets with support ≥ 1% survive. The UNUSUAL property
+    * here: FP-Growth's output is exact counting (no RNG, no sketch), so
+    * unlike the other MLlib ops this one carries a full SQL ORACLE — the
+    * declared query keeps itemsets of size ≤ 2, which SQL replays as
+    * single counts plus the unordered-pair self-join, with the identical
+    * `ceil(minSupport · n_baskets)` integer threshold on both engines.
+    * Sizes ≥ 3 are FP-Growth's real advantage (the SQL replay would need
+    * a k-way self-join per size) and stay covered by the ≤2 slice's
+    * equality plus MLlib's own anti-monotonicity.
+    *
+    * Scale: FP-Growth is the parallel PFP formulation (group-dependent
+    * transactions, per-group conditional trees); basket building is one
+    * distinct + collect_set over (order, brand) — fact-sized but narrow. */
+  def mlFpgrowth(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.Tables._
+    val baskets = lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+      .groupBy("ok").agg(collect_set(col("b")).as("items"))
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.01).setMinConfidence(0.5)
+    fp.fit(baskets).freqItemsets
+      .where(size(col("items")) <= 2)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+              col("freq"))
+      .orderBy("itemset")
+  }
 }

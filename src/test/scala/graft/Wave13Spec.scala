@@ -151,6 +151,24 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("ml_fpgrowth: anti-monotone itemsets above the support floor") {
+    val rows = ops.MlOps.mlFpgrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val singles = rows.filterNot(_._1.contains(",")).toMap
+    val pairs = rows.filter(_._1.contains(","))
+    assert(singles.nonEmpty && pairs.nonEmpty)
+    // support is anti-monotone: a pair can never beat its items
+    pairs.foreach { case (is, f) =>
+      val Array(a, b) = is.split(",")
+      assert(f <= singles(a) && f <= singles(b), s"$is violates monotonicity")
+    }
+    // every surviving itemset clears the 1%-of-baskets floor
+    val nBaskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").distinct().count()
+    val floor = math.ceil(0.01 * nBaskets).toLong
+    rows.foreach { case (is, f) => assert(f >= floor, s"$is below support") }
+  }
+
   test("durable exports are reused by a fresh process (memo reset)") {
     // Prime both exports, capture their _SUCCESS mtimes, forget the
     // per-JVM memos (= what a restart loses), re-run: the `_SUCCESS`
