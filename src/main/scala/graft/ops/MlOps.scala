@@ -142,10 +142,11 @@ object MlOps {
     * distinct + collect_set over (order, brand) — fact-sized but narrow. */
   def mlFpgrowth(s: SparkSession, d: String): DataFrame = {
     import graft.engine.Tables._
+    // no pre-distinct: collect_set dedups inside the partial aggregate,
+    // so the (order, brand) stream shuffles once, not twice
     val baskets = lineitem(s, d)
       .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
       .groupBy("ok").agg(collect_set(col("b")).as("items"))
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items").setMinSupport(0.01).setMinConfidence(0.5)
