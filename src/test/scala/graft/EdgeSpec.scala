@@ -115,7 +115,15 @@ class EdgeSpec extends SparkTestBase {
                                   // builds); final fold is SinglePartition
       "fn_fuzzy_match" -> 2,      // argmin agg + sort (dim self-compare
                                   // broadcasts)
-      "join_point_in_range" -> 2  // band agg + sort (bands broadcast)
+      "join_point_in_range" -> 2, // band agg + sort (bands broadcast)
+      // late round-7 additions
+      "scan_partitioned" -> 1,    // pruned scan + determinism sort
+      "scan_evolved" -> 1,        // merged-footer scan + determinism sort
+      "text_quality_pctl" -> 3,   // per-class quantile agg (broadcast
+                                  // build) + filter + sort
+      "win_transitions" -> 4,     // ONE user lead-window shuffle + pair
+                                  // agg + cur-row window + sort
+      "join_star_schema" -> 2     // all five dims broadcast: agg + sort
     )
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)
