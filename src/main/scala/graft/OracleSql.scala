@@ -578,6 +578,34 @@ object OracleSql {
         |  day_value IS NOT NULL AS is_observed
         |FROM n ORDER BY user_id, day""".stripMargin,
 
+    // agg_gini: identical rank formulation — exact decimal spend and
+    // rank-weighted sums, total (spend, key) tie order, one double
+    // formula per nation, floor-quantized.
+    "agg_gini" ->
+      """WITH sp AS (
+        |  SELECT n_name, c_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey),
+        |r AS (
+        |  SELECT n_name, spend,
+        |    row_number() OVER
+        |      (PARTITION BY n_name ORDER BY spend ASC, c_custkey ASC) AS rn
+        |  FROM sp),
+        |g AS (
+        |  SELECT n_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(spend) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(rn AS DECIMAL(10,0)) * spend) AS DOUBLE) AS six
+        |  FROM r GROUP BY n_name)
+        |SELECT n_name, n_cust,
+        |  FLOOR((2.0 * six / (CAST(n_cust AS DOUBLE) * sx)
+        |    - (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS gini_r
+        |FROM g ORDER BY n_name""".stripMargin,
+
     // ml_fpgrowth: FP-Growth counts exactly, so the size<=2 slice is
     // SQL-replayable — singles + unordered pairs over distinct
     // (order, brand) rows, same ceil(1% of baskets) integer threshold.

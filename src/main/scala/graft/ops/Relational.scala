@@ -465,6 +465,42 @@ object Relational {
                   * 10000.0 + 0.5) AS DOUBLE) / 10000.0""").as("covp_r"))
       .orderBy("l_returnflag")
 
+  /** Gini coefficient of customer spend per nation — the inequality
+    * read-out (how concentrated is revenue across customers?) via the
+    * rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-
+    * sorted spend. Everything before the final formula is exact: spend
+    * is a decimal sum, ranks are row_number with a total (spend, key)
+    * order so ties cannot reorder across engines, and Σ(i·xᵢ) multiplies
+    * an integer rank into the decimal — the one double division happens
+    * once per nation, floor-quantized.
+    *
+    * Scale: the window ranks CUSTOMERS within a nation (post-aggregation
+    * cardinality), not orders; the raw fact stream collapses at the
+    * per-customer partial agg. A nation's customer set is the partition
+    * bound — for a single giant class, pre-bucket by spend quantile and
+    * use the grouped-Gini decomposition. */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("spend").asc, col("c_custkey").asc)
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("spend"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("spend")).cast("double").as("sx"),
+           sum(expr("CAST(rn AS DECIMAL(10,0)) * spend"))
+             .cast("double").as("six"))
+      .select(col("n_name"), col("n_cust"),
+        expr("""CAST(FLOOR((2.0 * six / (CAST(n_cust AS DOUBLE) * sx)
+                  - (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE))
+                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0""")
+          .as("gini_r"))
+      .orderBy("n_name")
+  }
+
   /** TPC-H Q5-shaped star join: local-supplier revenue per nation — six
     * relations (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
     * region) with the classic same-nation residual

@@ -151,6 +151,30 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("agg_gini matches an in-memory rank-formula replay and stays in [0,1)") {
+    val got = ops.Relational.aggGini(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+             .cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    spend.groupBy(_._1).foreach { case (nat, g) =>
+      val xs = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toDouble
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = 2.0 * six / (n * xs.sum) - (n + 1.0) / n
+      val (gn, gv) = got(nat)
+      assert(gn == xs.length, s"$nat customer count")
+      assert(math.abs(gv - want) < 1e-3, s"$nat gini $gv vs $want")
+      assert(gv >= 0.0 && gv < 1.0, s"$nat gini out of range")
+    }
+  }
+
   test("ml_fpgrowth: anti-monotone itemsets above the support floor") {
     val rows = ops.MlOps.mlFpgrowth(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
