@@ -1045,6 +1045,29 @@ object OracleSql {
         |      * c.n_lang < f.n_min * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
 
+    // dedup_paragraph: identical non-overlapping chunk arithmetic
+    // (1-based inclusive list slices), md5 fingerprints, and the same
+    // (doc, chunk) min-tuple keeper rule.
+    "dedup_paragraph" ->
+      """WITH p AS (
+        |  SELECT doc_id, cid,
+        |    md5(array_to_string(
+        |      string_split(text, ' ')[(cid * 64 + 1):(cid * 64 + 64)],
+        |      ' ')) AS fp
+        |  FROM documents,
+        |    unnest(generate_series(0,
+        |      ((len(string_split(text, ' ')) + 63) // 64) - 1))
+        |      AS t(cid)),
+        |f AS (
+        |  SELECT fp, MIN(ROW(doc_id, cid)) AS keeper,
+        |    CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM p GROUP BY fp)
+        |SELECT p.doc_id, CAST(p.cid AS BIGINT) AS chunk_id,
+        |  (p.doc_id = (f.keeper)[1] AND p.cid = (f.keeper)[2]) AS keep,
+        |  f.n_copies
+        |FROM p JOIN f USING (fp)
+        |ORDER BY p.doc_id, chunk_id""".stripMargin,
+
     // text_quality_pctl: percentile ↔ quantile_cont produce bit-equal
     // interpolated doubles (the agg_percentiles contract), so the strict
     // comparison keeps identical rows.

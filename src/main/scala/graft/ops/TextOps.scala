@@ -494,6 +494,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-level exact dedup (the C4/RefinedWeb move): cut every doc
+    * into NON-overlapping 64-token paragraphs ([[textChunk]]'s window
+    * arithmetic with stride = window), fingerprint each, and keep only a
+    * paragraph's FIRST occurrence corpus-wide — `min(struct(doc, chunk))`
+    * per fingerprint, the deterministic tie order. Output marks every
+    * paragraph keep/drop, which is what the downstream re-assembly
+    * consumes.
+    *
+    * Scale: one shuffle on the fingerprint (md5 keys hash-balance); the
+    * min-struct partial agg collapses replicas map-side. Doc-level dedup
+    * misses boilerplate shared across distinct docs — this is the tier
+    * that catches it. */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val w = 64
+    val paras = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("k",
+        expr(s"CAST((size(words) + ${w - 1}) DIV $w AS BIGINT)"))
+      .select(col("doc_id"),
+              explode(sequence(lit(0L), col("k") - 1)).as("cid"),
+              col("words"))
+      .select(col("doc_id"), col("cid"),
+              md5(array_join(
+                slice(col("words"), (col("cid") * w + 1).cast("int"), lit(w)),
+                " ")).as("fp"))
+    val first = paras.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("cid"))).as("keeper"),
+           count(lit(1)).as("n_copies"))
+    paras.join(first, "fp")
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+              (col("doc_id") === col("keeper.doc_id") &&
+               col("cid") === col("keeper.cid")).as("keep"),
+              col("n_copies"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Distribution-derived quality gate: keep each language's docs above
     * that language's own p90 length — the dynamic-threshold filter every
     * quality pipeline ends with ("top decile by score"), as opposed to

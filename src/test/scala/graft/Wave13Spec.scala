@@ -151,6 +151,29 @@ class Wave13Spec extends SparkTestBase {
     assert(bitmap == exact, "bitmap rolling distinct must be row-identical")
   }
 
+  test("dedup_paragraph: exactly one keeper per duplicated paragraph") {
+    val rows = ops.TextOps.dedupParagraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.exists(_._4 > 1), "corpus should contain duplicate paragraphs")
+    // replay fingerprints to group rows, then check the keeper rule
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def fp(id: Long, cid: Long): String = {
+      val wsx = docs(id).split(" ")
+      val chunk = wsx.slice((cid * 64).toInt,
+        math.min(wsx.length, (cid * 64 + 64).toInt)).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(chunk.getBytes)
+        .map("%02x".format(_)).mkString
+    }
+    rows.groupBy { case (id, cid, _, _) => fp(id, cid) }.foreach {
+      case (_, g) =>
+        assert(g.count(_._3) == 1, "exactly one keeper per fingerprint")
+        assert(g.forall(_._4 == g.size), "n_copies must equal group size")
+        assert(g.minBy(t => (t._1, t._2))._3, "keeper must be the min tuple")
+    }
+  }
+
   test("agg_gini matches an in-memory rank-formula replay and stays in [0,1)") {
     val got = ops.Relational.aggGini(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
