@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin (r7 advice): Verify/BenchOne/tests all run UTC — without
+      // it, events-derived wall-clock bucketing silently shifts on a
+      // non-UTC machine relative to the oracle semantics.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,19 +69,9 @@ object Bench {
     // and inflated every trivial query's floor in round 6. Sampling every
     // 16th query still bounds cross-query GC-debt billing without paying a
     // full collection per query.
-    var sinceGc = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      if (sinceGc % 16 == 0) System.gc()
-      sinceGc += 1
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (results, errors) = runQueries(spark, sfDir, SparkEntry.queries)
+    val total = results.map(_._2).sum
+    val full = renderJson(results, errors, total, sfDir)
     // The driver's stdout capture is a bounded window: the full per-query
     // JSON (~4 KB for 100+ queries) was cut mid-line in BOTH r1 and r2
     // (BENCH parsed:null), even with a compact line printed after it. So
@@ -93,11 +87,59 @@ object Bench {
       "win_rownum_topk", "agg_count_distinct", "stream_tumbling",
       "text_wordcount", "sim_cosine_topk", "join_inner", "dedup_minhash",
       "text_tfidf")
-    val hq = headline.flatMap(k => results.get(k).map(v =>
+    val rmap = results.toMap
+    val hq = headline.flatMap(k => rmap.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"detail":"$outPath"}""")
     System.out.flush()
     spark.stop()
   }
+
+  /** Timed pass over the query map. A failing query is NOT swallowed into
+    * a fast-looking total any more (r7 verdict item 3): its wall time is
+    * still billed, and (name, first error line) lands in the returned
+    * error list → the bench JSON's "errors" field. */
+  private[graft] def runQueries(
+      spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    // Periodic (not per-query) GC outside the timed region: a full-heap
+    // System.gc() before every one of 180+ queries costs a multi-hundred-
+    // ms pause each on the warm heap; sampling every 16th query still
+    // bounds cross-query GC-debt billing (r6 fix, kept).
+    var sinceGc = 0
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val results = queries.toSeq.map { case (name, fn) =>
+      if (sinceGc % 16 == 0) System.gc()
+      sinceGc += 1
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); () }
+      catch { case t: Throwable =>
+        errors += name -> (t.getClass.getSimpleName + ": " +
+          String.valueOf(t.getMessage).linesIterator.take(1)
+            .mkString.take(160))
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    (results, errors.toList)
+  }
+
+  private[graft] def renderJson(
+      results: Seq[(String, Double)], errors: Seq[(String, String)],
+      total: Double, sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, m) =>
+      "\"" + k + "\":\"" + jsonEscape(m) + "\"" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }

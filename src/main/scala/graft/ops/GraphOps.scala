@@ -57,26 +57,72 @@ object GraphOps {
       .groupBy(col("dst").as("node"))
       .agg((lit(0.15) + lit(0.85) * sum("c")).as("rank"))
 
+  /** L1 convergence threshold for [[pagerankIterate]]'s early exit. The
+    * exit is OUTPUT-INVARIANT at the declared 6-decimal rounding: the
+    * damped map contracts the L1 distance by 0.85 per step, so once a
+    * measured 2-step L1 delta is δ < ε, every node's remaining cumulative
+    * movement is ≤ δ·0.85/(1-0.85) ≈ 5.7δ < 2.9e-7 — under the 5e-7
+    * half-ulp of round(rank, 6). Stopping therefore cannot change a
+    * single output digit vs running all 10 steps. */
+  private[graft] val ConvergeEps = 5e-8
+
+  /** The damped power-iteration loop, factored for testing: up to
+    * `maxIter` steps, lineage cut + convergence check every 2nd step,
+    * returns (ranks, steps actually run).
+    *
+    * r7-verdict trims, as measured. The verdict's "disable AQE inside
+    * the loop" was tried and REFUSED: back-to-back BenchOne at sf0.1
+    * measured AQE-off at 6.5-6.8 s warm vs AQE-on 5.5-6.1 s — adaptive
+    * shuffle-partition coalescing (32 → few partitions on the O(V) rank
+    * exchanges) saves more task-scheduling overhead than re-planning
+    * costs on this loop's fixed shape, so the session conf is left
+    * alone. What DID land: the lineage-cut checkpoint is LAZY and the
+    * convergence aggregate is the action that materializes it — one job
+    * per checkpoint serves both, where an eager checkpoint plus a
+    * separate delta job would double the loop's job count. The loop
+    * early-exits when the L1 delta between consecutive materialized
+    * checkpoints drops under [[ConvergeEps]] — provably invisible in the
+    * rounded output (see [[ConvergeEps]]). On the trade graph 10
+    * iterations never converge that far, so the declared query is
+    * step-for-step identical to round 7; the exit is the scale path for
+    * graphs that DO converge (the Wave12 regular-graph test pins it). */
+  private[graft] def pagerankIterate(s: SparkSession, edgesDeg: DataFrame,
+                                     maxIter: Int): (DataFrame, Int) = {
+    var ranks = edgesDeg.select(col("src").as("node"), lit(1.0).as("rank"))
+      .distinct().localCheckpoint()
+    var lastCk = ranks
+    var done = 0
+    var converged = false
+    while (done < maxIter && !converged) {
+      ranks = pagerankStep(edgesDeg, ranks)
+      done += 1
+      // cut lineage every 2nd step: measured fastest — deeper lazy
+      // chains re-plan per stage, per-step checkpoints pay a
+      // synchronous job launch each; depth 2 balances the two
+      if (done % 2 == 0 || done == maxIter) {
+        ranks = ranks.localCheckpoint(false)
+        val l1 = ranks
+          .join(lastCk.select(col("node"), col("rank").as("prev_rank")),
+                "node")
+          .agg(sum(abs(col("rank") - col("prev_rank"))).as("l1"))
+          .head().getDouble(0)
+        if (l1 < ConvergeEps && done < maxIter) converged = true
+        lastCk = ranks
+      }
+    }
+    (ranks, done)
+  }
+
   /** 10-iteration damped PageRank (d=0.85) over the undirected trade
     * graph. The undirected closure has no dangling nodes, so total rank
-    * is invariant at |V| every iteration (the spec pins this). Rank
-    * lineage is cut with an eager localCheckpoint per iteration; the
+    * is invariant at |V| every iteration (the spec pins this). The
     * static side stays cached, so a step costs two exchanges — the rank
-    * rows re-keying to src and the dst aggregation. Output ranks are
-    * quantized to 6 decimals; ordering is (rank desc, node) so float
-    * ties stay deterministic. */
+    * rows re-keying to src and the dst aggregation (loop mechanics:
+    * [[pagerankIterate]]). Output ranks are quantized to 6 decimals;
+    * ordering is (rank desc, node) so float ties stay deterministic. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val edgesDeg = pagerankSubstrate(s, d)
-    var ranks = edgesDeg.select(col("src").as("node"), lit(1.0).as("rank"))
-      .distinct()
-    for (i <- 1 to 10) {
-      ranks = pagerankStep(edgesDeg, ranks)
-      // cut lineage every 2nd step: measured fastest — deeper lazy chains
-      // pay AQE re-planning per stage, while per-step checkpoints pay a
-      // synchronous job launch each; depth 2 balances the two (the warm
-      // floor is the substrate build + ~0.2 s/iteration of job overhead)
-      if (i % 2 == 0) ranks = ranks.localCheckpoint()
-    }
+    val (ranks, _) = pagerankIterate(s, edgesDeg, maxIter = 10)
     edgesDeg.unpersist(false)
     ranks
       .select(when(col("node") >= SuppBase, col("node") - SuppBase)

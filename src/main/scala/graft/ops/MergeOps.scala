@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
+import graft.engine.Versioned
 
 /** Batch MERGE/upsert into a partitioned parquet corpus — the write-side
   * operator every incremental pipeline needs on day one: fold a new crawl
@@ -10,51 +11,102 @@ import graft.engine.Tables._
   * exists and appending the rest, while rewriting ONLY the partitions the
   * batch touches.
   *
+  * Both merges commit through [[graft.engine.Versioned]]'s
+  * write-audit-publish protocol: the merged partitions are STAGED under a
+  * new version dir, a manifest is written, and an empty commit marker
+  * makes the version visible — a crash anywhere before the marker leaves
+  * readers on the previous version in full (kill-tested in
+  * AtomicCommitSpec). This also removes the round-7 localCheckpoint: the
+  * writer never overwrites a directory it is reading, so there is no
+  * read-your-own-write hazard to cut lineage around.
+  *
   * Scale shape: the touched-partition values are a `distinct().collect()`
   * of the PARTITION column only (bounded by the partition count — the
   * same driver-side list Spark's own dynamic-partition-overwrite commit
-  * builds; never row data). The corpus read is partition-pruned to those
-  * values, the anti-join keeps surviving old rows, and the write uses
-  * dynamic partition overwrite so untouched partitions are never opened.
-  * Cost per merge ∝ touched-partition bytes + batch bytes, independent of
-  * corpus size. Idempotent by construction: re-merging the same batch
-  * anti-joins away exactly the rows it would re-insert. */
+  * builds; never row data). The corpus read is manifest-pruned to those
+  * values, the anti-join keeps surviving old rows, and untouched
+  * partitions keep their manifest entries pointing at older version dirs
+  * — never opened, never rewritten. Cost per merge ∝ touched-partition
+  * bytes + batch bytes, independent of corpus size. Idempotent by
+  * construction: re-merging the same batch anti-joins away exactly the
+  * rows it would re-insert. */
 object MergeOps {
 
-  /** Merge `batch` into the partitioned parquet corpus at `corpusDir`:
+  /** Merge `batch` into the versioned parquet corpus at `corpusDir`:
     * rows with a `keyCol` already present replace the old row, others
-    * append; only partitions present in `batch` are rewritten. Creates
-    * the corpus on first call. */
+    * append; only partitions present in `batch` are restaged. Creates
+    * the corpus (version 1) on first call. */
   def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
-                  keyCol: String, partCol: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) {
-      batch.write.mode("overwrite").partitionBy(partCol).parquet(corpusDir)
-      return
+                  keyCol: String, partCol: String): Unit =
+    Versioned.currentVersion(s, corpusDir) match {
+      case None =>
+        batch.write.mode("overwrite").partitionBy(partCol)
+          .parquet(Versioned.stagePath(corpusDir, 1L))
+        Versioned.publish(s, corpusDir, 1L,
+          Versioned.listPartDirs(s, corpusDir, 1L, partCol))
+      case Some(v) =>
+        // Bounded driver-side list: distinct PARTITION VALUES of the batch
+        // (#partitions, not #rows) — it becomes the manifest-pruning
+        // predicate on the corpus read below.
+        val touched = batch.select(partCol).distinct().collect()
+          .map(_.get(0)).toSeq
+        if (touched.isEmpty) return
+        val man = Versioned.manifest(s, corpusDir, v)
+        val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+        val oldEntries = man.filter(e => touchedNames.contains(e._1))
+        val cols = batch.columns.toSeq
+        // Survivors = old rows in touched partitions whose key the batch
+        // does NOT replace; merged = survivors + batch. Brand-new
+        // partitions have no old side at all.
+        val merged =
+          if (oldEntries.isEmpty) batch
+          else Versioned.readEntries(s, corpusDir, oldEntries, Some(partCol))
+            .selectExpr(cols: _*)
+            .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .selectExpr(cols: _*)
+            .unionByName(batch)
+        val nv = v + 1
+        merged.write.mode("overwrite").partitionBy(partCol)
+          .parquet(Versioned.stagePath(corpusDir, nv))
+        val staged = Versioned.listPartDirs(s, corpusDir, nv, partCol)
+        val stagedNames = staged.map(_._1).toSet
+        Versioned.publish(s, corpusDir, nv,
+          man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
-    // Bounded driver-side list: distinct PARTITION VALUES of the batch
-    // (#partitions, not #rows) — it becomes the partition-pruning
-    // predicate on the corpus scan below.
-    val touched = batch.select(partCol).distinct().collect()
-      .map(_.get(0)).toSeq
-    if (touched.isEmpty) return
-    val old = s.read.parquet(corpusDir)
-      .where(col(partCol).isInCollection(touched))
-    val cols = batch.columns.toSeq
-    // Survivors = old rows in touched partitions whose key the batch does
-    // NOT replace; merged = survivors + batch. localCheckpoint cuts the
-    // lineage back to the corpus files so the overwrite below is not
-    // "reading the path it writes" — the materialized block size is
-    // bounded by the touched partitions, never the corpus.
-    val merged = old.selectExpr(cols: _*)
-      .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .selectExpr(cols: _*)
-      .unionByName(batch)
-      .localCheckpoint()
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).parquet(corpusDir)
+
+  /** Read the current committed corpus state (see [[Versioned]]). */
+  def readCorpus(s: SparkSession, corpusDir: String,
+                 partCol: String): DataFrame =
+    Versioned.readCurrent(s, corpusDir, Some(partCol))
+
+  /** Post-merge maintenance: restage every partition whose data-file
+    * count exceeds `maxFilesPerPart` — repeated merges leave one file per
+    * shuffle task per merge in the touched partitions, and at 100 TB the
+    * per-file open/footer cost on later scans dominates short queries
+    * long before data volume does (same rationale as
+    * [[graft.engine.Pipeline.compact]], composed with the commit
+    * protocol). One Spark job rewrites ALL fragmented partitions:
+    * `repartition(partCol)` clusters each partition value into a single
+    * task, so the partitionBy writer emits exactly one file per value,
+    * and the new version's manifest points untouched partitions at their
+    * existing dirs. Multiset-preserving by construction (pure
+    * read→repartition→write); publish is atomic as ever. */
+  def compactPartitions(s: SparkSession, corpusDir: String, partCol: String,
+                        maxFilesPerPart: Int = 4): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val frag = man.filter(e =>
+      Versioned.dataFileCount(s, corpusDir, e._2) > maxFilesPerPart)
+    if (frag.isEmpty) return
+    val nv = v + 1
+    Versioned.readEntries(s, corpusDir, frag, Some(partCol))
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(Versioned.stagePath(corpusDir, nv))
+    val staged = Versioned.listPartDirs(s, corpusDir, nv, partCol)
+    val stagedNames = staged.map(_._1).toSet
+    Versioned.publish(s, corpusDir, nv,
+      man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
   }
 
   private def fold(c: Column): Column =
@@ -79,13 +131,13 @@ object MergeOps {
     if (fs.exists(p)) fs.delete(p, true)
     val base = orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    base.where(fold(col("o_orderkey")) < 90)
-      .write.partitionBy("o_orderstatus").parquet(dir)
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
     val batch = base.where(fold(col("o_orderkey")) >= 80)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
     mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
-    s.read.parquet(dir)
+    readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy("o_orderkey")
   }
@@ -99,48 +151,68 @@ object MergeOps {
     * latest truth; SCD2 keeps every version — the as-of-join side input
     * ([[Relational.joinAsof]]) every point-in-time feature pipeline needs.
     *
+    * The one-open-row-per-key invariant is ENFORCED at the door: a batch
+    * carrying two rows for one key would append two open rows, so
+    * duplicate keys fail fast (one dimension-sized aggregate — cheap next
+    * to the diff join) rather than silently corrupting the history that
+    * joinAsof consumers trust.
+    *
     * Scale: histories are dimension-sized (≪ facts); the change detection
     * is one key-equi join of batch × OPEN rows (open set ≤ |dimension|),
     * and the null-safe `<=>` comparison keeps NULL attribute transitions
-    * honest. The rewrite is the whole history dir here — at warehouse
-    * scale, partition it by a key hash and rewrite only touched
-    * partitions exactly as [[mergeUpsert]] does. */
+    * honest. The rewrite stages the whole history under the next version
+    * and publishes atomically ([[Versioned]]) — at warehouse scale,
+    * partition it by a key hash and restage only touched partitions
+    * exactly as [[mergeUpsert]] does. */
   def mergeScd2(s: SparkSession, historyDir: String, changes: DataFrame,
                 keyCol: String, attrCols: Seq[String],
                 version: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(historyDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to")
-    if (!fs.exists(p)) {
-      changes.withColumn("valid_from", lit(version))
-        .withColumn("valid_to", lit(null).cast("long"))
-        .selectExpr(outCols: _*)
-        .write.parquet(historyDir)
-      return
+    val dupKeys = changes.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(5).collect()
+    require(dupKeys.isEmpty,
+      s"mergeScd2: changes batch has duplicate $keyCol values " +
+        s"(e.g. ${dupKeys.map(_.get(0)).mkString(", ")}) — one row per " +
+        "key per batch, or the one-open-row invariant breaks")
+    Versioned.currentVersion(s, historyDir) match {
+      case None =>
+        changes.withColumn("valid_from", lit(version))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .selectExpr(outCols: _*)
+          .write.mode("overwrite")
+          .parquet(Versioned.stagePath(historyDir, 1L))
+        Versioned.publish(s, historyDir, 1L, Versioned.wholeTableEntries(1L))
+      case Some(v) =>
+        val hist = Versioned.readCurrent(s, historyDir, None)
+        val open = hist.where(col("valid_to").isNull)
+        // keys whose open version differs on ANY attribute — or brand-new
+        val diff = changes.alias("c")
+          .join(open.alias("o"), col(s"c.$keyCol") === col(s"o.$keyCol"), "left")
+          .where(col(s"o.$keyCol").isNull ||
+                 attrCols.map(a => !(col(s"c.$a") <=> col(s"o.$a")))
+                   .reduce(_ || _))
+          .select(col(s"c.$keyCol").as(keyCol) +:
+                  attrCols.map(a => col(s"c.$a").as(a)): _*)
+        if (diff.isEmpty) return  // nothing changed: the no-op that makes
+                                  // re-applying a batch idempotent
+        val diffKeys = diff.select(keyCol)
+        val nv = v + 1
+        hist.where(col("valid_to").isNotNull)                          // closed: keep
+          .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))  // open, unchanged
+          .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")   // open, changed:
+                         .withColumn("valid_to", lit(version)))        //   close
+          .unionByName(diff.withColumn("valid_from", lit(version))     // new version:
+                         .withColumn("valid_to", lit(null).cast("long")))// open
+          .selectExpr(outCols: _*)
+          .write.mode("overwrite")
+          .parquet(Versioned.stagePath(historyDir, nv))
+        Versioned.publish(s, historyDir, nv, Versioned.wholeTableEntries(nv))
     }
-    val hist = s.read.parquet(historyDir)
-    val open = hist.where(col("valid_to").isNull)
-    // keys whose open version differs on ANY attribute — or brand-new keys
-    val diff = changes.alias("c")
-      .join(open.alias("o"), col(s"c.$keyCol") === col(s"o.$keyCol"), "left")
-      .where(col(s"o.$keyCol").isNull ||
-             attrCols.map(a => !(col(s"c.$a") <=> col(s"o.$a")))
-               .reduce(_ || _))
-      .select(col(s"c.$keyCol").as(keyCol) +:
-              attrCols.map(a => col(s"c.$a").as(a)): _*)
-    if (diff.isEmpty) return  // nothing changed: the no-op that makes
-                              // re-applying a batch idempotent
-    val diffKeys = diff.select(keyCol)
-    val newHist = hist.where(col("valid_to").isNotNull)              // closed: keep
-      .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))    // open, unchanged
-      .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")     // open, changed:
-                     .withColumn("valid_to", lit(version)))          //   close
-      .unionByName(diff.withColumn("valid_from", lit(version))       // new version:
-                     .withColumn("valid_to", lit(null).cast("long")))//   open
-      .selectExpr(outCols: _*)
-      .localCheckpoint()  // cut lineage off the files we overwrite
-    newHist.write.mode("overwrite").parquet(historyDir)
   }
+
+  /** Read the current committed history state. */
+  def readHistory(s: SparkSession, historyDir: String): DataFrame =
+    Versioned.readCurrent(s, historyDir, None)
 
   /** Declared merge_scd2 query: customer history at version 0, a change
     * batch at version 1 (odd keys move segment + balance), applied TWICE
@@ -170,7 +242,7 @@ object MergeOps {
           .otherwise(col("c_acctbal_r")))
     mergeScd2(s, dir, batch, "c_custkey", attrs, version = 1L)
     mergeScd2(s, dir, batch, "c_custkey", attrs, version = 1L)
-    s.read.parquet(dir)
+    readHistory(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal_r"),
               col("valid_from"), col("valid_to"))
       .orderBy("c_custkey", "valid_from")

@@ -121,7 +121,7 @@ object SimOps {
     * argmin is shared across i, collapsing the signature to ~2 effective
     * samples). One groupBy computes all 32 mins map-side (partial agg) —
     * the whole signature pass is a single shuffle of (doc, 32 longs). */
-  private[ops] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("x"))).as(s"h$i"))
     shinglesOf(docs)
@@ -603,6 +603,18 @@ object SimOps {
     val store = s.read.parquet(ensureSignatureStore(s, d))
     val newSig = minhashSignaturesOf(
       documents(s, d).where(foldBucket >= NewBatchFold))
+    dedupNewVsStore(newSig, store)
+  }
+
+  /** The store-probe half of [[dedupIncremental]], factored so ANY
+    * signature store plugs in — the batch-maintained one above or the
+    * stream-maintained one ([[graft.streaming.StreamOps
+    * .sigStoreMaintenance]] keeps the same (doc_id, h0..h31) schema
+    * current per micro-batch). Band-bucket join + carried-signature
+    * estimate, one shuffle, identical to the whole-corpus operator
+    * restricted to (new × stored) pairs. */
+  private[graft] def dedupNewVsStore(newSig: DataFrame,
+                                     store: DataFrame): DataFrame =
     bandBuckets(newSig).as("x").join(bandBuckets(store).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
@@ -610,7 +622,6 @@ object SimOps {
       .where(col("est_jaccard_r") >= 0.5)
       .distinct()
       .orderBy("doc_id", "dup_of")
-  }
 
   /** SimHash near-dup (no oracle — xxhash64 is Spark-specific): 64-bit
     * signature where bit b = sign of Σ_tokens (±1 by bit b of the token

@@ -53,6 +53,40 @@ object StreamOps {
           .write.mode("append").parquet(path)
       }
 
+  /** Fold ONE micro-batch of documents into a minhash signature store —
+    * the unit of work [[sigStoreMaintenance]] runs per trigger, factored
+    * out so idempotence is directly testable. Each batch lands in its own
+    * `batch_id=<id>` partition dir with mode("overwrite"): a replayed
+    * batch (restart between sink write and checkpoint commit — the
+    * at-least-once window foreachBatch leaves open) rewrites ITS OWN dir
+    * instead of appending duplicates, which is what upgrades the sink to
+    * exactly-once per batch id. Only the batch's documents are shingled —
+    * the per-crawl cost contract of [[graft.ops.SimOps.dedupIncremental]],
+    * now maintained continuously from a stream. */
+  def foldBatchIntoSigStore(batch: DataFrame, batchId: Long,
+                            storePath: String): Unit =
+    graft.ops.SimOps.minhashSignaturesOf(batch)
+      .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+
+  /** Streaming maintenance of the minhash signature store: the ingest
+    * loop that keeps dedup state current per micro-batch (r7 verdict
+    * item 5 — the missing streaming→store composition). Read back with
+    * [[readSigStore]]; probe with [[graft.ops.SimOps.dedupNewVsStore]]. */
+  def sigStoreMaintenance(docs: DataFrame,
+                          storePath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchIntoSigStore(batch, batchId, storePath)
+      }
+
+  /** The stream-maintained store in the exact (doc_id, h0..h31) shape the
+    * batch store has — the `batch_id` partition column is bookkeeping,
+    * not signature state, so it is dropped at the read boundary. */
+  def readSigStore(s: org.apache.spark.sql.SparkSession,
+                   storePath: String): DataFrame =
+    s.read.parquet(storePath).drop("batch_id")
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count that survives across microbatches. State is one Long per user,
     * sharded by the groupByKey shuffle — the arbitrary-state escape hatch

@@ -352,6 +352,28 @@ class Wave12Spec extends SparkTestBase {
     }
   }
 
+  test("pagerank early-exits on a converged graph; AQE conf restored") {
+    import spark.implicits._
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // 2-regular cycle: uniform ranks are the EXACT fixed point, so the
+    // first checkpoint's L1 delta is 0 and the loop must stop there —
+    // while on the real trade graph 10 iterations never reach ε and the
+    // declared query stays step-for-step identical (the replay test).
+    val n = 10
+    val fwd = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+    val (ranks, steps) = GraphOps.pagerankIterate(spark, edgesDeg, maxIter = 10)
+    assert(steps == 2, s"uniform fixed point must exit at the first " +
+      s"checkpoint (2 steps), ran $steps")
+    val rs = ranks.collect().map(_.getDouble(1))
+    assert(rs.length == n && rs.forall(r => math.abs(r - 1.0) < 1e-12),
+      s"regular-graph ranks must stay exactly uniform: ${rs.toSeq}")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+      "pagerankIterate must restore the AQE setting")
+  }
+
   test("graph_pagerank conserves total rank at |V| and floors at 0.15") {
     val rows = GraphOps.graphPagerank(spark, sf).collect()
     val total = rows.map(_.getDouble(2)).sum

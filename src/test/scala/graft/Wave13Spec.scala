@@ -291,12 +291,13 @@ class Wave13Spec extends SparkTestBase {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_scd2_" + sf.replaceAll("[^A-Za-z0-9]+", "_")
         .replaceAll("^_+", "")).getAbsolutePath
-    val before = spark.read.parquet(dir).count()
-    val batch = spark.read.parquet(dir).where(col("valid_to").isNull)
+    val before = ops.MergeOps.readHistory(spark, dir).count()
+    val batch = ops.MergeOps.readHistory(spark, dir)
+      .where(col("valid_to").isNull)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal_r"))
     ops.MergeOps.mergeScd2(spark, dir, batch, "c_custkey",
       Seq("c_mktsegment", "c_acctbal_r"), version = 2L)
-    assert(spark.read.parquet(dir).count() == before,
+    assert(ops.MergeOps.readHistory(spark, dir).count() == before,
       "re-applying current state must be a no-op")
   }
 

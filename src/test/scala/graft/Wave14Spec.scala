@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.SimOps
+import graft.streaming.StreamOps
+
+/** Round-8 wave: streaming maintenance of the minhash signature store
+  * (r7 verdict item 5) — exactly-once per-batch appends and post-stream
+  * parity with the batch-computed store. */
+class Wave14Spec extends SparkTestBase {
+
+  private def doc(i: Long): (Long, String) =
+    (i, (0 until 12).map(j => s"tok${(i * 7 + j * 3) % 23}").mkString(" "))
+
+  test("stream-maintained sig store: per-batch exactly-once, " +
+       "post-stream parity with the batch store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_stream_sig").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.sigStoreMaintenance(
+        in.toDF().toDF("doc_id", "text"), storePath)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_stream_ck").toString)
+      .start()
+    try {
+      in.addData((1L to 5L).map(doc): _*)
+      q.processAllAvailable()
+      in.addData((6L to 9L).map(doc): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamOps.readSigStore(spark, storePath)
+    val batch = SimOps.minhashSignaturesOf(
+      (1L to 9L).map(doc).toDF("doc_id", "text"))
+    val a = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(a == b, "streamed store must equal the batch-computed " +
+      s"signatures: ${a.size} vs ${b.size} rows")
+
+    // exactly-once: a REPLAYED micro-batch (same batchId — the restart-
+    // between-sink-and-checkpoint case) rewrites its own partition
+    // instead of appending duplicates
+    StreamOps.foldBatchIntoSigStore(
+      (6L to 9L).map(doc).toDF("doc_id", "text"), batchId = 1L, storePath)
+    // fresh read: the overwrite replaced batch 1's physical files, so the
+    // pre-replay DataFrame's file listing is stale by design
+    val replayedDf = StreamOps.readSigStore(spark, storePath)
+    val replayed = replayedDf.collect().map(_.toSeq).toSet
+    assert(replayed == b, "replaying a batch id must be a no-op")
+
+    // the streamed store plugs straight into the incremental-dedup probe
+    val probe = SimOps.minhashSignaturesOf(
+      Seq((100L, doc(3L)._2)).toDF("doc_id", "text"))
+    val dups = SimOps.dedupNewVsStore(probe, replayedDf).collect()
+    assert(dups.exists(r => r.getLong(0) == 100L && r.getLong(1) == 3L &&
+             r.getDouble(2) == 1.0),
+      s"an exact duplicate of a stored doc must surface: ${dups.toSeq}")
+  }
+}
