@@ -25,7 +25,22 @@ import org.apache.spark.sql.types._
   * The domain bound is the contract: ids must be 0 ≤ id < 2^31-8 (dense
   * surrogate user/entity keys — the id spaces warehouses bitmap-index).
   * Out-of-domain ids THROW rather than silently degrade; sparse/huge
-  * domains belong to `agg_approx_distinct`/`agg_hll_union` instead. */
+  * domains belong to `agg_approx_distinct`/`agg_hll_union` instead.
+  *
+  * MEMORY contract (r7 advice): the dense java.util.BitSet buffer grows
+  * with max(id) seen, NOT with the distinct count — one legal id near
+  * the 2^31-8 bound allocates a ~256 MB word array per group buffer,
+  * and `toByteArray` transiently doubles that during serialize. DENSE
+  * means dense: the practical per-group budget is max(id) ≲ 10^8
+  * (12.5 MB/group) with few concurrent groups, i.e. surrogate keys
+  * assigned 0..n with no sparse outliers. Sparse-but-legal id spaces
+  * (e.g. ids scattered over the full int range) belong to the HLL/theta
+  * sketches, or to a compressed (roaring-style) bitmap — deliberately
+  * NOT added here: no such library ships in the pinned dependency set,
+  * and a hand-rolled RLE container would trade this operator's word-OR
+  * merge hot path for marginal coverage the sketch aggregates already
+  * provide. The declared queries group by nation/segment over dense
+  * custkeys — max(id) ≈ |customer|, well inside the budget. */
 case class BitmapDistinctAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

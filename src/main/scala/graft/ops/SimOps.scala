@@ -273,6 +273,52 @@ object SimOps {
       .where(col("cos_r") >= 0.45)
       .orderBy("id_a", "id_b")
 
+  // ---- size-based exact ↔ ANN dispatch (r7 verdict item 6) ----
+
+  /** Measured exact↔ANN crossover: BASELINE.md's round-7 grid puts the
+    * bucketed ANN ahead of the all-pairs kernel from n ≈ 5 000 vectors
+    * (sf0.1: 1.0 s vs 1.4 s exact; tie at n ≈ 500; below that brute
+    * force is free anyway). */
+  private[graft] val AnnCrossover = 5000L
+
+  /** The routing decision, factored for testing both sides. */
+  private[graft] def chooseAnn(n: Long): Boolean = n >= AnnCrossover
+
+  /** Corpus size for dispatch: a parquet count — Spark answers it from
+    * footer row counts (one metadata job, no column data read), the
+    * "one count/catalog-stat check" the dispatcher is allowed to spend. */
+  private def corpusSize(s: SparkSession, d: String): Long =
+    embeddings(s, d).count()
+
+  /** Size-dispatched cosine top-k: exact all-pairs below the measured
+    * crossover, LSH-bucketed ANN above it — the caller no longer needs to
+    * know the twins exist. The declared `sim_cosine_topk` /
+    * `sim_cosine_topk_ann` keys stay pinned to their fixed kernels (the
+    * oracle baseline must not change identity with data size); this is
+    * the production entry point. */
+  def simCosineTopkAuto(s: SparkSession, d: String): DataFrame =
+    if (chooseAnn(corpusSize(s, d))) simCosineTopkAnn(s, d)
+    else simCosineTopk(s, d)
+
+  /** Size-dispatched kNN label vote (see [[simCosineTopkAuto]]). */
+  def simKnnLabelAuto(s: SparkSession, d: String): DataFrame =
+    if (chooseAnn(corpusSize(s, d))) simKnnLabelAnn(s, d)
+    else simKnnLabel(s, d)
+
+  /** Size-dispatched embedding near-dup (see [[simCosineTopkAuto]]).
+    * Note the regime caveat on [[dedupEmbedding]]: on THIS isotropic
+    * testdata the exact kernel is the scale-correct call at any n, but a
+    * real near-dup corpus (cos ≥ 0.9) inverts that — the dispatcher
+    * encodes the size rule; the regime rule stays with the caller. */
+  def dedupEmbeddingAuto(s: SparkSession, d: String): DataFrame =
+    if (chooseAnn(corpusSize(s, d))) dedupEmbeddingAnn(s, d)
+    else dedupEmbedding(s, d)
+
+  /** Size-dispatched cluster assignment (see [[dedupClusters]] ROUTING). */
+  def dedupClustersAuto(s: SparkSession, d: String): DataFrame =
+    if (chooseAnn(corpusSize(s, d))) dedupClustersAnn(s, d)
+    else dedupClusters(s, d)
+
   // ---- random-hyperplane LSH (signature → bucket join → exact rerank) ----
 
   /** Deterministic Gaussian hyperplanes, `tables` × `bits` directions.
@@ -678,13 +724,32 @@ object SimOps {
 
   /** One-time persisted LSH index of the EXISTING embedding corpus
     * (fold < 90): hyperplane signature rows (vec_id, tbl, key) and the
-    * normalized vectors (vec_id, vd, nrm) — the [[ensureSignatureStore]]
-    * pattern applied to embeddings, completing the incremental-similarity
-    * story: per crawl, only the NEW vectors are hashed; the corpus side
-    * is two compact parquet scans, its raw embeddings never re-read.
+    * QUANTIZED normalized vectors (vec_id, vf float32[], nrm) — the
+    * [[ensureSignatureStore]] pattern applied to embeddings, completing
+    * the incremental-similarity story: per crawl, only the NEW vectors
+    * are hashed; the corpus side is two compact parquet scans, its raw
+    * embeddings never re-read.
+    *
+    * Quantization (r7 verdict item 7): vectors persist as float32,
+    * halving the dominant store payload (64×4 B vs 64×8 B per row —
+    * at 100 TB of vectors the store size IS the cost), and the rerank
+    * runs on the dequantized values. Recall/precision impact on this
+    * corpus: exactly zero — the source embeddings are float32-native, so
+    * float64→float32→float64 round-trips bit-exactly and every reported
+    * cosine is unchanged (the Wave10 exactness test still compares
+    * ≤ 1e-9 against a from-source recomputation). For a float64-native
+    * corpus this becomes true scalar quantization: ~1e-7 relative error
+    * per cosine, far inside the 4-dp output rounding; int8+scale would
+    * quarter the store again at ~1e-2 error — the wrong side of 4 dp,
+    * so float32 is the chosen point. The norm stays float64 (one scalar
+    * per row; it divides every rerank product, so its error would be
+    * systematic, and saving 4 bytes on a 260-byte row is noise).
+    *
     * `_SUCCESS` on both dirs guards torn writes (vectors first, then
     * signatures — a crash between the two leaves sigs incomplete and the
-    * whole store rebuilds). */
+    * whole store rebuilds). A store written by an older round (float64
+    * `vd` schema) fails the format probe below and rebuilds in place —
+    * the stale-store dispatch lesson applied to our own artifacts. */
   private[graft] def ensureEmbSignatureStore(
       s: SparkSession, d: String): (String, String) =
     embStoreBuilt.getOrElseUpdate(d, embStoreLock.synchronized {
@@ -698,10 +763,15 @@ object SimOps {
         p.getFileSystem(hconf)
           .exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
       }
-      if (!(ok(vecPath) && ok(sigPath))) {
+      def formatCurrent: Boolean = scala.util.Try(
+        s.read.parquet(vecPath).schema.fieldNames.contains("vf"))
+        .getOrElse(false)
+      if (!(ok(vecPath) && ok(sigPath) && formatCurrent)) {
         val old = normed(s, d).where(foldOf(col("vec_id")) < NewBatchFold)
           .cache()
-        old.select("vec_id", "vd", "nrm")
+        old.select(col("vec_id"),
+                   transform(col("vd"), _.cast("float")).as("vf"),
+                   col("nrm"))
           .write.mode("overwrite").parquet(vecPath)
         val bits = bitsFor(old.count(), EmbStoreBucket)
         sigRows(old, planes(EmbStoreTables, bits, 64, EmbStoreSeed))
@@ -710,6 +780,15 @@ object SimOps {
       }
       (vecPath, sigPath)
     })
+
+  /** Read the quantized vector store back in rerank form: float32 →
+    * float64 dequantization is one narrow codegen'd map. */
+  private[graft] def readEmbVecStore(s: SparkSession,
+                                     vecPath: String): DataFrame =
+    s.read.parquet(vecPath)
+      .select(col("vec_id"),
+              transform(col("vf"), _.cast("double")).as("vd"),
+              col("nrm"))
 
   /** Incremental ANN similarity — the per-crawl query of an embedding
     * pipeline: for each NEW vector (fold ≥ 90), its best match in the
@@ -729,7 +808,7 @@ object SimOps {
     graft.functions.KnnVote.register(s)
     graft.functions.KnnVote.raiseHashAggFallback(s)
     val (vecPath, sigPath) = ensureEmbSignatureStore(s, d)
-    val oldVec = s.read.parquet(vecPath)
+    val oldVec = readEmbVecStore(s, vecPath)
     val oldSig = s.read.parquet(sigPath)
     val bits = bitsFor(oldVec.count(), EmbStoreBucket)
     val pl = planes(EmbStoreTables, bits, 64, EmbStoreSeed)
@@ -827,7 +906,14 @@ object SimOps {
     * min in the boundary phase. The edge generator is pluggable — exact
     * pairs here (oracle-exact; see [[dedupEmbedding]] for why LSH cannot
     * beat exact at this τ on isotropic data), [[dedupEmbeddingAnn]]
-    * candidates for a true near-dup corpus. */
+    * candidates for a true near-dup corpus.
+    *
+    * ROUTING (mirrors sim_cosine_topk's treatment): the exact edge
+    * generator here is DELIBERATELY the declared oracle baseline — a
+    * recursive-CTE-checkable fixed point — while [[dedupClustersAnn]] is
+    * the production path at scale (no n² stage anywhere); callers who
+    * don't want to choose use [[dedupClustersAuto]], which routes on the
+    * same measured n≈5000 crossover as the other similarity dispatches. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = cosinePairs(s, d).where(col("cos_r") >= 0.40)
       .select(col("id_a").as("u"), col("id_b").as("v"))
@@ -837,18 +923,6 @@ object SimOps {
       .orderBy("vec_id")
   }
 
-  /** Scale form of [[dedupClusters]]: identical two-phase union-find
-    * contraction, but the edge list comes from the LSH candidate
-    * generator + exact-cosine rerank ([[dedupEmbeddingAnnOn]]) instead of
-    * the all-pairs enumeration — no stage of the clustering ever touches
-    * n²/2 pairs, so the whole operator survives 100×. Same τ=0.40 as the
-    * exact twin; recall of individual edges is governed by the LSH
-    * parameters (union-find is tolerant of duplicate/missing edges within
-    * a clique: any spanning subset yields the same components, which is
-    * why near-dup CLUSTERS are an easier target than near-dup PAIRS).
-    * No SQL oracle (candidate membership is probabilistic in the hash
-    * draw); property-tested for cluster agreement with the exact CC on
-    * planted near-dup cliques. */
   /** Per-label embedding centroids + the pairwise centroid-cosine matrix
     * — class prototypes and inter-class geometry, the standard
     * label-space health check before training on a labeled corpus.
@@ -885,6 +959,18 @@ object SimOps {
       .orderBy("la", "lb")
   }
 
+  /** Scale form of [[dedupClusters]]: identical two-phase union-find
+    * contraction, but the edge list comes from the LSH candidate
+    * generator + exact-cosine rerank ([[dedupEmbeddingAnnOn]]) instead of
+    * the all-pairs enumeration — no stage of the clustering ever touches
+    * n²/2 pairs, so the whole operator survives 100×. Same τ=0.40 as the
+    * exact twin; recall of individual edges is governed by the LSH
+    * parameters (union-find is tolerant of duplicate/missing edges within
+    * a clique: any spanning subset yields the same components, which is
+    * why near-dup CLUSTERS are an easier target than near-dup PAIRS).
+    * No SQL oracle (candidate membership is probabilistic in the hash
+    * draw); property-tested for cluster agreement with the exact CC on
+    * planted near-dup cliques. */
   def dedupClustersAnn(s: SparkSession, d: String): DataFrame = {
     val v = normed(s, d).cache() // see simAnnIvf: multi-referenced
     dedupClustersAnnOn(s, v, tau = 0.40, n = v.count())

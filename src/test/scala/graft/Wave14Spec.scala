@@ -59,4 +59,57 @@ class Wave14Spec extends SparkTestBase {
              r.getDouble(2) == 1.0),
       s"an exact duplicate of a stored doc must surface: ${dups.toSeq}")
   }
+
+  test("exact↔ANN dispatch: crossover decision both sides; below it the " +
+       "auto entries reproduce the exact kernels") {
+    assert(!SimOps.chooseAnn(SimOps.AnnCrossover - 1),
+      "one under the crossover must stay exact")
+    assert(SimOps.chooseAnn(SimOps.AnnCrossover),
+      "at the crossover the bucketed kernel takes over")
+    // sf0.001 has 500 vectors — the exact side of the dispatch; the auto
+    // entries must be indistinguishable from the pinned exact baselines
+    assert(SimOps.simCosineTopkAuto(spark, sf).collect().toSeq ==
+           SimOps.simCosineTopk(spark, sf).collect().toSeq,
+      "auto top-k must equal the exact kernel below the crossover")
+    assert(SimOps.simKnnLabelAuto(spark, sf).collect().toSeq ==
+           SimOps.simKnnLabel(spark, sf).collect().toSeq,
+      "auto kNN must equal the exact kernel below the crossover")
+    assert(SimOps.dedupEmbeddingAuto(spark, sf).collect().toSeq ==
+           SimOps.dedupEmbedding(spark, sf).collect().toSeq,
+      "auto dedup must equal the exact kernel below the crossover")
+  }
+
+  test("embedding store persists float32 vectors: format flagged, bytes " +
+       "roughly halved vs the float64 form, dequantization exact") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (vecPath, _) = SimOps.ensureEmbSignatureStore(spark, sf)
+    val raw = spark.read.parquet(vecPath)
+    assert(raw.schema("vf").dataType.asInstanceOf[ArrayType]
+             .elementType == FloatType,
+      "store must hold float32 vectors")
+    // bytes: materialize the dequantized float64 twin and compare sizes
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vec64").toString
+    SimOps.readEmbVecStore(spark, vecPath)
+      .write.mode("overwrite").parquet(tmp)
+    def dataBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(hp).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val (f32, f64) = (dataBytes(vecPath), dataBytes(tmp))
+    assert(f32 < (f64 * 0.7).toLong,
+      s"float32 store should be well under the float64 form: $f32 vs $f64")
+    // dequantized values must be EXACTLY the source embeddings (the
+    // corpus is float32-native, so the round-trip is lossless)
+    val src = SimOps.normed(spark, sf)
+      .where(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").mod(100) < 90)
+      .select("vec_id", "vd").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val back = SimOps.readEmbVecStore(spark, vecPath)
+      .select("vec_id", "vd").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(back == src, "float32 round-trip must be bit-exact here")
+  }
 }
