@@ -8,7 +8,28 @@ package graft
   * identical column aliases, total ORDER BY over unique keys, ROUND on every
   * floating column, CAST(SUM(int) AS BIGINT), no TIMESTAMPTZ. */
 object OracleSql {
-  val sql: Map[String, String] = Map(
+  /** Declared keys whose oracle is another key's SQL, verbatim.
+    *
+    * The auto-dispatch entries (r7 verdict item 6) route to their EXACT
+    * kernel below the measured n≈5000 crossover; the Verify corpus
+    * (sf0.01, n=500) is below it, so the exact oracle applies — and
+    * doubles as a mis-route detector: the ANN kernels produce different
+    * row sets (e.g. dedup_embedding_ann found 13 of the 14 exact pairs
+    * in CORRECTNESS_r07), so a dispatcher bug would hash-mismatch, not
+    * silently pass. merge_upsert_compact runs compaction + vacuum inside
+    * the merge_upsert pipeline; sharing that oracle asserts both are
+    * data-invisible (multiset-preserving, referenced-dirs-only). */
+  private val aliased = Map(
+    "sim_cosine_topk_auto" -> "sim_cosine_topk",
+    "sim_knn_label_auto" -> "sim_knn_label",
+    "dedup_embedding_auto" -> "dedup_embedding",
+    "dedup_clusters_auto" -> "dedup_clusters",
+    "merge_upsert_compact" -> "merge_upsert")
+
+  lazy val sql: Map[String, String] =
+    base ++ aliased.map { case (k, src) => k -> base(src) }
+
+  private lazy val base: Map[String, String] = Map(
 
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",

@@ -142,6 +142,36 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Declared merge_upsert_compact query: the full maintenance loop —
+    * the same corpus/batch/double-merge as [[mergeUpsertQuery]], then
+    * [[compactPartitions]] down to one file per partition and a
+    * [[Versioned.vacuum]] of the dead version dirs — read back through
+    * the committed view. Same oracle as merge_upsert: compaction and
+    * vacuum are REQUIRED to be invisible in the data (multiset-
+    * preserving, referenced-dirs-only), and running them inside the
+    * oracle-checked path is what enforces that end-to-end. */
+  def mergeUpsertCompactQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergec_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    compactPartitions(s, dir, "o_orderstatus", maxFilesPerPart = 1)
+    graft.engine.Versioned.vacuum(s, dir)
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Type-2 slowly-changing-dimension merge: fold a change batch into a
     * versioned history table — open rows whose attributes CHANGED are
     * closed (`valid_to` = version) and a new open row is appended;
