@@ -27,13 +27,8 @@ object SimOps {
 
   /** Vectors with embeddings cast float→double plus precomputed L2 norm.
     * Casting once here (not per pair) keeps the O(n²) join cheap. */
-  private[graft] def normed(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExprs.register(s)
-    embeddings(s, d)
-      .withColumn("vd", transform(col("embedding"), _.cast("double")))
-      .withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
-      .select("vec_id", "label", "vd", "nrm")
-  }
+  private[graft] def normed(s: SparkSession, d: String): DataFrame =
+    normedOf(s, embeddings(s, d))
 
   /** All unordered pairs (id_a < id_b) with cosine rounded to 4 dp.
     * Pair enumeration happens on bare ids (cheap BNLJ over longs); the
@@ -805,14 +800,27 @@ object SimOps {
     * fold discipline, exactness of the reported cosines, and recall
     * against the brute-force new×old top-1. */
   def simIncrementalAnn(s: SparkSession, d: String): DataFrame = {
-    graft.functions.KnnVote.register(s)
-    graft.functions.KnnVote.raiseHashAggFallback(s)
     val (vecPath, sigPath) = ensureEmbSignatureStore(s, d)
     val oldVec = readEmbVecStore(s, vecPath)
     val oldSig = s.read.parquet(sigPath)
     val bits = bitsFor(oldVec.count(), EmbStoreBucket)
-    val pl = planes(EmbStoreTables, bits, 64, EmbStoreSeed)
     val newV = normed(s, d).where(foldOf(col("vec_id")) >= NewBatchFold)
+    incrementalAnnProbe(s, newV, oldVec, oldSig, bits)
+  }
+
+  /** The probe half of [[simIncrementalAnn]], parametric over the store:
+    * multi-probe the new batch's signatures against ANY (vec_id, tbl,
+    * key) signature table + (vec_id, vd, nrm) vector table sharing the
+    * fixed EmbStore geometry — the batch-built store above, or the
+    * stream-maintained one ([[graft.streaming.StreamOps
+    * .embStoreMaintenance]]), whose `bits` comes from its geometry file
+    * rather than a row count. */
+  private[graft] def incrementalAnnProbe(s: SparkSession, newV: DataFrame,
+                                         oldVec: DataFrame, oldSig: DataFrame,
+                                         bits: Int): DataFrame = {
+    graft.functions.KnnVote.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val pl = planes(EmbStoreTables, bits, 64, EmbStoreSeed)
     val cand = probeRows(sigRows(newV, pl), bits)
       .join(oldSig.select(col("tbl").as("tbl_i"), col("key").as("key_i"),
                           col("vec_id").as("nid")),
@@ -834,6 +842,29 @@ object SimOps {
               col("t.cos").as("cos_r"))
       .orderBy("vec_id")
   }
+
+  /** Normalized-vector form of an embeddings-shaped frame (vec_id, label,
+    * embedding float[]) — the [[normed]] transform without the table
+    * read, for streaming batches. */
+  private[graft] def normedOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    emb
+      .withColumn("vd", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm", sqrt(expr("graft_dot(vd, vd)")))
+      .select("vec_id", "label", "vd", "nrm")
+  }
+
+  /** Signature rows under the fixed EmbStore geometry at the given
+    * `bits` — what a stream maintainer writes per batch. */
+  private[graft] def embStoreSigRows(v: DataFrame, bits: Int): DataFrame =
+    sigRows(v, planes(EmbStoreTables, bits, 64, EmbStoreSeed))
+
+  /** Quantized store rows (vec_id, vf float32[], nrm) of a normalized
+    * frame — the same float32 layout [[ensureEmbSignatureStore]] writes. */
+  private[graft] def embStoreVecRows(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+             transform(col("vd"), _.cast("float")).as("vf"),
+             col("nrm"))
 
   /** Approximate nearest neighbor via multi-table random-hyperplane LSH
     * with Hamming-≤1 multi-probe, then exact top-1 cosine rerank (no

@@ -87,6 +87,63 @@ object StreamOps {
                    storePath: String): DataFrame =
     s.read.parquet(storePath).drop("batch_id")
 
+  /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,
+    * embedding float[]) into a streamed embedding index: quantized
+    * vectors and LSH signatures land in per-batch `batch_id=<id>` dirs
+    * (same exactly-once-by-overwrite contract as
+    * [[foldBatchIntoSigStore]]). `bits` is the store's FIXED geometry:
+    * unlike the batch store — whose bits any reader can recover from its
+    * immutable row count — a streamed store GROWS, so a count-derived
+    * geometry would drift and orphan every earlier batch's signatures.
+    * The maintainer therefore pins bits at store creation and records it
+    * in a `_geometry` file (rewritten idempotently with the same value
+    * each batch; underscore names are invisible to the parquet reader).
+    * Occupancy grows with the corpus under a fixed geometry — the
+    * documented rebuild trigger is n ≳ 4× the sizing corpus, at which
+    * point a batch rebuild ([[graft.ops.SimOps.ensureEmbSignatureStore]]
+    * pattern) re-derives bits. */
+  def foldBatchIntoEmbStore(batch: DataFrame, batchId: Long,
+                            vecPath: String, sigPath: String,
+                            bits: Int): Unit = {
+    val v = graft.ops.SimOps.normedOf(batch.sparkSession, batch)
+      .localCheckpoint() // two writes below; shingle/hash the batch once
+    graft.ops.SimOps.embStoreVecRows(v)
+      .write.mode("overwrite").parquet(s"$vecPath/batch_id=$batchId")
+    graft.ops.SimOps.embStoreSigRows(v, bits)
+      .write.mode("overwrite").parquet(s"$sigPath/batch_id=$batchId")
+    val p = new org.apache.hadoop.fs.Path(vecPath, "_geometry")
+    val fs = p.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$bits\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Streaming maintenance of the embedding ANN store — the
+    * [[sigStoreMaintenance]] pattern for vectors: per micro-batch, only
+    * the new vectors are normalized/hashed, and the store stays
+    * probe-ready for [[graft.ops.SimOps.incrementalAnnProbe]]. */
+  def embStoreMaintenance(vectors: DataFrame, vecPath: String,
+                          sigPath: String, bits: Int): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchIntoEmbStore(batch, batchId, vecPath, sigPath, bits)
+      }
+
+  /** Read a streamed embedding store back in probe form: dequantized
+    * vectors, bare signatures, and the pinned geometry. */
+  def readEmbStore(s: org.apache.spark.sql.SparkSession, vecPath: String,
+                   sigPath: String): (DataFrame, DataFrame, Int) = {
+    val p = new org.apache.hadoop.fs.Path(vecPath, "_geometry")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bits =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    (graft.ops.SimOps.readEmbVecStore(s, vecPath),
+     s.read.parquet(sigPath).select("vec_id", "tbl", "key"), bits)
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count that survives across microbatches. State is one Long per user,
     * sharded by the groupByKey shuffle — the arbitrary-state escape hatch

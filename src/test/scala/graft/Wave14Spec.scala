@@ -60,6 +60,56 @@ class Wave14Spec extends SparkTestBase {
       s"an exact duplicate of a stored doc must surface: ${dups.toSeq}")
   }
 
+  private def vec(i: Long): (Long, String, Array[Float]) =
+    (i, s"l${i % 3}",
+     Array.tabulate(64)(j => (((i * 31 + j * 7) % 13) - 6).toFloat / 7f))
+
+  test("stream-maintained embedding store: fixed geometry recorded, " +
+       "exactly-once folds, probe-ready for incremental ANN") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_emb")
+    val (vecPath, sigPath) = (s"$root/vec", s"$root/sig")
+    val bits = 5
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val q = StreamOps.embStoreMaintenance(
+        in.toDF().toDF("vec_id", "label", "embedding"),
+        vecPath, sigPath, bits)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_emb_ck").toString)
+      .start()
+    try {
+      in.addData((1L to 6L).map(vec): _*)
+      q.processAllAvailable()
+      in.addData((7L to 10L).map(vec): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (oldVec, oldSig, gotBits) = StreamOps.readEmbStore(spark, vecPath, sigPath)
+    assert(gotBits == bits, "geometry file must round-trip the pinned bits")
+    // signature parity with a batch computation under the same geometry
+    val all = (1L to 10L).map(vec).toDF("vec_id", "label", "embedding")
+    val wantSig = SimOps.embStoreSigRows(SimOps.normedOf(spark, all), bits)
+      .collect().map(_.toSeq).toSet
+    assert(oldSig.collect().map(_.toSeq).toSet == wantSig,
+      "streamed signatures must equal the batch computation")
+    // replaying a batch id must not duplicate store rows
+    StreamOps.foldBatchIntoEmbStore(
+      (7L to 10L).map(vec).toDF("vec_id", "label", "embedding"),
+      batchId = 1L, vecPath, sigPath, bits)
+    assert(StreamOps.readEmbStore(spark, vecPath, sigPath)._1.count() == 10,
+      "replayed fold must overwrite its own batch, not append")
+    // the streamed store is probe-ready: an identical query vector finds
+    // its stored twin at cosine 1.0 through the standard probe path
+    val probe = SimOps.normedOf(spark,
+      Seq((100L, "lx", vec(4L)._3)).toDF("vec_id", "label", "embedding"))
+    val (pv, ps, pb) = StreamOps.readEmbStore(spark, vecPath, sigPath)
+    val nn = SimOps.incrementalAnnProbe(spark, probe, pv, ps, pb).collect()
+    assert(nn.length == 1 && nn.head.getLong(1) == 4L &&
+           nn.head.getDouble(2) == 1.0,
+      s"identical vector must surface as top-1 at cos 1.0: ${nn.toSeq}")
+  }
+
   test("exact↔ANN dispatch: crossover decision both sides; below it the " +
        "auto entries reproduce the exact kernels") {
     assert(!SimOps.chooseAnn(SimOps.AnnCrossover - 1),
