@@ -24,7 +24,9 @@ object OracleSql {
     "sim_knn_label_auto" -> "sim_knn_label",
     "dedup_embedding_auto" -> "dedup_embedding",
     "dedup_clusters_auto" -> "dedup_clusters",
-    "merge_upsert_compact" -> "merge_upsert")
+    "merge_upsert_compact" -> "merge_upsert",
+    // hash-bucketing the history is content-invisible by contract
+    "merge_scd2_bucketed" -> "merge_scd2")
 
   lazy val sql: Map[String, String] =
     base ++ aliased.map { case (k, src) => k -> base(src) }

@@ -244,6 +244,128 @@ object MergeOps {
   def readHistory(s: SparkSession, historyDir: String): DataFrame =
     Versioned.readCurrent(s, historyDir, None)
 
+  /** Key-hash bucket column for [[mergeScd2Bucketed]]: content-stable
+    * (xxhash64 of the key), so a key's rows land in the same bucket in
+    * every batch, session, and JVM — the property that makes
+    * bucket-pruned restaging sound. */
+  private def keyBucket(keyCol: String, buckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(buckets))
+
+  /** The warehouse-scale form of [[mergeScd2]] — the partitioned rewrite
+    * the flat version's doc promises: the history is hash-bucketed on
+    * the key into `buckets` partitions, change detection reads only the
+    * buckets the batch's keys hash into (manifest-pruned, like
+    * [[mergeUpsert]]), and only those buckets restage under the next
+    * version — cost per merge ∝ touched-bucket bytes + batch bytes,
+    * independent of history size. Same diff semantics, same fail-fast
+    * key-uniqueness guard, same atomic publish; the bucket column is
+    * internal bookkeeping and never reaches [[readBucketedHistory]]
+    * output. A full-dimension batch touches every bucket (= the flat
+    * rewrite); the win is the common case — small change batches. */
+  def mergeScd2Bucketed(s: SparkSession, historyDir: String,
+                        changes: DataFrame, keyCol: String,
+                        attrCols: Seq[String], version: Long,
+                        buckets: Int = 16): Unit = {
+    val BCol = "kb"
+    val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to", BCol)
+    val dupKeys = changes.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(5).collect()
+    require(dupKeys.isEmpty,
+      s"mergeScd2Bucketed: changes batch has duplicate $keyCol values " +
+        s"(e.g. ${dupKeys.map(_.get(0)).mkString(", ")})")
+    val batch = changes.withColumn(BCol, keyBucket(keyCol, buckets))
+    Versioned.currentVersion(s, historyDir) match {
+      case None =>
+        batch.withColumn("valid_from", lit(version))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .selectExpr(outCols: _*)
+          .write.mode("overwrite").partitionBy(BCol)
+          .parquet(Versioned.stagePath(historyDir, 1L))
+        Versioned.publish(s, historyDir, 1L,
+          Versioned.listPartDirs(s, historyDir, 1L, BCol))
+      case Some(v) =>
+        // Bounded driver-side list: ≤ `buckets` values, the manifest-
+        // pruning predicate for both the diff read and the restage.
+        val touched = batch.select(BCol).distinct().collect()
+          .map(_.get(0)).toSeq
+        if (touched.isEmpty) return
+        val man = Versioned.manifest(s, historyDir, v)
+        val names = touched.map(Versioned.partDirName(BCol, _)).toSet
+        val entries = man.filter(e => names.contains(e._1))
+        val slice =
+          if (entries.isEmpty) {
+            // brand-new buckets only: nothing to diff against
+            batch.withColumn("valid_from", lit(version))
+              .withColumn("valid_to", lit(null).cast("long"))
+              .selectExpr(outCols: _*)
+          } else {
+            val hist = Versioned.readEntries(s, historyDir, entries, Some(BCol))
+            val open = hist.where(col("valid_to").isNull)
+            val diff = batch.alias("c")
+              .join(open.alias("o"),
+                    col(s"c.$keyCol") === col(s"o.$keyCol"), "left")
+              .where(col(s"o.$keyCol").isNull ||
+                     attrCols.map(a => !(col(s"c.$a") <=> col(s"o.$a")))
+                       .reduce(_ || _))
+              .select(col(s"c.$keyCol").as(keyCol) +:
+                      (attrCols.map(a => col(s"c.$a").as(a)) :+
+                       col(s"c.$BCol").as(BCol)): _*)
+            if (diff.isEmpty) return
+            val diffKeys = diff.select(keyCol)
+            hist.where(col("valid_to").isNotNull)
+              .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))
+              .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")
+                             .withColumn("valid_to", lit(version)))
+              .unionByName(diff.withColumn("valid_from", lit(version))
+                             .withColumn("valid_to", lit(null).cast("long")))
+              .selectExpr(outCols: _*)
+          }
+        val nv = v + 1
+        slice.write.mode("overwrite").partitionBy(BCol)
+          .parquet(Versioned.stagePath(historyDir, nv))
+        val staged = Versioned.listPartDirs(s, historyDir, nv, BCol)
+        val stagedNames = staged.map(_._1).toSet
+        Versioned.publish(s, historyDir, nv,
+          man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
+    }
+  }
+
+  /** Read the bucketed history WITHOUT the internal bucket column. */
+  def readBucketedHistory(s: SparkSession, historyDir: String,
+                          keyCol: String, attrCols: Seq[String]): DataFrame =
+    Versioned.readCurrent(s, historyDir, Some("kb"))
+      .selectExpr((keyCol +: attrCols) ++ Seq("valid_from", "valid_to"): _*)
+
+  /** Declared merge_scd2_bucketed query: the [[mergeScd2Query]] pipeline
+    * run through the bucket-pruned merge — same versions, same double
+    * apply, same oracle: hash-bucketing is REQUIRED to be invisible in
+    * the history content, and sharing the flat oracle enforces it. */
+  def mergeScd2BucketedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_scd2b_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal"), 2).as("c_acctbal_r"))
+    val attrs = Seq("c_mktsegment", "c_acctbal_r")
+    mergeScd2Bucketed(s, dir, base, "c_custkey", attrs, version = 0L)
+    val batch = base.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(2)) === 1,
+             concat(lit("V2_"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal_r",
+        when(pmod(col("c_custkey"), lit(2)) === 1,
+             round(col("c_acctbal_r") + 100, 2))
+          .otherwise(col("c_acctbal_r")))
+    mergeScd2Bucketed(s, dir, batch, "c_custkey", attrs, version = 1L)
+    mergeScd2Bucketed(s, dir, batch, "c_custkey", attrs, version = 1L)
+    readBucketedHistory(s, dir, "c_custkey", attrs)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** Declared merge_scd2 query: customer history at version 0, a change
     * batch at version 1 (odd keys move segment + balance), applied TWICE
     * — the second application must be a no-op — then the full history

@@ -162,6 +162,44 @@ class AtomicCommitSpec extends SparkTestBase {
     assert(again == before, "vacuum must not touch referenced data")
   }
 
+  test("bucketed scd2 restages ONLY the buckets the batch touches") {
+    import spark.implicits._
+    val dir = freshDir("graft_scd2_bucketed")
+    val base = (1L to 200L).map(i => (i, s"seg${i % 5}")).toDF("k", "attr")
+    MergeOps.mergeScd2Bucketed(spark, dir, base, "k", Seq("attr"),
+      version = 0L, buckets = 8)
+    val v1 = Versioned.currentVersion(spark, dir).get
+    assert(Versioned.manifest(spark, dir, v1).size == 8,
+      "the initial load should populate all 8 buckets")
+    // a single-key change must restage exactly ONE bucket
+    MergeOps.mergeScd2Bucketed(spark, dir,
+      Seq((7L, "CHANGED")).toDF("k", "attr"), "k", Seq("attr"),
+      version = 1L, buckets = 8)
+    val v2 = Versioned.currentVersion(spark, dir).get
+    assert(v2 == v1 + 1)
+    val staged = Versioned.listPartDirs(spark, dir, v2, "kb")
+    assert(staged.size == 1,
+      s"one key hashes to one bucket; staged ${staged.map(_._1)}")
+    val man2 = Versioned.manifest(spark, dir, v2)
+    assert(man2.size == 8 && man2.count(_._2.startsWith(s"data/$v2/")) == 1,
+      "untouched buckets must keep pointing at the old version's dirs")
+    // content: full history semantics survive the pruned rewrite
+    val hist = MergeOps.readBucketedHistory(spark, dir, "k", Seq("attr"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+                           r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(hist.length == 201, s"200 v0 rows + 1 new version: ${hist.length}")
+    assert(hist.count(_._1 == 7L) == 2, "changed key carries two versions")
+    assert(hist.contains((7L, "seg2", 0L, 1L)) &&
+           hist.contains((7L, "CHANGED", 1L, -1L)),
+      "v0 row closed at version 1, new open row at version 1")
+    // idempotence through the bucketed path
+    MergeOps.mergeScd2Bucketed(spark, dir,
+      Seq((7L, "CHANGED")).toDF("k", "attr"), "k", Seq("attr"),
+      version = 2L, buckets = 8)
+    assert(Versioned.currentVersion(spark, dir).get == v2,
+      "an all-unchanged batch must not publish a new version")
+  }
+
   test("partition values with spaces round-trip through the manifest") {
     import spark.implicits._
     val dir = freshDir("graft_escape")
