@@ -26,7 +26,10 @@ object OracleSql {
     "dedup_clusters_auto" -> "dedup_clusters",
     "merge_upsert_compact" -> "merge_upsert",
     // hash-bucketing the history is content-invisible by contract
-    "merge_scd2_bucketed" -> "merge_scd2")
+    "merge_scd2_bucketed" -> "merge_scd2",
+    // rollback-to-v1 must equal the as-of-v1 read, which must equal the
+    // pre-merge snapshot
+    "merge_upsert_rollback" -> "merge_upsert_timetravel")
 
   lazy val sql: Map[String, String] =
     base ++ aliased.map { case (k, src) => k -> base(src) }
@@ -2067,6 +2070,18 @@ object OracleSql {
     // every order, re-priced iff fold >= 80. Same engine-portable md5
     // fold as data_split. Doubling a double is exact (exponent bump), so
     // no ROUND is needed on o_totalprice.
+    // merge_upsert_timetravel: the AS-OF-version-1 read must equal the
+    // PRE-merge snapshot — orders in the fold<90 corpus slice at their
+    // original prices, untouched by the later merge.
+    "merge_upsert_timetravel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |WHERE bucket < 90
+        |ORDER BY o_orderkey""".stripMargin,
+
     "merge_upsert" ->
       """SELECT o_orderkey,
         |  CASE WHEN bucket >= 80 THEN o_totalprice * 2

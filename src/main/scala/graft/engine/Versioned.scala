@@ -161,6 +161,34 @@ object Versioned {
     }
   }
 
+  /** Time travel: read the table AS OF a specific committed version —
+    * free with this layout, because publishing never deletes the data
+    * dirs an older manifest references (only [[vacuum]] does, and only
+    * for dirs no CURRENT entry needs — callers retaining history for
+    * travel simply don't vacuum, or vacuum to a retention floor). One
+    * metadata read resolves the manifest; the data files are immutable. */
+  def readVersion(s: SparkSession, dir: String, v: Long,
+                  partCol: Option[String]): DataFrame = {
+    val fs = fsOf(s, dir)
+    require(fs.exists(new Path(dir, s"commits/$v")),
+      s"version $v was never committed under $dir")
+    readEntries(s, dir, manifest(s, dir, v), partCol)
+  }
+
+  /** Roll back to an earlier committed version — published as a NEW
+    * version whose manifest is the old one verbatim, so the rollback is
+    * itself atomic, auditable in the commit log, and reversible (nothing
+    * is deleted; a bad rollback rolls forward the same way). */
+  def rollback(s: SparkSession, dir: String, toVersion: Long): Unit = {
+    val v = currentVersion(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    if (toVersion == v) return
+    val fs = fsOf(s, dir)
+    require(fs.exists(new Path(dir, s"commits/$toVersion")),
+      s"version $toVersion was never committed under $dir")
+    publish(s, dir, v + 1, manifest(s, dir, toVersion))
+  }
+
   /** Delete data dirs no committed-current manifest entry references and
     * whose version is at or below current — crashed stages above current
     * are left for their next writer to overwrite. Bounded metadata work:

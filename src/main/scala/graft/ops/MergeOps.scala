@@ -244,6 +244,55 @@ object MergeOps {
   def readHistory(s: SparkSession, historyDir: String): DataFrame =
     Versioned.readCurrent(s, historyDir, None)
 
+  /** Declared merge_upsert_timetravel query: corpus snapshot at version
+    * 1, a re-pricing merge on top (version 2), then the corpus read AS
+    * OF version 1 — the oracle is the PRE-merge snapshot, so equality
+    * proves the merge left version 1's files untouched and the manifest
+    * resolution is exact. Time travel is the versioned protocol's free
+    * dividend: immutable data dirs + per-version manifests. */
+  def mergeUpsertTimetravelQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergett_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    Versioned.readVersion(s, dir, 1L, Some("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_upsert_rollback query: same pipeline, then an atomic
+    * ROLLBACK to version 1 and a CURRENT read — same oracle as time
+    * travel (the rollback publishes version 1's manifest as version 3;
+    * nothing is deleted, so a bad rollback rolls forward the same way). */
+  def mergeUpsertRollbackQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergerb_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    Versioned.rollback(s, dir, toVersion = 1L)
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Key-hash bucket column for [[mergeScd2Bucketed]]: content-stable
     * (xxhash64 of the key), so a key's rows land in the same bucket in
     * every batch, session, and JVM — the property that makes

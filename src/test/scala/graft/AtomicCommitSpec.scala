@@ -200,6 +200,34 @@ class AtomicCommitSpec extends SparkTestBase {
       "an all-unchanged batch must not publish a new version")
   }
 
+  test("time travel reads any committed version; rollback is atomic " +
+       "and reversible") {
+    import spark.implicits._
+    val dir = freshDir("graft_travel")
+    MergeOps.mergeUpsert(spark, dir, corpus(20), "k", "p")           // v1
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, -1.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val v1 = snap(Versioned.readVersion(spark, dir, 1L, Some("p")))
+    val v2 = snap(Versioned.readVersion(spark, dir, 2L, Some("p")))
+    assert(v1(1L) == 10.0 && v2(1L) == -1.0 && v1.size == 20 && v2.size == 20)
+    assert(snap(MergeOps.readCorpus(spark, dir, "p")) == v2)
+    intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, dir, 9L, Some("p"))
+    }
+    Versioned.rollback(spark, dir, 1L)                               // v3 = v1
+    assert(Versioned.currentVersion(spark, dir).get == 3L,
+      "rollback must publish a NEW version, not rewrite history")
+    assert(snap(MergeOps.readCorpus(spark, dir, "p")) == v1)
+    Versioned.rollback(spark, dir, 2L)                               // v4 = v2
+    assert(snap(MergeOps.readCorpus(spark, dir, "p")) == v2,
+      "a rollback must itself be reversible (roll forward)")
+    // vacuum keeps every dir the CURRENT manifest references
+    Versioned.vacuum(spark, dir)
+    assert(snap(MergeOps.readCorpus(spark, dir, "p")) == v2)
+  }
+
   test("partition values with spaces round-trip through the manifest") {
     import spark.implicits._
     val dir = freshDir("graft_escape")
