@@ -29,7 +29,11 @@ object OracleSql {
     "merge_scd2_bucketed" -> "merge_scd2",
     // rollback-to-v1 must equal the as-of-v1 read, which must equal the
     // pre-merge snapshot
-    "merge_upsert_rollback" -> "merge_upsert_timetravel")
+    "merge_upsert_rollback" -> "merge_upsert_timetravel",
+    // the bloom prefilter is exact by construction (false positives die
+    // in the confirm join), so the screening path must reproduce
+    // text_decontaminate's result verbatim
+    "text_decontaminate_bloom" -> "text_decontaminate")
 
   lazy val sql: Map[String, String] =
     base ++ aliased.map { case (k, src) => k -> base(src) }
@@ -1057,6 +1061,63 @@ object OracleSql {
         |WHERE host NOT IN ('src0.example.com', 'src7.example.com')
         |GROUP BY host
         |ORDER BY host""".stripMargin,
+
+    // text_bm25_topk: every double subexpression (idf, length norm,
+    // contribution) is written in the same tree shape as the Spark side,
+    // then rounded to 6 dp and summed as exact DECIMAL(18,6) — the
+    // ranking compares decimals, so float addition order cannot differ.
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        |st2 AS (SELECT n_docs,
+        |               CAST(total_len AS DOUBLE) / n_docs AS avgdl FROM st),
+        |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS dft FROM (
+        |          SELECT DISTINCT doc_id, t FROM toks
+        |          WHERE t IN ('dup', 'vector', 'merge')) GROUP BY t),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE t IN ('dup', 'vector', 'merge')
+        |       GROUP BY doc_id, t),
+        |c AS (SELECT tf.doc_id,
+        |        CAST(round(
+        |          (ln(((n_docs - dft) + 0.5) / (dft + 0.5) + 1.0)
+        |             * (tf * 2.2))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)),
+        |          6) AS DECIMAL(18,6)) AS c
+        |      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id)
+        |      CROSS JOIN st2),
+        |sc AS (SELECT doc_id, SUM(c) AS score,
+        |         CAST(COUNT(*) AS BIGINT) AS n_terms FROM c GROUP BY doc_id)
+        |SELECT rnk, doc_id, n_terms, bm25_r FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |           AS BIGINT) AS rnk,
+        |    doc_id, n_terms, ROUND(CAST(score AS DOUBLE), 4) AS bm25_r
+        |  FROM sc)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // sample_mixture: the keep rule is all-integer (w_d = floor of an
+    // IEEE-exact sqrt product, S and the comparison in HUGEINT), so both
+    // engines keep bit-identical row sets.
+    "sample_mixture" ->
+      """WITH c0 AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |  FROM documents GROUP BY lang),
+        |c AS (SELECT lang, n_lang,
+        |        CAST(floor(sqrt(n_lang) * 1000000.0) AS HUGEINT) AS w
+        |      FROM c0),
+        |st AS (SELECT CAST(SUM(w) AS HUGEINT) AS s,
+        |         CAST(floor(SUM(n_lang) * 0.5) AS HUGEINT) AS t_target
+        |       FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang) CROSS JOIN st
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |             AS BIGINT) AS HUGEINT) * s * CAST(n_lang AS HUGEINT)
+        |    < t_target * w * CAST(4294967296 AS HUGEINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // sample_rebalance: identical all-integer keep rule — md5-prefix int
     // (DuckDB parses '0x…', Spark uses conv(…,16,10)) scaled by the class

@@ -66,5 +66,13 @@ object GraftExtensions {
     d("graft_theta_setop", classOf[ThetaSetOp],
       c => ThetaSetOp(c(0), c(1), c(2))),
     d("graft_ngrams", classOf[NgramGenerator],
-      c => NgramGenerator(c(0), c(1))))
+      c => NgramGenerator(c(0), c(1))),
+    // Spark's own codegen'd bloom probe (the runtime-filter kernel),
+    // surfaced as a callable function so operators can screen a column
+    // against a pre-built `util.sketch.BloomFilter` embedded as a binary
+    // literal. Args: (serialized filter BINARY, xxhash64(value) BIGINT).
+    d("graft_bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      c => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(c(0), c(1))))
 }

@@ -131,4 +131,8 @@ object VectorExprs {
     * Delegates to the shared [[GraftExtensions]] descriptor list. */
   def register(spark: SparkSession): Unit =
     GraftExtensions.register(spark, "graft_dot", "graft_jaccard")
+
+  /** Register the bloom-probe kernel (see [[GraftExtensions]]). */
+  def registerBloom(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "graft_bloom_might_contain")
 }

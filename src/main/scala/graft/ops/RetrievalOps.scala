@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables._
+
+/** Lexical retrieval + bloom-accelerated set probes over `documents` —
+  * the query-side operators of a training-data pipeline (find documents
+  * for a probe query, screen a 100 TB corpus against a benchmark set)
+  * built from the same tokenize-once substrate as TextOps.
+  *
+  * Scale notes per operator are inline; the common theme is that every
+  * per-document decision is made from broadcast-sized model artifacts
+  * (term statistics, a bloom filter, a per-class rate table), so the
+  * corpus-side plan stays embarrassingly parallel: one tokenize pass,
+  * map-side combine, no shuffle whose width scales with corpus bytes. */
+object RetrievalOps {
+
+  /** The fixed probe query for [[textBm25Topk]]. `dup` is the corpus's
+    * one rare token (df 25/500 at sf0.01) so the idf spread is real. */
+  private[graft] val QueryTerms = Seq("dup", "vector", "merge")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 (Robertson/Spärck Jones, the Okapi formulation with the
+    * +1-smoothed idf Lucene uses) of a fixed 3-term query against every
+    * document; top-20 by score.
+    *
+    * Determinism contract (the reason for the decimal hop): each
+    * (doc, term) contribution is a pure double expression mirrored
+    * token-for-token in the DuckDB oracle, rounded to 6 dp and cast to
+    * DECIMAL(18,6); the per-document score is then an EXACT decimal sum,
+    * so the cross-engine result cannot depend on float addition order —
+    * the same trick sim_label_centroids uses for its component sums. The
+    * ranking (and the top-20 cut) compares those exact decimals, with
+    * doc_id as the total-order tiebreak.
+    *
+    * Scale shape: the only corpus-wide work is the tokenize + per-doc
+    * length count (one map-side-combined groupBy). Term statistics (df
+    * per query term, N, total length) are a 3-row and a 1-row aggregate —
+    * broadcast. The tf table is filtered to query terms BEFORE its
+    * groupBy, so its shuffle carries only matching tokens (~|hits|, not
+    * corpus tokens). At 100 TB: same plan, with the doc-length table
+    * reused across queries as a materialized artifact. */
+  def textBm25Topk(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+    val hits = toks.where(col("t").isin(QueryTerms: _*))
+    val dft = hits.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("dft"))
+    val tf = hits.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+
+    // contribution := idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b*dl/avgdl))
+    // with idf := ln((n_docs - dft + 0.5) / (dft + 0.5) + 1)  — every
+    // subexpression below is written in the exact shape the oracle SQL
+    // uses so the doubles agree bit-for-bit before the 6-dp round.
+    val idf = log((col("n_docs") - col("dft") + lit(0.5)) /
+                  (col("dft") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(K1) *
+      (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))
+    val contrib = (idf * (col("tf") * lit(K1 + 1.0))) / denom
+
+    val scored = tf
+      .join(broadcast(dft), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+              round(contrib, 6).cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("score"), count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rnk") <= 20)
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
+              col("n_terms"),
+              round(col("score").cast("double"), 4).as("bm25_r"))
+      .orderBy("rnk")
+  }
+
+  /** Benchmark 5-gram set: the same bench/train split as
+    * text_decontaminate (doc_id % 50 == 0 is "the benchmark"). */
+  private def gramsOf(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 4, 0)),
+          |  (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2],
+          |                      toks[i + 3], toks[i + 4]))""".stripMargin))
+        .as("g"))
+      .distinct()
+
+  /** Bloom-prefiltered decontamination — the 100 TB screening path for
+    * text_decontaminate, with IDENTICAL output (same oracle SQL).
+    *
+    * Why: text_decontaminate broadcasts the benchmark gram SET into the
+    * overlap join. That is the right plan while the benchmark fits the
+    * broadcast budget, but a realistic eval-suite union is 10⁸–10⁹
+    * n-grams — tens of GB as exact strings, ~1.2 GB per 10⁹ entries as a
+    * 1%-fpp bloom. So: (1) build the bloom over xxhash64(gram) with ONE
+    * distributed aggregate (`stat.bloomFilter`, mergeable sketch, no gram
+    * shuffle); (2) screen every train gram with Spark's own codegen'd
+    * `BloomFilterMightContain` against the filter embedded as a BINARY
+    * literal — a narrow map, no join, whole-stage codegen; (3) confirm
+    * ONLY the survivors (true hits + ~1% fp) with the exact join, which
+    * now carries ~|hits| rows instead of ~|corpus grams|. False positives
+    * die in step 3, so the result is exact — the bloom only buys the
+    * join-input reduction. Per-doc totals (`n_grams`) come from the
+    * pre-screen stream, which never shuffles (map-side-combined count).
+    *
+    * The filter is sized from a cheap upper bound (bench docs × max
+    * grams/doc) rather than a count() pass; fpp degrades gracefully if
+    * undersized and correctness never depends on it. */
+  def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.registerBloom(s)
+    val grams = gramsOf(s, d)
+    val bench = grams.where(col("doc_id") % 50 === 0).select("g").distinct()
+    val bf = bench.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", expectedNumItems = 200000L, fpp = 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val train = grams.where(col("doc_id") % 50 =!= 0)
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val candidates = train.where(
+      call_function("graft_bloom_might_contain", lit(bytes),
+                    xxhash64(col("g"))))
+    val confirmed = candidates
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+              col("n_grams"), 4).as("overlap_ratio_r"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-reweighted domain mixture sampling (the multinomial-
+    * with-temperature recipe from the multilingual-LM literature: sample
+    * domain d with probability ∝ n_d^α, α=0.5, so head domains are
+    * down-weighted and tail domains up-weighted relative to natural
+    * frequency). Target corpus size is half the input; the realized
+    * per-domain keep rate is min(1, T·w_d / (S·n_d)) with w_d = n_d^0.5.
+    *
+    * Determinism contract — the keep decision is ALL-INTEGER, like
+    * sample_rebalance: w_d := floor(sqrt(n_d)·10⁶) (sqrt is IEEE
+    * exactly-rounded, so both engines floor the same double), S := Σ w_d
+    * (integer sum, order-free), and a row survives iff
+    * hash32·S·n_d < T·w_d·2³², evaluated in DECIMAL(38,0)/HUGEINT so
+    * nothing overflows or rounds. The min(1,·) cap is implicit: when the
+    * rate exceeds 1 the threshold clears every 32-bit hash.
+    *
+    * Scale shape: one count per domain (broadcast back), then a narrow
+    * stateless filter — each row's fate depends only on its own hash and
+    * its domain's two integers. Resampling a 100 TB corpus is one
+    * filtered scan; no shuffle, no sort, trivially restartable. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val c = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt(col("n_lang")) * lit(1000000.0))
+        .cast("decimal(38,0)"))
+    val st = c.agg(sum(col("w")).cast("decimal(38,0)").as("s"),
+                   floor(sum(col("n_lang")) * lit(0.5))
+                     .cast("decimal(38,0)").as("t_target"))
+    val hash32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+                      16, 10).cast("decimal(38,0)")
+    docs.join(broadcast(c), "lang").crossJoin(broadcast(st))
+      .where(hash32 * col("s") * col("n_lang").cast("decimal(38,0)") <
+             col("t_target") * col("w") * lit(4294967296L).cast("decimal(38,0)"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+}

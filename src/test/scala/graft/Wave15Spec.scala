@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RetrievalOps, TextOps}
+
+/** Round-8 wave: lexical retrieval (BM25), bloom-prefiltered
+  * decontamination, temperature mixture sampling. */
+class Wave15Spec extends SparkTestBase {
+
+  test("text_bm25_topk: well-formed ranking, score replayed exactly " +
+       "for the top document") {
+    val rows = RetrievalOps.textBm25Topk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "rnk must be contiguous from 1")
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"scores must be non-increasing: ${scores.toSeq}")
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3),
+      "n_terms must be within the 3-term query")
+
+    // replay BM25 for the winner from raw text, straight from the formula
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum / n
+    val dft = RetrievalOps.QueryTerms
+      .map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = {
+      val toks = docs(id)
+      RetrievalOps.QueryTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dft(t) + 0.5) / (dft(t) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.size / avgdl))
+      }.sum
+    }
+    val top = rows.head
+    assert(math.abs(score(top.getLong(1)) - top.getDouble(3)) < 1e-3,
+      s"top-1 score must replay: got ${top.getDouble(3)}")
+    // and no unreturned doc outscores the returned cut (top-k is global)
+    val cut = rows.last.getDouble(3)
+    val returned = rows.map(_.getLong(1)).toSet
+    val best = docs.keys.filterNot(returned).map(score)
+    assert(best.isEmpty || best.max <= cut + 1e-3,
+      "no unreturned document may outscore the returned cut")
+  }
+
+  test("text_decontaminate_bloom: identical to the exact path, " +
+       "screened by a codegen'd bloom probe") {
+    val exact = TextOps.textDecontaminate(spark, sf).collect().toSeq
+    val bloom = RetrievalOps.textDecontaminateBloom(spark, sf)
+    assert(bloom.collect().toSeq == exact,
+      "bloom prefilter + confirm join must reproduce the exact result")
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"the candidate stage must screen through BloomFilterMightContain")
+  }
+
+  test("sample_mixture: keep rule replays all-integer, " +
+       "temperature favors tail domains") {
+    val kept = RetrievalOps.sampleMixture(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val all = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nLang = all.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val w = nLang.map { case (l, nl) =>
+      l -> BigInt(math.floor(math.sqrt(nl.toDouble) * 1000000.0).toLong) }
+    val s = w.values.sum
+    val t = BigInt(math.floor(nLang.values.sum * 0.5).toLong)
+    def hash32(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      BigInt(hex, 16)
+    }
+    val expect = all.filter { case (id, l) =>
+      hash32(id) * s * BigInt(nLang(l)) < t * w(l) * BigInt(4294967296L)
+    }.toSet
+    assert(kept.toSet == expect,
+      s"keep set must replay the integer rule: ${kept.length} vs ${expect.size}")
+    assert(kept.length > 0 && kept.length < all.length,
+      "mixture must keep a strict subset")
+    // α=0.5 reweighting: realized keep-rate of the rarest domain must be
+    // at least that of the most common one (ties allowed when both cap)
+    val rate = nLang.map { case (l, nl) =>
+      l -> kept.count(_._2 == l).toDouble / nl }
+    val rare = nLang.minBy(_._2)._1
+    val common = nLang.maxBy(_._2)._1
+    assert(rate(rare) >= rate(common) - 1e-9,
+      s"tail domain must not be down-weighted: $rate")
+  }
+}
