@@ -1067,21 +1067,20 @@ object OracleSql {
     // then rounded to 6 dp and summed as exact DECIMAL(18,6) — the
     // ranking compares decimals, so float addition order cannot differ.
     "text_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
         |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |       FROM toks GROUP BY doc_id),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |              CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
         |st2 AS (SELECT n_docs,
         |               CAST(total_len AS DOUBLE) / n_docs AS avgdl FROM st),
-        |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS dft FROM (
-        |          SELECT DISTINCT doc_id, t FROM toks
-        |          WHERE t IN ('dup', 'vector', 'merge')) GROUP BY t),
-        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks WHERE t IN ('dup', 'vector', 'merge')
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |         FROM documents)
+        |       WHERE t IN ('dup', 'vector', 'merge')
         |       GROUP BY doc_id, t),
+        |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS dft
+        |        FROM tf GROUP BY t),
         |c AS (SELECT tf.doc_id,
         |        CAST(round(
         |          (ln(((n_docs - dft) + 0.5) / (dft + 0.5) + 1.0)

@@ -44,15 +44,22 @@ object RetrievalOps {
     * corpus tokens). At 100 TB: same plan, with the doc-length table
     * reused across queries as a materialized artifact. */
   def textBm25Topk(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // Document length is size(split(...)) — a narrow map, no explode and
+    // no per-doc count shuffle; the exploded token stream exists ONLY on
+    // the query-term hits, filtered in the same codegen stage as the
+    // generator so the tf shuffle carries ~|hits| rows, not corpus
+    // tokens. dft reuses tf's exchange (tf is already distinct on
+    // (doc, term) by construction of its groupBy).
+    val dl = documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
       .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
-    val hits = toks.where(col("t").isin(QueryTerms: _*))
-    val dft = hits.select("doc_id", "t").distinct()
-      .groupBy("t").agg(count(lit(1)).as("dft"))
-    val tf = hits.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t").isin(QueryTerms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
 
     // contribution := idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b*dl/avgdl))
     // with idf := ln((n_docs - dft + 0.5) / (dft + 0.5) + 1)  — every
@@ -117,7 +124,13 @@ object RetrievalOps {
     * undersized and correctness never depends on it. */
   def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExprs.registerBloom(s)
+    // Persisted: the gram set feeds FOUR consumers (bloom build, per-doc
+    // totals, candidate screen, confirm join) and its tokenize+transform
+    // chain is the expensive part at this SF. MEMORY_AND_DISK for the
+    // same eviction-correctness rationale as dedup_ngram_jaccard's
+    // staging table; at 100 TB this is a staged parquet artifact.
     val grams = gramsOf(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = grams.where(col("doc_id") % 50 === 0).select("g").distinct()
     val bf = bench.select(xxhash64(col("g")).as("h"))
       .stat.bloomFilter("h", expectedNumItems = 200000L, fpp = 0.01)
@@ -164,18 +177,42 @@ object RetrievalOps {
     * its domain's two integers. Resampling a 100 TB corpus is one
     * filtered scan; no shuffle, no sort, trivially restartable. */
   def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val docs = documents(s, d)
-    val c = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      .withColumn("w", floor(sqrt(col("n_lang")) * lit(1000000.0))
-        .cast("decimal(38,0)"))
-    val st = c.agg(sum(col("w")).cast("decimal(38,0)").as("s"),
-                   floor(sum(col("n_lang")) * lit(0.5))
-                     .cast("decimal(38,0)").as("t_target"))
+    // ONE aggregate job collects the per-domain histogram — bounded by
+    // |domains| (the same driver-side-metadata argument as mergeUpsert's
+    // partition list; never row data). The per-domain keep rule
+    //   hash32 · S · n_d  <  T · w_d · 2³²
+    // is then folded into two exact integer constants per domain
+    // (lhs_mul = S·n_d, rhs = T·w_d·2³²; BigInt, no overflow, no
+    // rounding) and shipped back as a broadcast 5-row table, so the
+    // corpus side is one codegen'd filtered scan — no second aggregate
+    // pass, no cross join.
+    val hist = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val w = hist.map { case (l, n) =>
+      l -> BigInt(math.floor(math.sqrt(n.toDouble) * 1000000.0).toLong) }
+      .toMap
+    val sSum = w.values.sum
+    val tTarget = BigInt(math.floor(hist.map(_._2).sum * 0.5).toLong)
+    val thr = hist.map { case (l, n) =>
+      org.apache.spark.sql.Row(l,
+        new java.math.BigDecimal((sSum * BigInt(n)).bigInteger),
+        new java.math.BigDecimal(
+          (tTarget * w(l) * BigInt(4294967296L)).bigInteger))
+    }
+    val thrDf = s.createDataFrame(thr.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lhs_mul",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
     val hash32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
                       16, 10).cast("decimal(38,0)")
-    docs.join(broadcast(c), "lang").crossJoin(broadcast(st))
-      .where(hash32 * col("s") * col("n_lang").cast("decimal(38,0)") <
-             col("t_target") * col("w") * lit(4294967296L).cast("decimal(38,0)"))
+    docs.join(broadcast(thrDf), "lang")
+      .where(hash32 * col("lhs_mul") < col("rhs"))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
