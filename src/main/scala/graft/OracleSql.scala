@@ -1062,6 +1062,33 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // scan_dpp: the oracle replays the dim slice from the ORIGINAL
+    // table with an inline VALUES dim — equality proves the partitioned
+    // round-trip AND that dynamic pruning dropped no rows.
+    "scan_dpp" ->
+      """WITH dim AS (SELECT * FROM (VALUES
+        |    ('F', 'terminal'), ('O', 'open'), ('P', 'terminal'))
+        |  t(o_orderstatus, status_class))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+        |FROM orders JOIN dim USING (o_orderstatus)
+        |WHERE status_class = 'terminal'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // agg_incremental: one flat GROUP BY over ALL events — the Spark
+    // side reaches the same rows through base + two incremental folds
+    // (plus a replayed fold that must no-op), so equality proves
+    // partial-merge associativity and the exactly-once ledger at once.
+    "agg_incremental" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day_s,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS sum_value,
+        |  ROUND(MIN(value), 4) AS min_value_r,
+        |  ROUND(MAX(value), 4) AS max_value_r
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // text_bm25_topk: every double subexpression (idf, length norm,
     // contribution) is written in the same tree shape as the Spark side,
     // then rounded to 6 dp and summed as exact DECIMAL(18,6) — the

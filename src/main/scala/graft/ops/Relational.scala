@@ -139,6 +139,51 @@ object Relational {
               col("o_orderstatus"))
       .orderBy("o_orderkey")
 
+  /** DYNAMIC partition pruning as a declared query: the partition filter
+    * is not known until runtime — it is the key set surviving a filter on
+    * a DIM table (status_class = 'terminal'), and Spark's DPP turns the
+    * dim-side broadcast into a `dynamicpruningexpression` partition
+    * filter on the fact scan, so non-qualifying partitions are never
+    * listed or opened (pinned in Wave16). The dim must be a FILE source:
+    * a literal `Seq(...).toDF` collapses through ConvertToLocalRelation
+    * and leaves no selective predicate for the PartitionPruning rule to
+    * see — the kind of plan fact that only shows up by reading the
+    * optimized plan, hence the pin. At 100 TB this is the star-schema
+    * date-dim slice: one broadcast of the filtered dim prunes a year of
+    * fact partitions down to the requested quarter. Money sums are exact
+    * decimals (agg_decimal's contract). */
+  def scanDpp(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensurePartitionedExport(s, d))
+      .join(s.read.parquet(ensureStatusDimExport(s))
+              .where(col("status_class") === "terminal"),
+            "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+             .cast("decimal(38,2)").cast("string").as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  private val statusDimExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Durable 3-row status dim (status → lifecycle class) backing
+    * [[scanDpp]] — parquet-backed so the dim-side filter survives to the
+    * optimizer (see scanDpp's doc). */
+  private[graft] def ensureStatusDimExport(s: SparkSession): String =
+    statusDimExported.getOrElseUpdate("dim", bucketedLock.synchronized {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, "graft_status_dim")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        import s.implicits._
+        Seq(("F", "terminal"), ("O", "open"), ("P", "terminal"))
+          .toDF("o_orderstatus", "status_class")
+          .coalesce(1).write.mode("overwrite").parquet(loc.toString)
+      }
+      loc.toString
+    })
+
   private val partExported =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
