@@ -1062,6 +1062,20 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // merge_cdc: the expected v1→v2 changelog restated from the source
+    // table and the fold rule (80-89 update, 90-99 insert).
+    "merge_cdc" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN bucket >= 90 THEN 'insert' ELSE 'update' END AS change,
+        |  CASE WHEN bucket >= 90 THEN NULL
+        |       ELSE ROUND(o_totalprice, 2) END AS old_price_r,
+        |  ROUND(o_totalprice * 2, 2) AS new_price_r
+        |FROM b WHERE bucket >= 80 ORDER BY o_orderkey""".stripMargin,
+
     // scan_dpp: the oracle replays the dim slice from the ORIGINAL
     // table with an inline VALUES dim — equality proves the partitioned
     // round-trip AND that dynamic pruning dropped no rows.

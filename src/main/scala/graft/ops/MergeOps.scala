@@ -293,6 +293,71 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Row-level changelog (CDC) between two committed versions of a
+    * versioned corpus: one `insert` / `update` / `delete` row per key
+    * whose state differs, with old and new values of `valueCol`.
+    * Downstream consumers (cache invalidation, index maintenance, the
+    * ANN-store folds) subscribe to THIS instead of re-diffing snapshots.
+    *
+    * Manifest-pruned: a partition whose manifest entry is IDENTICAL in
+    * both versions points at the same immutable dir — it cannot contain
+    * a change and is never read. The diff cost is ∝ bytes of partitions
+    * touched between the versions (at 100 TB: the day's merges), not
+    * corpus size; the immutable-dir + manifest design gives CDC away for
+    * free, which is exactly why lakehouse table formats do it this way.
+    * Within touched partitions the diff is one full-outer hash join on
+    * the key. */
+  def changelog(s: SparkSession, corpusDir: String, fromV: Long, toV: Long,
+                keyCol: String, partCol: String,
+                valueCol: String): DataFrame = {
+    val manA = Versioned.manifest(s, corpusDir, fromV).toMap
+    val manB = Versioned.manifest(s, corpusDir, toV).toMap
+    val changedParts =
+      (manA.keySet ++ manB.keySet).filter(p => manA.get(p) != manB.get(p))
+    val aEntries = manA.filter { case (p, _) => changedParts(p) }.toSeq
+    val bEntries = manB.filter { case (p, _) => changedParts(p) }.toSeq
+    def side(entries: Seq[(String, String)], tag: String): DataFrame =
+      (if (entries.isEmpty)
+         Versioned.readVersion(s, corpusDir, fromV, Some(partCol)).limit(0)
+       else Versioned.readEntries(s, corpusDir, entries, Some(partCol)))
+        .select(col(keyCol), col(valueCol).as(tag))
+    side(aEntries, "old_value").join(side(bEntries, "new_value"),
+        Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "delete")
+          .otherwise("update"))
+      .where(col("change") =!= "update" ||
+             col("old_value") =!= col("new_value"))
+  }
+
+  /** Declared merge_cdc query: the merge_upsert pipeline (snapshot →
+    * re-pricing merge), then the v1→v2 changelog. The oracle restates
+    * the expected change rows straight from the source table and the
+    * fold rule: buckets 80-89 are updates (old → ×2), 90-99 inserts.
+    * Equality proves the diff finds exactly the merged keys — and the
+    * manifest pruning drops only unchanged partitions. */
+  def mergeCdcQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergecdc_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    changelog(s, dir, 1L, 2L, "o_orderkey", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"), col("change"),
+              round(col("old_value"), 2).as("old_price_r"),
+              round(col("new_value"), 2).as("new_price_r"))
+      .orderBy("o_orderkey")
+  }
+
   /** Key-hash bucket column for [[mergeScd2Bucketed]]: content-stable
     * (xxhash64 of the key), so a key's rows land in the same bucket in
     * every batch, session, and JVM — the property that makes

@@ -87,6 +87,26 @@ object StreamOps {
                    storePath: String): DataFrame =
     s.read.parquet(storePath).drop("batch_id")
 
+  /** Streaming maintenance of the day-level rollup
+    * ([[graft.ops.IncrementalOps]]): each micro-batch's PARTIAL
+    * aggregates fold into only the days it touches, through the same
+    * versioned commit + applied-ledger the batch path uses — so the
+    * at-least-once window foreachBatch leaves open is closed by the
+    * LEDGER, not by dir-overwrite tricks: a replayed `stream-<id>` fold
+    * is a no-op because the id is already in the current version's
+    * applied set. This is the third streaming→store composition (after
+    * the minhash and embedding stores): the dashboard rollup stays
+    * current per trigger, and a batch backfill and the stream can share
+    * one store because both go through foldBatch. */
+  def rollupMaintenance(events: DataFrame,
+                        rollupDir: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalOps.foldBatch(
+          batch.sparkSession, rollupDir, batch, s"stream-$batchId")
+      }
+
   /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,
     * embedding float[]) into a streamed embedding index: quantized
     * vectors and LSH signatures land in per-batch `batch_id=<id>` dirs

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.engine.Versioned
-import graft.ops.{IncrementalOps, Relational}
+import graft.ops.{IncrementalOps, MergeOps, Relational}
 
 /** Round-8 wave: dynamic partition pruning and incremental rollup
   * maintenance (exactly-once partial-aggregate folding). */
@@ -58,5 +59,68 @@ class Wave16Spec extends SparkTestBase {
       ("2024-03-01", 2L, "30.00", 10.0, 20.0),
       ("2024-03-02", 3L, "11.00", 1.0, 5.5)),
       s"merged rollup rows: ${rows.toSeq}")
+  }
+
+  test("changelog: insert/update/delete detected; unchanged partitions " +
+       "are manifest-pruned out of the diff read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_t").toString
+    // v1: two partitions; v2 built by hand so partition A is REMOVED
+    // rows (delete), B updated+inserted, and C untouched (same dir).
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+        .toDF("k", "v", "p"), "k", "p")
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((2L, 25.0, "B"), (4L, 40.0, "B")).toDF("k", "v", "p"), "k", "p")
+    // hand-stage v3 without partition A at all (a delete no merge emits)
+    val man2 = Versioned.manifest(spark, dir, 2L)
+    Versioned.publish(spark, dir, 3L, man2.filterNot(_._1 == "p=A"))
+    val log = MergeOps.changelog(spark, dir, 1L, 3L, "k", "p", "v")
+    val got = log.select("k", "change", "old_value", "new_value")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "delete", 2L -> "update", 4L -> "insert"),
+      s"changelog rows: $got")
+    // pruning: partition C's dir must not appear in the diff's scan
+    val scans = log.queryExecution.executedPlan.toString
+    assert(!scans.contains("p=C"),
+      "an identical manifest entry must never be read by the diff")
+  }
+
+  test("streaming rollup maintenance: per-trigger folds equal the batch " +
+       "rollup; ledger makes replays no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_stream").toString
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamOps.rollupMaintenance(
+        in.toDF().toDF("ts", "value"), dir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_rollup_ck").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-03-01 01:00:00"), 10.0),
+                 (t("2024-03-01 02:00:00"), 20.0))
+      q.processAllAvailable()
+      in.addData((t("2024-03-01 03:00:00"), 4.5),
+                 (t("2024-03-02 01:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // replay of an already-applied stream batch id: no new version
+    val v = Versioned.currentVersion(spark, dir).get
+    IncrementalOps.foldBatch(spark, dir,
+      Seq((t("2024-03-01 03:00:00"), 4.5)).toDF("ts", "value"), "stream-1")
+    assert(Versioned.currentVersion(spark, dir).get == v,
+      "replayed stream batch must be a ledger no-op")
+    val got = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("n_events"),
+              col("sum_value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("2024-03-01", 3L, "34.50"),
+                      ("2024-03-02", 1L, "1.00")),
+      s"stream-maintained rollup: $got")
   }
 }
