@@ -1103,6 +1103,24 @@ object OracleSql {
         |  ROUND(MAX(value), 4) AS max_value_r
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // dedup_substring: identical 16-token slice arithmetic (1-based
+    // inclusive), md5 fingerprints, and the same 2..10 rarity band.
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 15, 0)),
+        |      i -> md5(array_to_string(string_split(text, ' ')[i:i+15], ' '))))
+        |      AS fp
+        |    FROM documents)),
+        |r AS (SELECT fp FROM g GROUP BY fp
+        |      HAVING count(*) >= 2 AND count(*) <= 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN r USING (fp) JOIN g b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // text_bm25_topk: every double subexpression (idf, length norm,
     // contribution) is written in the same tree shape as the Spark side,
     // then rounded to 6 dp and summed as exact DECIMAL(18,6) — the

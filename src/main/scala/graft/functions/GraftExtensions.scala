@@ -67,6 +67,10 @@ object GraftExtensions {
       c => ThetaSetOp(c(0), c(1), c(2))),
     d("graft_ngrams", classOf[NgramGenerator],
       c => NgramGenerator(c(0), c(1))),
+    d("graft_pq_adc", classOf[PqAdcScore], c => PqAdcScore(c(0), c(1))),
+    d("graft_topc", classOf[TopCNeighbors],
+      c => TopCNeighbors(c(0), c(1),
+        c = c(2).eval(null).asInstanceOf[Number].intValue)),
     // Spark's own codegen'd bloom probe (the runtime-filter kernel),
     // surfaced as a callable function so operators can screen a column
     // against a pre-built `util.sketch.BloomFilter` embedded as a binary

@@ -157,6 +157,41 @@ object RetrievalOps {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-overlap detection (the Lee et al. "Deduplicating
+    * Training Data" tier): document pairs sharing at least one verbatim
+    * 16-token span. Doc-level and paragraph-level dedup both miss a
+    * copied PASSAGE inside otherwise-different documents; a shared rare
+    * 16-gram is exactly that signal.
+    *
+    * Scale shape: grams travel as md5 fingerprints (16 fixed bytes, not
+    * ~100-byte strings) through one distinct shuffle; the pair join runs
+    * only on RARE fingerprints (2 ≤ df ≤ 10), which caps per-gram
+    * fan-out at 45 pairs and drops corpus-wide boilerplate — template
+    * text is text_repetition / quality-gate territory, while a rare
+    * long span shared by few docs is the copied-passage case this
+    * operator exists for (the same df-capping argument as
+    * dedup_ngram_jaccard's prefix filter). Fan-out is therefore
+    * O(hits · df_cap), never n². */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 15, 0)),
+          |  (x, i) -> md5(concat_ws(' ', slice(toks, i + 1, 16))))"""
+          .stripMargin)).as("fp"))
+      .distinct()
+    val rare = grams.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= 10)
+      .select("fp")
+    val hits = grams.join(rare, "fp")
+    hits.as("a")
+      .join(hits.as("b"), "fp")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Temperature-reweighted domain mixture sampling (the multinomial-
     * with-temperature recipe from the multilingual-LM literature: sample
     * domain d with probability ∝ n_d^α, α=0.5, so head domains are

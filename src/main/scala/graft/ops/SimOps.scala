@@ -439,6 +439,28 @@ object SimOps {
 
   def simAnnIvfP(s: SparkSession, v: DataFrame, n: Long,
                  nprobe: Int): DataFrame = {
+    val cand = ivfCandidates(s, v, n, nprobe)
+    val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
+                     col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
+                     col("nrm").as("nb"))
+    cand.join(a, "qid").join(b, "nid")
+      .select(col("qid"), col("nid"),
+              round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
+                .as("cos_r"))
+      .groupBy("qid")
+      .agg(expr("graft_top1(cos_r, nid)").as("t"))
+      .select(col("qid").as("vec_id"), col("t.nid").as("ann_id"),
+              col("t.cos").as("cos_r"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF coarse-quantizer candidate generation, factored out so the
+    * exact-rerank path ([[simAnnIvfP]]) and the PQ-scored path
+    * ([[simAnnPqP]]) share one cell machinery: k ≈ √n deterministic
+    * centroids, nearest-cell assignment, nprobe-cell probe set. */
+  private[graft] def ivfCandidates(s: SparkSession, v: DataFrame, n: Long,
+                                   nprobe: Int): DataFrame = {
     graft.functions.KnnVote.register(s)
     graft.functions.KnnVote.raiseHashAggFallback(s)
     val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -468,14 +490,122 @@ object SimOps {
     val probes = sims.withColumn("rk", row_number().over(w))
       .where(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("cent_id"))
-    val cand = probes.join(assign, "cent_id")
+    probes.join(assign, "cent_id")
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid")
+  }
+
+  /** Product-quantization ANN (IVFPQ with asymmetric distance
+    * computation) — the memory-bounded index tier: candidate scoring
+    * reads m four-bit subspace codes per vector (8 bytes of payload at
+    * m=16) instead of 64 float64s (512 bytes) — 64× smaller probe
+    * state, which is what makes a 100 TB vector corpus probe-able from
+    * RAM.
+    *
+    * Pipeline: (1) codebooks — per-subspace k-means (k=16, Lloyd×10,
+    * deterministic hash-ordered init) trained on a BOUNDED sample
+    * (≤1024 vectors; PQ codebooks are always sample-trained — FAISS
+    * defaults to ~10⁵ regardless of corpus size, so the driver-side fit
+    * is bounded metadata, not a scale hole); (2) encode — one narrow
+    * map attaches each vector's m argmin codes; (3) candidates — the
+    * shared IVF cell machinery ([[ivfCandidates]]); (4) ADC — each
+    * QUERY precomputes its m×k table of subspace dot products once,
+    * and each candidate pair is scored by m array LOOKUPS (codegen'd
+    * `transform`+`aggregate`, no UDF, no float vector touched) instead
+    * of a 64-mult dot product; (5) exact rerank of the top `rerank`
+    * ADC survivors with the full-precision kernel, so PQ distortion
+    * costs recall only when the true neighbor falls outside the ADC
+    * top-C, not output precision. No oracle (approximate): recall,
+    * determinism, and the 4-bit code domain are property-tested. */
+  def simAnnPq(s: SparkSession, d: String): DataFrame = {
+    val v = normed(s, d).cache() // multi-referenced (count, encode, rerank)
+    // m=16 4-dim subspaces: the testdata embeddings are isotropic —
+    // PQ's hardest regime (no cluster structure for codebooks to
+    // exploit) — so resolution is bought with more, smaller subspaces
+    // (8 bytes of payload at rest; still 64x smaller probe state).
+    simAnnPqP(s, v, n = v.count(), m = 16, ksub = 16, nprobe = 16,
+              rerank = 16)
+  }
+
+  def simAnnPqP(s: SparkSession, v: DataFrame, n: Long, m: Int, ksub: Int,
+                nprobe: Int, rerank: Int): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    graft.functions.KnnVote.register(s)
+    // Unit vectors: cosine(q, c) = dot(uq, uc), so PQ approximates the
+    // cosine directly and the ADC sum needs no norm correction.
+    val u = v.select(col("vec_id"), col("nrm"),
+                     expr("transform(vd, x -> x / nrm)").as("u"))
+    // -- (1) bounded deterministic sample -> driver k-means codebooks
+    val sample = u.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(1024).select("u").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "simAnnPq: empty vector input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"simAnnPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cb = trainPqCodebooks(sample, m, subDim, ksub)
+    val cbB = s.sparkContext.broadcast(cb)
+    // -- (2) encode: m argmin-L2 codes per vector (one-time index build;
+    // at rest this is m·log2(k) = 32 bits of payload per vector)
+    val encode = udf { (uu: Seq[Double]) =>
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cents = cbB.value(j)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var dd = 0.0; var i = 0
+          while (i < subDim) {
+            val diff = uu(j * subDim + i) - cents(c)(i); dd += diff * diff
+            i += 1
+          }
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        codes(j) = best; j += 1
+      }
+      codes
+    }
+    // -- (4a) per-QUERY ADC table: m*k partial dots, computed once per
+    // query row (n small tables), so pair scoring is lookups only
+    val adcOf = udf { (uu: Seq[Double]) =>
+      val t = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cents = cbB.value(j)
+        var c = 0
+        while (c < cents.length) {
+          var dp = 0.0; var i = 0
+          while (i < subDim) { dp += uu(j * subDim + i) * cents(c)(i); i += 1 }
+          t(j * ksub + c) = dp; c += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val coded = u.select(col("vec_id").as("nid"), encode(col("u")).as("codes"))
+    val queries = u.select(col("vec_id").as("qid"), adcOf(col("u")).as("adc"))
+    // -- (3)+(4b) IVF candidates scored by the codegen'd ADC kernel
+    // (graft_pq_adc: no per-pair allocation), shortlisted by the
+    // bounded-heap top-C aggregate (graft_topc: map-side partials
+    // collapse each query's pairs to ≤ rerank entries BEFORE the
+    // exchange — a row_number window would shuffle-sort every pair)
+    graft.functions.PqExprs.register(s)
+    graft.functions.KnnVote.raiseHashAggFallback(s)
+    val cand = ivfCandidates(s, v, n, nprobe)
+    val shortlist = cand.join(queries, "qid").join(coded, "nid")
+      .select(col("qid"), col("nid"),
+              expr("graft_pq_adc(codes, adc)").as("adc_score"))
+      .groupBy("qid")
+      .agg(expr(s"graft_topc(adc_score, nid, $rerank)").as("nids"))
+      .select(col("qid"), explode(col("nids")).as("nid"))
+    // -- (5) exact rerank of the ADC shortlist
     val a = v.select(col("vec_id").as("qid"), col("vd").as("va"),
                      col("nrm").as("na"))
     val b = v.select(col("vec_id").as("nid"), col("vd").as("vb"),
                      col("nrm").as("nb"))
-    cand.join(a, "qid").join(b, "nid")
+    shortlist.join(a, "qid").join(b, "nid")
       .select(col("qid"), col("nid"),
               round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4)
                 .as("cos_r"))
@@ -485,6 +615,41 @@ object SimOps {
               col("t.cos").as("cos_r"))
       .orderBy("vec_id")
   }
+
+  /** Per-subspace Lloyd k-means on the driver sample (bounded; see
+    * [[simAnnPq]]). Deterministic: init = first k sample subvectors in
+    * the hash order the sample was drawn in; ties in assignment break
+    * to the lowest centroid index; empty clusters keep their centroid. */
+  private def trainPqCodebooks(sample: Array[Array[Double]], m: Int,
+                               subDim: Int, k: Int)
+      : Array[Array[Array[Double]]] =
+    Array.tabulate(m) { j =>
+      val subs = sample.map(_.slice(j * subDim, (j + 1) * subDim))
+      val kk = math.min(k, subs.length)
+      val cents = Array.tabulate(kk)(c => subs(c).clone())
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(kk)(new Array[Double](subDim))
+        val cnt = new Array[Int](kk)
+        for (x <- subs) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var dd = 0.0; var i = 0
+            while (i < subDim) {
+              val diff = x(i) - cents(c)(i); dd += diff * diff; i += 1
+            }
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += x(i); i += 1 }
+          cnt(best) += 1
+        }
+        for (c <- 0 until kk; if cnt(c) > 0; i <- 0 until subDim)
+          cents(c)(i) = sums(c)(i) / cnt(c)
+      }
+      cents
+    }
 
   /** Declared dedup_embedding_ann query: the ANN dedup path on the
     * testdata embeddings at the same τ=0.45 as the exact operator.

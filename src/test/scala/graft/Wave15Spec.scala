@@ -58,6 +58,42 @@ class Wave15Spec extends SparkTestBase {
       s"the candidate stage must screen through BloomFilterMightContain")
   }
 
+  test("sim_ann_pq: deterministic, full coverage, and the ADC shortlist " +
+       "recovers most exact top-1 neighbors") {
+    val pq = graft.ops.SimOps.simAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.engine.Tables.embeddings(spark, sf).count()
+    assert(pq.length == n, s"every vector needs an ANN answer: ${pq.length}/$n")
+    val again = graft.ops.SimOps.simAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pq.toSeq == again.toSeq, "PQ pipeline must be deterministic")
+    // brute-force top-1 (the Wave4 replay idiom)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+           math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = vecs.map { case (i, v) =>
+      i -> vecs.filter(_._1 != i).maxBy(o => (cos(v, o._2), -o._1))._1
+    }.toMap
+    val recall = pq.count { case (q, a, _) => exact.get(q).contains(a) }
+      .toDouble / n
+    assert(recall >= 0.5,
+      f"IVFPQ top-1 recall vs brute force too low: $recall%.3f")
+    info(f"IVFPQ top-1 recall vs brute force: $recall%.3f")
+    // reported cosines are EXACT (full-precision rerank): each must
+    // equal the true cosine of the reported pair at the 4-dp rounding
+    pq.foreach { case (q, a, c) =>
+      val t = (math.rint(cos(vecs.toMap.apply(q), vecs.toMap.apply(a))
+                 * 1e4) / 1e4)
+      assert(math.abs(t - c) < 2e-4,
+        s"reported cosine must be the exact rerank value for ($q,$a): $c vs $t")
+    }
+  }
+
   test("sample_mixture: keep rule replays all-integer, " +
        "temperature favors tail domains") {
     val kept = RetrievalOps.sampleMixture(spark, sf).collect()

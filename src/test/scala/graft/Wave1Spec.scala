@@ -112,7 +112,8 @@ class Wave1Spec extends SparkTestBase {
                        "text_quality_ml", "sim_kmeans_cluster",
                        "dedup_clusters_ann", "sim_incremental_ann",
                        "agg_kll_quantiles", "sim_pca_reduce",
-                       "graph_pagerank", "win_rolling_distinct")
+                       "graph_pagerank", "win_rolling_distinct",
+                       "sim_ann_pq")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
