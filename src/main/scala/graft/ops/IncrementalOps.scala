@@ -82,11 +82,45 @@ object IncrementalOps {
     * merged with the partials), carry forward the applied-ledger + the
     * new id, publish atomically. Replay of an applied id is a no-op. */
   def foldBatch(s: SparkSession, dir: String, batch: DataFrame,
-                batchId: String): Unit = {
+                batchId: String): Unit =
+    foldBatchWith(s, dir, batch, batchId, rollup, mergePartials)
+
+  /** [[foldBatch]] with the sketch-bearing rollup: the summary carries a
+    * mergeable HLL sketch of the day's distinct users alongside the
+    * algebraic measures, so INCREMENTAL DISTINCT — the aggregate that
+    * plain incremental maintenance cannot express (distinct is not
+    * algebraic: yesterday's count + today's count double-counts
+    * returning users) — folds the same way everything else does:
+    * sketch ⊕ sketch. The stored artifact answers "distinct users for
+    * ANY day range" by unioning day sketches, never rescanning events. */
+  def foldBatchHll(s: SparkSession, dir: String, batch: DataFrame,
+                   batchId: String): Unit =
+    foldBatchWith(s, dir, batch, batchId, rollupHll, mergePartialsHll)
+
+  private def rollupHll(batch: DataFrame): DataFrame =
+    batch
+      .select(date_format(col("ts"), "yyyy-MM-dd").as(DayCol),
+              col("value"), col("user_id"))
+      .groupBy(DayCol)
+      .agg(count(lit(1)).as("n_events"),
+           sum(expr("CAST(round(value, 2) AS DECIMAL(18,2))"))
+             .cast("decimal(38,2)").as("sum_value"),
+           hll_sketch_agg(col("user_id")).as("users_sk"))
+
+  private def mergePartialsHll(rows: DataFrame): DataFrame =
+    rows.groupBy(DayCol)
+      .agg(sum("n_events").as("n_events"),
+           sum("sum_value").cast("decimal(38,2)").as("sum_value"),
+           hll_union_agg(col("users_sk")).as("users_sk"))
+
+  private def foldBatchWith(s: SparkSession, dir: String, batch: DataFrame,
+                            batchId: String,
+                            roll: DataFrame => DataFrame,
+                            mergeP: DataFrame => DataFrame): Unit = {
     require(!batchId.contains("\n"), "batchId must be single-line")
     Versioned.currentVersion(s, dir) match {
       case None =>
-        rollup(batch).write.mode("overwrite").partitionBy(DayCol)
+        roll(batch).write.mode("overwrite").partitionBy(DayCol)
           .parquet(Versioned.stagePath(dir, 1L))
         writeApplied(s, dir, 1L, Set(batchId))
         Versioned.publish(s, dir, 1L,
@@ -94,7 +128,7 @@ object IncrementalOps {
       case Some(v) =>
         val applied = appliedIds(s, dir, v)
         if (applied.contains(batchId)) return
-        val part = rollup(batch)
+        val part = roll(batch)
         // Bounded driver-side list: the batch's DAY values (#days, not
         // #rows) — the manifest-pruning predicate, as in mergeUpsert.
         val touched = part.select(DayCol).distinct().collect()
@@ -105,7 +139,7 @@ object IncrementalOps {
         val oldEntries = man.filter(e => touchedNames.contains(e._1))
         val merged =
           if (oldEntries.isEmpty) part
-          else mergePartials(
+          else mergeP(
             Versioned.readEntries(s, dir, oldEntries, Some(DayCol))
               // partition-dir values like 2024-03-01 infer back as DATE;
               // re-cast so the union and the rewrite stay string-keyed
@@ -155,6 +189,36 @@ object IncrementalOps {
               col("sum_value").cast("string").as("sum_value"),
               round(col("min_value"), 4).as("min_value_r"),
               round(col("max_value"), 4).as("max_value_r"))
+      .orderBy(DayCol)
+  }
+
+  /** Declared agg_incremental_hll query: the same base + two-fold +
+    * replay pipeline, with the sketch-bearing rollup — per-day distinct
+    * users maintained incrementally as HLL state. No SQL oracle (the
+    * estimate is sketch-defined); Wave16 bounds every day's estimate
+    * against the exact distinct and pins determinism + the ledger. The
+    * algebraic columns still ride along, so the sketch store subsumes
+    * the plain one. */
+  def aggIncrementalHll(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_rolluph_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = events(s, d).withColumn("d", to_date(col("ts")))
+    val cut = ev.agg(date_sub(max(col("d")), 6).as("c"),
+                     date_sub(max(col("d")), 3).as("m")).collect()(0)
+    val (c, m) = (cut.getDate(0), cut.getDate(1))
+    foldBatchHll(s, dir, ev.where(col("d") < lit(c)).drop("d"), "base")
+    foldBatchHll(s, dir, ev.where(col("d") >= lit(c) && col("d") < lit(m))
+      .drop("d"), "week-a")
+    foldBatchHll(s, dir, ev.where(col("d") >= lit(m)).drop("d"), "week-b")
+    foldBatchHll(s, dir, ev.where(col("d") >= lit(m)).drop("d"), "week-b")
+    readRollup(s, dir)
+      .select(col(DayCol).cast("string").as(DayCol), col("n_events"),
+              col("sum_value").cast("string").as("sum_value"),
+              hll_sketch_estimate(col("users_sk")).as("n_users_est"))
       .orderBy(DayCol)
   }
 }

@@ -61,6 +61,27 @@ class Wave16Spec extends SparkTestBase {
       s"merged rollup rows: ${rows.toSeq}")
   }
 
+  test("agg_incremental_hll: incrementally-folded sketch estimates " +
+       "track exact distinct; deterministic; ledger shared") {
+    val got = graft.ops.IncrementalOps.aggIncrementalHll(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val exact = graft.engine.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+      .groupBy("d").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.length == exact.size,
+      s"one row per day: ${got.length} vs ${exact.size}")
+    got.foreach { case (d, _, est) =>
+      val ex = exact(d).toDouble
+      assert(math.abs(est.toDouble - ex) / ex <= 0.05,
+        s"day $d: sketch estimate $est vs exact $ex beyond 5%")
+    }
+    // deterministic: the whole build+fold+replay pipeline reruns equal
+    val again = graft.ops.IncrementalOps.aggIncrementalHll(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
+  }
+
   test("changelog: insert/update/delete detected; unchanged partitions " +
        "are manifest-pruned out of the diff read") {
     import spark.implicits._

@@ -113,7 +113,7 @@ class Wave1Spec extends SparkTestBase {
                        "dedup_clusters_ann", "sim_incremental_ann",
                        "agg_kll_quantiles", "sim_pca_reduce",
                        "graph_pagerank", "win_rolling_distinct",
-                       "sim_ann_pq")
+                       "sim_ann_pq", "agg_incremental_hll")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == noOracle)
   }
