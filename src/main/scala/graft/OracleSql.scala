@@ -1103,6 +1103,53 @@ object OracleSql {
         |  ROUND(MAX(value), 4) AS max_value_r
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // pipeline_pretrain_corpus: the whole preparation chain replayed as
+    // one CTE pipeline — gate, md5-keeper dedup, 5-gram eval-split
+    // decontamination, the HUGEINT mixture keep rule, final accounting.
+    "pipeline_pretrain_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents),
+        |gated AS (SELECT * FROM base
+        |          WHERE n_tokens BETWEEN 10 AND 200 AND ttr >= 0.2),
+        |kept AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |dd AS (SELECT b.* FROM base b JOIN kept USING (doc_id)),
+        |g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2] || ' ' ||
+        |           string_split(text, ' ')[i + 3] || ' ' ||
+        |           string_split(text, ' ')[i + 4])) AS g
+        |    FROM documents)),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT t.doc_id FROM g t JOIN bench USING (g)
+        |           WHERE t.doc_id % 50 <> 0),
+        |clean AS (SELECT * FROM dd
+        |          WHERE doc_id % 50 <> 0
+        |            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |c0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |       FROM clean GROUP BY lang),
+        |c AS (SELECT lang, n_lang,
+        |        CAST(floor(sqrt(n_lang) * 1000000.0) AS HUGEINT) AS w
+        |      FROM c0),
+        |st AS (SELECT CAST(SUM(w) AS HUGEINT) AS s,
+        |         CAST(floor(SUM(n_lang) * 0.5) AS HUGEINT) AS t_target
+        |       FROM c),
+        |sampled AS (
+        |  SELECT cl.* FROM clean cl JOIN c USING (lang) CROSS JOIN st
+        |  WHERE CAST(CAST('0x' || substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8)
+        |               AS BIGINT) AS HUGEINT) * s * CAST(n_lang AS HUGEINT)
+        |      < t_target * w * CAST(4294967296 AS HUGEINT))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+
     // dedup_substring: identical 16-token slice arithmetic (1-based
     // inclusive), md5 fingerprints, and the same 2..10 rarity band.
     "dedup_substring" ->

@@ -157,6 +157,76 @@ object RetrievalOps {
       .orderBy("doc_id")
   }
 
+  /** The full pretraining-corpus preparation pipeline as ONE declared,
+    * oracle-checked query — the composition a real data team runs
+    * nightly, end to end: quality gate (length + type-token ratio) →
+    * exact dedup (first-occurrence keeper) → benchmark decontamination
+    * (drop any doc sharing a 5-gram with the eval split) → temperature
+    * mixture sampling (α=0.5, half-size target) → per-language corpus
+    * accounting. Every stage reuses a validated kernel (corpus_clean's
+    * gate, dedup_exact's keeper, text_decontaminate's gram overlap,
+    * sample_mixture's integer keep rule), and the DuckDB oracle replays
+    * the whole chain — so the COMPOSITION is verified, not just the
+    * parts: a stage-ordering bug (e.g. sampling before dedup) would
+    * hash-mismatch immediately.
+    *
+    * Scale: the chain is gate (narrow) → one md5 groupBy → one gram
+    * semi-join against the broadcast-or-bloomed bench set → histogram +
+    * stateless filter → final rollup. No stage shuffles more than once;
+    * outputs are all-integer. */
+  def pipelinePretrainCorpus(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+    val gated = base
+      .where(col("n_tokens").between(10, 200) && col("ttr") >= 0.2)
+    val kept = gated.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = base.join(kept, "doc_id")
+    // decontamination vs the eval split (doc_id % 50 == 0), the
+    // text_decontaminate gram kernel
+    val grams = gramsOf(s, d)
+    val bench = grams.where(col("doc_id") % 50 === 0).select("g").distinct()
+    val contaminated = grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = deduped.where(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // mixture sampling over the CLEAN set (sample_mixture's rule)
+    val hist = clean.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val w = hist.map { case (l, n) =>
+      l -> BigInt(math.floor(math.sqrt(n.toDouble) * 1000000.0).toLong) }
+      .toMap
+    val sSum = w.values.sum
+    val tTarget = BigInt(math.floor(hist.map(_._2).sum * 0.5).toLong)
+    val thr = hist.map { case (l, n) =>
+      org.apache.spark.sql.Row(l,
+        new java.math.BigDecimal((sSum * BigInt(n)).bigInteger),
+        new java.math.BigDecimal(
+          (tTarget * w(l) * BigInt(4294967296L)).bigInteger))
+    }
+    val thrDf = s.createDataFrame(thr.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lhs_mul",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
+    val hash32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+                      16, 10).cast("decimal(38,0)")
+    clean.join(broadcast(thrDf), "lang")
+      .where(hash32 * col("lhs_mul") < col("rhs"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Exact substring-overlap detection (the Lee et al. "Deduplicating
     * Training Data" tier): document pairs sharing at least one verbatim
     * 16-token span. Doc-level and paragraph-level dedup both miss a

@@ -58,6 +58,25 @@ class Wave15Spec extends SparkTestBase {
       s"the candidate stage must screen through BloomFilterMightContain")
   }
 
+  test("pipeline_pretrain_corpus: composition keeps a strict, " +
+       "deterministic subset with every stage active") {
+    val out = graft.ops.RetrievalOps.pipelinePretrainCorpus(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "pipeline must keep documents")
+    val all = graft.engine.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (l, n, toks) =>
+      assert(n > 0 && n < all(l),
+        s"lang $l must keep a strict non-empty subset: $n of ${all(l)}")
+      assert(toks >= 10 * n && toks <= 200 * n,
+        s"lang $l token totals must respect the gate: $toks for $n docs")
+    }
+    val again = graft.ops.RetrievalOps.pipelinePretrainCorpus(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq, "pipeline must be deterministic")
+  }
+
   test("sim_ann_pq: deterministic, full coverage, and the ADC shortlist " +
        "recovers most exact top-1 neighbors") {
     val pq = graft.ops.SimOps.simAnnPq(spark, sf).collect()
