@@ -2199,6 +2199,26 @@ object OracleSql {
 
     // ---- wave 4: multimodal metadata scan ----
 
+    // mm_shard_pack: the per-kind exclusive byte prefix sum restated as
+    // one window (the distributed machinery is plan shape, not
+    // semantics); 65536-byte greedy whole-asset shard rule.
+    "mm_shard_pack" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT asset_id, kind, n_bytes,
+        |        SUM(n_bytes) OVER (PARTITION BY kind ORDER BY asset_id)
+        |          - n_bytes AS start_byte
+        |      FROM a)
+        |SELECT asset_id, kind, n_bytes,
+        |  CAST(start_byte // 65536 AS BIGINT) AS shard_id,
+        |  CAST(start_byte AS BIGINT) AS start_byte
+        |FROM c ORDER BY asset_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.engine.Tables._
 
@@ -52,6 +53,45 @@ object MultimodalOps {
               md5(col("payload")).as("digest"),
               col("meta.width").as("width"), col("meta.height").as("height"))
       .orderBy("asset_id")
+
+  /** WebDataset-style shard manifest: assign every asset a shard and a
+    * byte offset in its modality's concatenated stream, so a downstream
+    * writer can emit fixed-budget training shards (tar/tfrecord) and a
+    * reader can seek any asset without scanning — the packaging step
+    * between a cleaned corpus and the training loader. Greedy
+    * whole-asset packing: an asset belongs to the shard its START byte
+    * falls in (shards may overhang the budget by < one asset, the
+    * standard tar-shard rule; assets are never split).
+    *
+    * The byte offsets are a per-kind exclusive prefix sum computed with
+    * the DISTRIBUTED prefix-sum machinery (range partition →
+    * per-partition window → broadcast partition offsets), never a
+    * per-kind global window — 3 modalities would mean 3 tasks doing all
+    * the work at 100 TB (the text_pack_sequences argument, per-group). */
+  def mmShardPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 65536L // shard byte budget (64 KiB at test scale)
+    val t = syntheticAssets(s, d)
+      .select(col("asset_id"), col("kind"),
+              length(col("payload")).cast("long").as("n_bytes"))
+    val nPart = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val ranged = t.repartitionByRange(nPart, col("kind"), col("asset_id"))
+      .sortWithinPartitions("kind", "asset_id")
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy("pid", "kind").orderBy("asset_id")
+    val withCum = ranged.withColumn("pcum", sum("n_bytes").over(w))
+    val wOff = Window.partitionBy("kind").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid", "kind")
+      .agg(sum("n_bytes").as("ptot"))
+      .withColumn("poff", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select("pid", "kind", "poff")
+    withCum.join(broadcast(offsets), Seq("pid", "kind"))
+      .withColumn("start_byte", col("pcum") - col("n_bytes") + col("poff"))
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
+              expr(s"start_byte DIV $budget").as("shard_id"),
+              col("start_byte"))
+      .orderBy("asset_id")
+  }
 
   /** STUB decode + feature extraction. A real implementation decodes the
     * payload with a codec and runs a vision/audio model per batch; this

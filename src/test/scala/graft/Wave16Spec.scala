@@ -82,6 +82,24 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("mm_shard_pack: per-kind byte offsets replay as an exclusive " +
+       "prefix sum; greedy whole-asset shard rule") {
+    val rows = graft.ops.MultimodalOps.mmShardPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (kind, as) =>
+      var cum = 0L
+      as.sortBy(_._1).foreach { case (id, _, nb, shard, start) =>
+        assert(start == cum,
+          s"$kind asset $id: start $start != prefix sum $cum")
+        assert(shard == start / 65536L,
+          s"$kind asset $id: shard rule violated")
+        cum += nb
+      }
+    }
+  }
+
   test("changelog: insert/update/delete detected; unchanged partitions " +
        "are manifest-pruned out of the diff read") {
     import spark.implicits._
