@@ -436,6 +436,27 @@ object OracleSql {
 
     // dq_audit: same fused conditional counts + NOT-EXISTS restatements
     // of the anti-joins; all-integer outputs.
+    // dq_skew: identical per-key count distributions; percentile ↔
+    // quantile_cont interpolate bit-equally (the agg_percentiles
+    // contract) and the ratio is one integer-derived division.
+    "dq_skew" ->
+      """WITH s AS (
+        |  SELECT 'orders.o_custkey' AS tbl, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(count(*) AS BIGINT)
+        |  FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey', CAST(count(*) AS BIGINT)
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT tbl, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |  ROUND(CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt), 4)
+        |    AS top_to_mean_r,
+        |  ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt_r
+        |FROM s GROUP BY tbl ORDER BY tbl""".stripMargin,
+
     "dq_audit" ->
       """WITH checks AS (
         |  SELECT 'lineitem_bad_discount' AS chk,
@@ -1062,6 +1083,27 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // scan_zorder: the oracle replays the two-dimensional slice from
+    // the ORIGINAL table — equality proves the Morton-clustered export
+    // is content-complete.
+    "scan_zorder" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price_r
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 200
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge_retention: the manifest drop must equal a plain filter on
+    // the source — keep the newest month's days from the 15th on.
+    "merge_retention" ->
+      """WITH mx AS (
+        |  SELECT strftime(MAX(ts), '%Y-%m-') || '15' AS cut
+        |  FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day_s
+        |FROM events CROSS JOIN mx
+        |WHERE strftime(ts, '%Y-%m-%d') >= cut
+        |ORDER BY event_id""".stripMargin,
+
     // merge_cdc: the expected v1→v2 changelog restated from the source
     // table and the fold rule (80-89 update, 90-99 insert).
     "merge_cdc" ->
@@ -1573,6 +1615,20 @@ object OracleSql {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts < p.ts) t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // join_asof_tolerance: the same as-of argmax with the 1-hour
+    // attribution window on the click side.
+    "join_asof_tolerance" ->
+      """SELECT user_id, p_id, p_ts, c_id, c_ts FROM (
+        |  SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+        |    c.event_id AS c_id, c.ts AS c_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts < p.ts
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR) t
         |WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     // join_asof_sorted: identical semantics to join_asof (the Spark side

@@ -18,6 +18,33 @@ import graft.engine.Tables._
   * passes. */
 object AuditOps {
 
+  /** Join-key skew diagnosis — the pre-flight a 100 TB join needs before
+    * it runs, not after it straggles: per canonical join key, the
+    * per-key count distribution's shape (top-key-to-mean ratio, exact
+    * p99 of per-key counts). A top/mean ratio ≫ 1 on the build side is
+    * the signal to reach for join_salted or the pinned AQE skew split;
+    * emitting it as a query makes the decision data-driven and
+    * monitorable. One partial-agg pass per table (the raw stream
+    * collapses at the per-key groupBy); constant-size output. */
+  def dqSkew(s: SparkSession, d: String): DataFrame = {
+    def keyStats(df: DataFrame, tbl: String, keyCol: String): DataFrame =
+      df.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+             max("cnt").as("max_cnt"),
+             expr("percentile(cnt, 0.99)").as("p99"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_keys"),
+                col("max_cnt"),
+                round((col("max_cnt") * col("n_keys")).cast("double") /
+                      col("n_rows"), 4).as("top_to_mean_r"),
+                round(col("p99"), 4).as("p99_cnt_r"))
+    keyStats(orders(s, d), "orders.o_custkey", "o_custkey")
+      .unionByName(keyStats(events(s, d), "events.user_id", "user_id"))
+      .unionByName(keyStats(lineitem(s, d), "lineitem.l_orderkey",
+                            "l_orderkey"))
+      .orderBy("tbl")
+  }
+
   def dqAudit(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val o = orders(s, d)

@@ -358,6 +358,50 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Retention enforcement as a MANIFEST-ONLY commit: partitions whose
+    * encoded dir name fails `keep` are dropped from the next version's
+    * manifest — no file is read, rewritten, or deleted, so expiring a
+    * year of a 100 TB corpus costs one metadata write and is atomic,
+    * auditable, and reversible (time travel still reaches the dropped
+    * days until [[Versioned.vacuum]] reclaims their dirs — the
+    * soft-delete / hard-delete split every retention policy wants).
+    * No-op (no new version) when nothing expires. */
+  def applyRetention(s: SparkSession, corpusDir: String,
+                     keep: String => Boolean): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val kept = man.filter { case (name, _) => keep(name) }
+    if (kept.size == man.size) return
+    Versioned.publish(s, corpusDir, v + 1, kept)
+  }
+
+  /** Declared merge_retention query: events land in a day-partitioned
+    * versioned corpus, retention expires every day before the 15th of
+    * the newest month (a mid-month cutoff so the drop is non-trivial on
+    * the one-month testdata), and the surviving corpus is read back.
+    * The oracle filters the source table by the same cutoff, so
+    * equality proves the manifest drop removed exactly the expired days
+    * and nothing else. */
+  def mergeRetentionQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergeret_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day_s"))
+    mergeUpsert(s, dir, ev, "event_id", "day_s")
+    val cutoff = ev.agg(max("day_s")).collect()(0).getString(0)
+      .substring(0, 8) + "15" // mid-month of the newest month
+    applyRetention(s, dir, name => name >= s"day_s=$cutoff")
+    readCorpus(s, dir, "day_s")
+      .select(col("event_id"), col("user_id"),
+              col("day_s").cast("string").as("day_s"))
+      .orderBy("event_id")
+  }
+
   /** Key-hash bucket column for [[mergeScd2Bucketed]]: content-stable
     * (xxhash64 of the key), so a key's rows land in the same bucket in
     * every batch, session, and JVM — the property that makes

@@ -163,6 +163,40 @@ object Relational {
              .cast("decimal(38,2)").cast("string").as("sum_price"))
       .orderBy("o_orderstatus")
 
+  /** Z-order layout as a DECLARED query: orders exported once Morton-
+    * clustered on (o_custkey, o_totalprice) (`Pipeline.sinkZOrder`,
+    * `_SUCCESS`-guarded), read back through a two-dimensional range
+    * filter — the query shape Z-order exists for: parquet row-group
+    * min/max stats stay tight on BOTH dimensions, so either predicate
+    * skips most row groups, where a plain sort serves only its leading
+    * column (Wave9 pins the stats-tightness numbers). The oracle replays
+    * the same slice from the ORIGINAL table, so equality also proves the
+    * clustered write is content-complete. */
+  def scanZorder(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureZorderExport(s, d))
+      .where(col("o_custkey").between(100, 200) &&
+             col("o_totalprice").between(50000, 150000))
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
+
+  private val zorderExported =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureZorderExport(s: SparkSession, d: String): String =
+    zorderExported.getOrElseUpdate(d, bucketedLock.synchronized {
+      val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, s"graft_zorder_orders_$key")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.engine.Pipeline(orders(s, d))
+          .sinkZOrder(loc.toString, ("o_custkey", "o_totalprice"))
+      }
+      loc.toString
+    })
+
   private val statusDimExported =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1019,6 +1053,33 @@ object Relational {
       .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
               col("ts").as("c_ts"))
     p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("p_ts"),
+           "left")
+      .groupBy("user_id", "p_id", "p_ts")
+      .agg(max(struct(col("c_ts"), col("c_id"))).as("t"))
+      .select(col("user_id"), col("p_id"), col("p_ts"),
+              col("t.c_id").as("c_id"), col("t.c_ts").as("c_ts"))
+      .orderBy("p_id")
+  }
+
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    * kdb's windowed aj): each purchase takes the latest prior click
+    * WITHIN 1 HOUR — older clicks don't count as attribution. The extra
+    * bound tightens the inequality join's band, which at scale is a
+    * plan improvement, not just semantics: the per-user pair stream is
+    * clipped to the tolerance window instead of every click in the
+    * user's history (hot users stop being quadratic in account age).
+    * Purchases with no in-window click keep a NULL match — the
+    * "unattributed conversion" rows a funnel report needs. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"))
+    val c = events(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+             col("c_ts") < col("p_ts") &&
+             col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
            "left")
       .groupBy("user_id", "p_id", "p_ts")
       .agg(max(struct(col("c_ts"), col("c_id"))).as("t"))

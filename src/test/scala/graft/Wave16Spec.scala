@@ -82,6 +82,32 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("retention is manifest-only: survivors keep their v1 dirs, " +
+       "expired days stay on disk for time travel until vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ret_t").toString
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-03"))
+        .toDF("k", "day_s"), "k", "day_s")
+    MergeOps.applyRetention(spark, dir, name => name >= "day_s=2024-03-02")
+    val v = Versioned.currentVersion(spark, dir).get
+    assert(v == 2L)
+    val man = Versioned.manifest(spark, dir, v).toMap
+    assert(man.keySet == Set("day_s=2024-03-02", "day_s=2024-03-03"),
+      s"expired day must leave the manifest: $man")
+    assert(man.values.forall(_.contains("data/1/")),
+      s"survivors must keep their ORIGINAL dirs — no rewrite: $man")
+    // the dropped day's files still exist (soft delete; v1 time travel)
+    val v1 = Versioned.readVersion(spark, dir, 1L, Some("day_s"))
+    assert(v1.count() == 3, "time travel to v1 must still see all days")
+    assert(MergeOps.readCorpus(spark, dir, "day_s").count() == 2)
+    // idempotent: nothing more expires -> no new version
+    MergeOps.applyRetention(spark, dir, name => name >= "day_s=2024-03-02")
+    assert(Versioned.currentVersion(spark, dir).get == 2L,
+      "a no-op retention must not commit a version")
+  }
+
   test("mm_shard_pack: per-kind byte offsets replay as an exclusive " +
        "prefix sum; greedy whole-asset shard rule") {
     val rows = graft.ops.MultimodalOps.mmShardPack(spark, sf).collect()
