@@ -1083,6 +1083,13 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // scan_manifest_pruned: zone-map pruning must be invisible in the
+    // data — the oracle is the plain key-range filter.
+    "scan_manifest_pruned" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_zorder: the oracle replays the two-dimensional slice from
     // the ORIGINAL table — equality proves the Morton-clustered export
     // is content-complete.

@@ -96,6 +96,39 @@ object Versioned {
     fs.createNewFile(new Path(dir, s"commits/$v"))
   }
 
+  /** Per-partition zone-map sidecar (Iceberg's manifest-stats idea):
+    * `stats/<v>.txt` maps each partition dir name to the min/max of a
+    * designated LONG column, written BEFORE publish so stats and data
+    * commit together (a torn stats write precedes the marker — the
+    * version is simply not visible yet). Stats make range pruning
+    * LAYOUT-AGNOSTIC: the reader needs no knowledge of how the writer
+    * clustered the data, only the per-partition bounds. */
+  def writeStats(s: SparkSession, dir: String, v: Long,
+                 stats: Seq[(String, (Long, Long))]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = fs.create(new Path(dir, s"stats/$v.txt"), true)
+    try out.write(stats.map { case (k, (lo, hi)) => s"$k\t$lo\t$hi" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The zone-map sidecar of version `v`, empty if none was written. */
+  def readStats(s: SparkSession, dir: String,
+                v: Long): Map[String, (Long, Long)] = {
+    val fs = fsOf(s, dir)
+    val p = new Path(dir, s"stats/$v.txt")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val parts = line.split('\t')
+          parts(0) -> (parts(1).toLong, parts(2).toLong)
+        }.toMap
+      finally in.close()
+    }
+  }
+
   /** Read the current committed state. `partCol` present: entries are
     * `col=value` dirs possibly spread across versions — they are grouped
     * by staging version and each group is read with that version's

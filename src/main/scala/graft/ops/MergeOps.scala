@@ -37,11 +37,24 @@ object MergeOps {
     * append; only partitions present in `batch` are restaged. Creates
     * the corpus (version 1) on first call. */
   def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
-                  keyCol: String, partCol: String): Unit =
+                  keyCol: String, partCol: String,
+                  statsKey: Option[String] = None): Unit = {
+    // Per-partition zone-map stats of a staged write: one partition-
+    // pruned aggregate over what was just written, collected as a
+    // bounded (#partitions) driver list — the same metadata class as
+    // the manifest itself.
+    def statsOf(df: DataFrame, k: String): Seq[(String, (Long, Long))] =
+      df.groupBy(col(partCol))
+        .agg(min(col(k)).as("lo"), max(col(k)).as("hi"))
+        .collect()
+        .map(r => Versioned.partDirName(partCol, r.get(0)) ->
+          (r.getLong(1), r.getLong(2))).toSeq
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
         batch.write.mode("overwrite").partitionBy(partCol)
           .parquet(Versioned.stagePath(corpusDir, 1L))
+        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, 1L,
+          statsOf(s.read.parquet(Versioned.stagePath(corpusDir, 1L)), k)))
         Versioned.publish(s, corpusDir, 1L,
           Versioned.listPartDirs(s, corpusDir, 1L, partCol))
       case Some(v) =>
@@ -70,9 +83,45 @@ object MergeOps {
           .parquet(Versioned.stagePath(corpusDir, nv))
         val staged = Versioned.listPartDirs(s, corpusDir, nv, partCol)
         val stagedNames = staged.map(_._1).toSet
+        statsKey.foreach { k =>
+          val old = Versioned.readStats(s, corpusDir, v)
+          // stats from the STAGED files (read-back, partition-local) —
+          // not from re-evaluating the merged plan a second time
+          val fresh = statsOf(
+            s.read.parquet(Versioned.stagePath(corpusDir, nv)), k)
+          Versioned.writeStats(s, corpusDir, nv,
+            (old.filterNot { case (n, _) => stagedNames(n) } ++ fresh)
+              .toSeq.sortBy(_._1))
+        }
         Versioned.publish(s, corpusDir, nv,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
+  }
+
+  /** Zone-map-pruned corpus read: keep only the manifest entries whose
+    * stats range overlaps [lo, hi] (entries with no stats row are kept —
+    * stats are an optimization, never a correctness gate), then apply
+    * the residual filter. The reader never learns HOW the writer
+    * clustered the data; the per-partition bounds alone prune, which is
+    * what makes the layout freely evolvable (re-cluster, re-bucket,
+    * compact — readers keep working and keep pruning). */
+  def readCorpusKeyPruned(s: SparkSession, corpusDir: String,
+                          partCol: String, keyCol: String,
+                          lo: Long, hi: Long): DataFrame = {
+    val v = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    val stats = Versioned.readStats(s, corpusDir, v)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val entries = man.filter { case (n, _) =>
+      stats.get(n).forall { case (slo, shi) => shi >= lo && slo <= hi }
+    }
+    // every partition pruned: an empty frame with the corpus schema
+    if (entries.isEmpty)
+      Versioned.readEntries(s, corpusDir, man, Some(partCol)).limit(0)
+        .where(col(keyCol) >= lo && col(keyCol) <= hi)
+    else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
+      .where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
 
   /** Read the current committed corpus state (see [[Versioned]]). */
   def readCorpus(s: SparkSession, corpusDir: String,
@@ -373,6 +422,29 @@ object MergeOps {
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
     Versioned.publish(s, corpusDir, v + 1, kept)
+  }
+
+  /** Declared scan_manifest_pruned query: orders clustered into
+    * key-range partitions (kb = o_orderkey DIV 2048 — a layout rule the
+    * READER never sees), zone-map stats written through the merge, and
+    * a key-range read that prunes by stats alone before touching any
+    * file. Oracle = the plain filter on the source table; Wave16 pins
+    * that pruned-out partitions never appear in the scan. */
+  def scanManifestPrunedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_zonemap_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              (col("o_orderkey") / 2048).cast("long").as("kb"))
+    mergeUpsert(s, dir, o, "o_orderkey", "kb",
+                statsKey = Some("o_orderkey"))
+    readCorpusKeyPruned(s, dir, "kb", "o_orderkey", 1000L, 2999L)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
   }
 
   /** Declared merge_retention query: events land in a day-partitioned

@@ -227,6 +227,17 @@ object StreamOps {
     * them by at most 10 minutes, per user. Watermarks on both sides bound
     * the join state; the time-range condition tells Spark when buffered
     * rows can be evicted. */
+  /** Stream-static enrichment — the remaining streaming join shape
+    * (stream-stream is [[clickToPurchaseJoin]]): each micro-batch of
+    * events joins a STATIC dimension snapshot. No watermark, no join
+    * state — the dim is re-broadcast per batch, so at 100 TB/day of
+    * stream the dimension cost is one broadcast per trigger, and a
+    * dim UPDATE is picked up at the next batch (the slowly-refreshing
+    * lookup-table pattern; for point-in-time-correct enrichment use the
+    * SCD2 history + join_asof instead). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
+
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
     clicks.withWatermark("ts", "10 minutes").alias("c")
       .join(

@@ -82,6 +82,64 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("zone-map stats: pruned read never scans out-of-range partitions; " +
+       "missing stats fall back to full read; merges refresh stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_t").toString
+    // three key-range partitions: [1,10] in A, [11,20] in B, [21,30] in C
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, "A"), (10L, "A"), (11L, "B"), (20L, "B"), (21L, "C"),
+          (30L, "C")).toDF("k", "p"), "k", "p", statsKey = Some("k"))
+    val pruned = MergeOps.readCorpusKeyPruned(spark, dir, "p", "k", 12L, 19L)
+    val rows = pruned.collect().map(_.getLong(0)).toSet
+    assert(rows == Set[Long](),
+      s"range 12..19 holds no keys (11 and 20 are outside): $rows")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("p=A") && !plan.contains("p=C"),
+      s"stats must prune partitions A and C from the scan")
+    assert(plan.contains("p=B"), "overlapping partition B must be read")
+    // a merge into B refreshes its stats and keeps pruning correct
+    MergeOps.mergeUpsert(spark, dir, Seq((15L, "B")).toDF("k", "p"),
+                         "k", "p", statsKey = Some("k"))
+    val after = MergeOps.readCorpusKeyPruned(spark, dir, "p", "k", 12L, 19L)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(15L), s"post-merge pruned read: $after")
+    // stats are an optimization, not a gate: a corpus without stats
+    // still answers (all partitions read)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_ns").toString
+    MergeOps.mergeUpsert(spark, dir2,
+      Seq((1L, "A"), (25L, "C")).toDF("k", "p"), "k", "p")
+    val ns = MergeOps.readCorpusKeyPruned(spark, dir2, "p", "k", 0L, 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ns == Set(1L, 25L), s"stats-less corpus must read fully: $ns")
+  }
+
+  test("stream-static enrichment: every streamed event carries its dim " +
+       "row; dim-missing users drop (inner semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamOps.enrichWithDim(
+        in.toDF().toDF("user_id", "value"), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      in.addData((1L, 11.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 10.0, "gold"), (1L, 11.0, "gold"),
+                      (2L, 20.0, "silver")),
+      s"enriched rows: $got (user 3 has no dim row and must drop)")
+  }
+
   test("retention is manifest-only: survivors keep their v1 dirs, " +
        "expired days stay on disk for time travel until vacuum") {
     import spark.implicits._
