@@ -82,6 +82,47 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("runtime bloom-filter join: Spark injects might_contain on the " +
+       "fact side of a selective dim join (the 100 TB semi-join push)") {
+    // The application-side threshold defaults to 10 GB — at 100 TB the
+    // filter injects on its own; at test scale it is scaled to zero.
+    // autoBroadcastJoinThreshold is disabled so the join actually
+    // shuffles (a broadcast join needs no runtime filter). Confs are
+    // restored afterward — this session is shared across suites.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+        k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+               "applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val n = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "the fact scan side must carry the injected bloom probe")
+      // and the filter is transparent: same result as the plain join
+      val plain = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet")
+                .where(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(n.toSeq == plain.toSeq, "runtime filtering must be invisible")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("zone-map stats: pruned read never scans out-of-range partitions; " +
        "missing stats fall back to full read; merges refresh stats") {
     import spark.implicits._
