@@ -1083,6 +1083,26 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // merge_history: the commit log restated from the fold rule —
+    // v1 = the fold<90 snapshot, v2 = merged, v3 = the no-op replay.
+    "merge_history" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM orders),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+        |         CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |           AS n_partitions,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |       FROM b WHERE bucket < 90),
+        |v23 AS (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |          AS n_partitions,
+        |          CAST(count(*) AS BIGINT) AS n_rows FROM b)
+        |SELECT * FROM v1
+        |UNION ALL SELECT CAST(2 AS BIGINT), n_partitions, n_rows FROM v23
+        |UNION ALL SELECT CAST(3 AS BIGINT), n_partitions, n_rows FROM v23
+        |ORDER BY version""".stripMargin,
+
     // scan_manifest_pruned: zone-map pruning must be invisible in the
     // data — the oracle is the plain key-range filter.
     "scan_manifest_pruned" ->

@@ -424,6 +424,48 @@ object MergeOps {
     Versioned.publish(s, corpusDir, v + 1, kept)
   }
 
+  /** Commit-log audit (Delta's DESCRIBE HISTORY): one row per committed
+    * version with its partition count and row count — the table a data
+    * team reads before a rollback and an auditor reads after one. Row
+    * counts come from manifest-resolved version reads (each version's
+    * own partition-pruned scan), versions from one bounded `commits/`
+    * listing. */
+  def history(s: SparkSession, corpusDir: String,
+              partCol: String): DataFrame = {
+    val cur = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    (1L to cur).map { v =>
+      val man = Versioned.manifest(s, corpusDir, v)
+      Versioned.readVersion(s, corpusDir, v, Some(partCol))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"), lit(man.size.toLong).as("n_partitions"),
+                col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Declared merge_history query: the standard snapshot → merge →
+    * replayed-merge pipeline, then the commit log. Version 1 is the
+    * fold<90 snapshot, version 2 the merged state, version 3 the
+    * REPLAY — identical rows to v2 (idempotence made auditable: the
+    * history row proves the replay changed nothing). */
+  def mergeHistoryQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergehist_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val batch = base.where(fold(col("o_orderkey")) >= 80)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    history(s, dir, "o_orderstatus")
+  }
+
   /** Declared scan_manifest_pruned query: orders clustered into
     * key-range partitions (kb = o_orderkey DIV 2048 — a layout rule the
     * READER never sees), zone-map stats written through the merge, and
