@@ -2241,6 +2241,31 @@ object OracleSql {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
         |WHERE jaccard_r >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // dedup_containment: identical shingle sets and blocking; the
+    // intersection count is over distinct string shingles (the Spark
+    // side counts distinct xxhash64 values — collision-free at these
+    // set sizes, the dedup_ngram_jaccard precedent).
+    "dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents) t
+        |)
+        |SELECT doc_a, doc_b, cont_a_r, cont_b_r FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(a.sh), 4) AS cont_a_r,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(b.sh), 4) AS cont_b_r
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id) p
+        |WHERE cont_a_r >= 0.8 OR cont_b_r >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_embedding" ->
       """WITH n AS (
         |  SELECT vec_id, vd, sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm

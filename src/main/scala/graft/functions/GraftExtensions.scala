@@ -48,6 +48,8 @@ object GraftExtensions {
     d("graft_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),
     d("graft_jaccard", classOf[JaccardSorted],
       c => JaccardSorted(c(0), c(1))),
+    d("graft_overlap", classOf[OverlapSorted],
+      c => OverlapSorted(c(0), c(1))),
     d("graft_knn_vote", classOf[KnnVote],
       c => KnnVote(c(0), c(1), c(2), k = 5)),
     d("graft_top1", classOf[Top1Neighbor], c => Top1Neighbor(c(0), c(1))),

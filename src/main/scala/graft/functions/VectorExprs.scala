@@ -125,12 +125,69 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection COUNT of two SORTED long arrays — [[JaccardSorted]]'s
+  * two-pointer merge with the raw |∩| as the result, for asymmetric
+  * measures (containment = |∩| / |A|) where the Jaccard normalization
+  * would erase exactly the signal being measured. Same input contract:
+  * distinct + ascending. */
+case class OverlapSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_overlap expects two ARRAY<BIGINT> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val (xa, yb) = (x.getLong(i), y.getLong(j))
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(na, nb, i, j, inter, xa, yb) =
+        Seq("na", "nb", "i", "j", "inter", "xa", "yb").map(ctx.freshName)
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Idempotently register the native expressions in the session's function
     * registry so operators can use them via expr("graft_dot(a, b)") etc.
     * Delegates to the shared [[GraftExtensions]] descriptor list. */
   def register(spark: SparkSession): Unit =
-    GraftExtensions.register(spark, "graft_dot", "graft_jaccard")
+    GraftExtensions.register(spark, "graft_dot", "graft_jaccard",
+                             "graft_overlap")
 
   /** Register the bloom-probe kernel (see [[GraftExtensions]]). */
   def registerBloom(spark: SparkSession): Unit =

@@ -495,6 +495,45 @@ object SimOps {
       .select("qid", "nid")
   }
 
+  /** Asymmetric containment near-dup (the quote-expansion case Jaccard
+    * structurally misses: a short doc fully contained in a long one has
+    * Jaccard ≈ |A|/|B| — arbitrarily small — while containment
+    * |A∩B|/|A| = 1). Blocked (lang, source) self-join over sorted
+    * shingle-hash sets, intersection counted by the codegen'd
+    * `graft_overlap` merge kernel, pair kept when EITHER direction's
+    * containment ≥ 0.8. Note the size-ratio prune that speeds the
+    * Jaccard operator is deliberately ABSENT: small-inside-big is the
+    * target signal here, and that prune would delete it. At 100 TB the
+    * blocked join inherits dedup_ngram_jaccard's scaling story (blocks
+    * bound the pair stream); a global variant composes with the AllPairs
+    * prefix filter on the containment bound instead. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val sh = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(expr(
+          """transform(array_distinct(
+            |    transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+            |      (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))),
+            |  x -> xxhash64(x))""".stripMargin)).as("sh"))
+    val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+                      col("sh").as("sha"))
+    val b = sh.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+                      col("sh").as("shb"))
+    a.join(b, Seq("lang", "source"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("graft_overlap(sha, shb)").as("ov"),
+              size(col("sha")).cast("long").as("na"),
+              size(col("shb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+              round(col("ov").cast("double") / col("na"), 4).as("cont_a_r"),
+              round(col("ov").cast("double") / col("nb"), 4).as("cont_b_r"))
+      .where(col("cont_a_r") >= 0.8 || col("cont_b_r") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Product-quantization ANN (IVFPQ with asymmetric distance
     * computation) — the memory-bounded index tier: candidate scoring
     * reads m four-bit subspace codes per vector (8 bytes of payload at

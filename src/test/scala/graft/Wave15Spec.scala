@@ -58,6 +58,28 @@ class Wave15Spec extends SparkTestBase {
       s"the candidate stage must screen through BloomFilterMightContain")
   }
 
+  test("dedup_containment: finds the planted near-identical pair, and " +
+       "the kernel catches small-inside-big pairs Jaccard misses") {
+    val rows = graft.ops.SimOps.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 1 && rows(0)._3 >= 0.97 && rows(0)._4 >= 0.97,
+      s"the planted pair must surface with high containment: ${rows.toSeq}")
+    // the asymmetric case the operator exists for: A (10 shingles)
+    // fully inside B (40 shingles) → Jaccard 0.25 (under the 0.5
+    // near-dup bar) but containment(A in B) = 1.0
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val a = (1L to 10L).toArray
+    val b = (1L to 40L).toArray
+    val r = Seq((a, b)).toDF("sa", "sb")
+      .selectExpr("graft_jaccard(sa, sb) AS j",
+                  "CAST(graft_overlap(sa, sb) AS DOUBLE) / size(sa) AS c")
+      .collect()(0)
+    assert(r.getDouble(0) == 0.25 && r.getDouble(1) == 1.0,
+      s"jaccard ${r.getDouble(0)} should miss what containment " +
+        s"${r.getDouble(1)} catches")
+  }
+
   test("pipeline_pretrain_corpus: composition keeps a strict, " +
        "deterministic subset with every stage active") {
     val out = graft.ops.RetrievalOps.pipelinePretrainCorpus(spark, sf)
