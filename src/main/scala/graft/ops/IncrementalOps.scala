@@ -16,36 +16,49 @@ import graft.engine.Versioned
   * partial ⊕ partial = total holds exactly.
   *
   * Exactly-once: unlike upsert, aggregate folding is NOT idempotent — a
-  * replayed batch would double-count. Each version dir carries an
-  * `applied.txt` ledger (the batch ids folded so far); a fold whose id is
-  * already in the current version's ledger is a no-op, and because the
-  * ledger is staged WITH the data and published by [[Versioned]]'s
-  * atomic marker, a crash between stage and publish leaves both the
-  * ledger and the data on the previous version — they cannot diverge.
-  * This is the same commit discipline the streaming stores use, composed
-  * with the merge protocol's manifest pruning. */
+  * replayed batch would double-count. Each fold writes a
+  * `ledger/<v>.txt` sidecar (the batch ids folded so far) BEFORE the
+  * version is published, so a fold whose id is already in the ledger is
+  * a no-op and a crash between stage and publish leaves both the ledger
+  * and the data on the previous version — they cannot diverge. See
+  * [[appliedIds]] for why the ledger is a sidecar rather than a
+  * stage-dir resident. Same commit discipline as the streaming stores,
+  * composed with the merge protocol's manifest pruning. */
 object IncrementalOps {
 
-  private val AppliedFile = "applied.txt"
   private val DayCol = "day_s"
 
+  /** The applied-batch ledger as of version `v` — a `ledger/<v>.txt`
+    * sidecar beside `manifest/` and `stats/`, NOT inside the version's
+    * stage dir: manifest-level commits (compaction, retention,
+    * rollback) publish versions with no stage dir of their own, and
+    * vacuum deletes unreferenced stage dirs — either would silently
+    * lose a stage-dir-resident ledger, and a replayed batch id would
+    * then double-count (the composition bug the Wave16 compaction test
+    * pins). The read walks back to the newest version with a ledger
+    * file (bounded by version count, one existence probe per step);
+    * the write lands BEFORE publish, so ledger and data still commit
+    * together. */
   private def appliedIds(s: SparkSession, dir: String, v: Long): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(
-      Versioned.stagePath(dir, v), AppliedFile)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet
-      finally in.close()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    var cur = v
+    while (cur >= 1L) {
+      val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$cur.txt")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try return scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+      cur -= 1
     }
+    Set.empty
   }
 
   private def writeApplied(s: SparkSession, dir: String, v: Long,
                            ids: Set[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(
-      Versioned.stagePath(dir, v), AppliedFile)
+    val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$v.txt")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))

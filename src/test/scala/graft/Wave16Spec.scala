@@ -82,6 +82,49 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("rollup store composes with compaction: many folds fragment a " +
+       "day, compactPartitions squeezes it, rows unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_cmp").toString
+    def b(i: Int) = Seq(
+      (java.sql.Timestamp.valueOf(s"2024-03-01 0$i:00:00"), i.toDouble))
+      .toDF("ts", "value")
+    (1 to 5).foreach(i => IncrementalOps.foldBatch(spark, dir, b(i), s"b$i"))
+    val before = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("n_events"),
+              col("sum_value").cast("string"))
+      .collect().map(_.toSeq).toSet
+    // the rollup store IS a Versioned corpus — the merge-maintenance
+    // compactor applies verbatim
+    MergeOps.compactPartitions(spark, dir, "day_s", maxFilesPerPart = 1)
+    val manAfter = Versioned.manifest(spark, dir,
+      Versioned.currentVersion(spark, dir).get)
+    manAfter.foreach { case (_, rel) =>
+      assert(Versioned.dataFileCount(spark, dir, rel) <= 1,
+        s"compacted partition $rel must hold one file")
+    }
+    val after = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("n_events"),
+              col("sum_value").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must be data-invisible")
+    // the ledger survives compaction (and vacuum): a replayed
+    // pre-compact batch id must STILL no-op — the sidecar-ledger
+    // property; a stage-dir-resident ledger would be lost here and b5
+    // would double-count
+    Versioned.vacuum(spark, dir)
+    val vBefore = Versioned.currentVersion(spark, dir).get
+    IncrementalOps.foldBatch(spark, dir, b(5), "b5")
+    assert(Versioned.currentVersion(spark, dir).get == vBefore,
+      "post-compact+vacuum replay of an applied batch must no-op")
+    val replayed = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("n_events"),
+              col("sum_value").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(replayed == before, "replay must not change the rollup")
+  }
+
   test("runtime bloom-filter join: Spark injects might_contain on the " +
        "fact side of a selective dim join (the 100 TB semi-join push)") {
     // The application-side threshold defaults to 10 GB — at 100 TB the
