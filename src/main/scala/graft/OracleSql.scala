@@ -1293,6 +1293,27 @@ object OracleSql {
         |    < t_target * w * CAST(4294967296 AS HUGEINT)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // sample_token_budget: identical all-integer rule — hash-ordered
+    // running token prefix sum per language, keep while cum <= DIV-2
+    // budget (explicit ROWS frame on both engines).
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (SELECT lang, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+        |      FROM t GROUP BY lang),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, lang, n_tokens
+        |FROM c JOIN b USING (lang)
+        |WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin,
+
     // sample_rebalance: identical all-integer keep rule — md5-prefix int
     // (DuckDB parses '0x…', Spark uses conv(…,16,10)) scaled by the class
     // histogram; both engines therefore keep exactly the same rows.

@@ -225,6 +225,8 @@ object Relational {
     * fresh process for export-reuse tests, like [[resetOrcMemo]]. */
   private[graft] def resetPartitionedMemo(): Unit = partExported.clear()
   private[graft] def resetEvolvedMemo(): Unit = evolvedExported.clear()
+  private[graft] def resetZorderMemo(): Unit = zorderExported.clear()
+  private[graft] def resetStatusDimMemo(): Unit = statusDimExported.clear()
 
   private[graft] def ensurePartitionedExport(s: SparkSession, d: String)
       : String =

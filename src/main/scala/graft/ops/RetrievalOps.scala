@@ -157,6 +157,40 @@ object RetrievalOps {
       .orderBy("doc_id")
   }
 
+  /** Token-budget sampling — the EXACT-budget counterpart of
+    * [[sampleMixture]]'s probabilistic keep rule: pretraining mixes are
+    * specified in TOKENS per domain, not documents, and a hash-threshold
+    * sample only hits a token budget in expectation. Here each language
+    * keeps documents in deterministic hash order until its budget (half
+    * its token mass) is exactly filled: a running token prefix sum per
+    * domain, keep while cum ≤ B. All-integer (token counts, DIV-2
+    * budgets, 32-bit hash order with doc_id tiebreak), so both engines
+    * keep bit-identical rows AND the kept token mass is within one
+    * document of the target — the guarantee the probabilistic rule
+    * cannot give.
+    *
+    * Scale: the per-domain window is |domains| sorts of domain-sized
+    * streams; with few huge domains swap in text_pack_sequences'
+    * distributed prefix sum (range partition by hash → per-partition
+    * cumsum → broadcast offsets) — the rule is unchanged. */
+  def sampleTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    val bud = t.groupBy("lang")
+      .agg(expr("CAST(sum(n_tokens) DIV 2 AS BIGINT)").as("budget"))
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .join(broadcast(bud), "lang")
+      .where(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** The full pretraining-corpus preparation pipeline as ONE declared,
     * oracle-checked query — the composition a real data team runs
     * nightly, end to end: quality gate (length + type-token ratio) →

@@ -58,6 +58,25 @@ class Wave15Spec extends SparkTestBase {
       s"the candidate stage must screen through BloomFilterMightContain")
   }
 
+  test("sample_token_budget: kept token mass lands within one document " +
+       "of each language's budget — the exact-fill guarantee") {
+    val kept = graft.ops.RetrievalOps.sampleTokenBudget(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val totals = graft.engine.Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long")
+        .as("n")).collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val maxDoc = totals.keys.map { l =>
+      l -> kept.filter(_._1 == l).map(_._2).maxOption.getOrElse(0L) }.toMap
+    totals.foreach { case (l, tot) =>
+      val budget = tot / 2
+      val got = kept.filter(_._1 == l).map(_._2).sum
+      assert(got <= budget, s"$l: kept $got exceeds budget $budget")
+      assert(budget - got <= math.max(maxDoc(l), 1L) * 2,
+        s"$l: kept $got leaves more than ~a doc of budget $budget unfilled")
+    }
+  }
+
   test("dedup_containment: finds the planted near-identical pair, and " +
        "the kernel catches small-inside-big pairs Jaccard misses") {
     val rows = graft.ops.SimOps.dedupContainment(spark, sf).collect()

@@ -82,6 +82,23 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("round-8 durable exports (zorder, status dim) are reused by a " +
+       "fresh process (memo reset)") {
+    Relational.scanZorder(spark, sf).count()
+    Relational.scanDpp(spark, sf).count()
+    val zDir = Relational.ensureZorderExport(spark, sf)
+    val dDir = Relational.ensureStatusDimExport(spark)
+    val (z, d) = (new java.io.File(zDir, "_SUCCESS"),
+                  new java.io.File(dDir, "_SUCCESS"))
+    val (zT, dT) = (z.lastModified(), d.lastModified())
+    Relational.resetZorderMemo()
+    Relational.resetStatusDimMemo()
+    Relational.scanZorder(spark, sf).count()
+    Relational.scanDpp(spark, sf).count()
+    assert(z.lastModified() == zT && d.lastModified() == dT,
+      "a fresh JVM must reuse the durable exports, not rebuild them")
+  }
+
   test("rollup store composes with compaction: many folds fragment a " +
        "day, compactPartitions squeezes it, rows unchanged") {
     import spark.implicits._
