@@ -1083,6 +1083,28 @@ object OracleSql {
         |GROUP BY host
         |ORDER BY host""".stripMargin,
 
+    // merge_schema_evolve: the widened-schema outcome restated from the
+    // fold rule — merged F rows carry the new column, everything else
+    // (survivors in F, untouched partitions) reads it as NULL.
+    "merge_schema_evolve" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    o_orderpriority,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  ROUND(CASE WHEN o_orderstatus = 'F' AND bucket >= 80
+        |             THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |    AS price_r,
+        |  o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' AND bucket >= 80
+        |       THEN CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN 1 ELSE 0 END
+        |       ELSE NULL END AS urgent
+        |FROM b
+        |WHERE (o_orderstatus = 'F' AND bucket >= 80) OR bucket < 90
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_history: the commit log restated from the fold rule —
     // v1 = the fold<90 snapshot, v2 = merged, v3 = the no-op replay.
     "merge_history" ->

@@ -161,12 +161,16 @@ object Versioned {
       case None =>
         s.read.parquet(entries.map(e => s"$dir/${e._2}"): _*)
       case Some(_) =>
+        // allowMissingColumns: version groups may disagree on schema
+        // after a schema-evolving merge (a later version's partitions
+        // carry columns older ones predate) — missing columns null-fill,
+        // the same union semantics scan_evolved pins for file sources.
         entries.groupBy(_._2.split("/").take(2).mkString("/"))
           .toSeq.sortBy(_._1)
           .map { case (verDir, es) =>
             s.read.option("basePath", s"$dir/$verDir")
               .parquet(es.map(e => s"$dir/${e._2}"): _*)
-          }.reduce(_ unionByName _)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

@@ -73,11 +73,24 @@ object MergeOps {
         // partitions have no old side at all.
         val merged =
           if (oldEntries.isEmpty) batch
-          else Versioned.readEntries(s, corpusDir, oldEntries, Some(partCol))
-            .selectExpr(cols: _*)
-            .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
-            .selectExpr(cols: _*)
-            .unionByName(batch)
+          else {
+            // Schema evolution: the batch's schema is authoritative for
+            // the partitions it touches — survivors align to it, with
+            // columns the old rows predate null-filled at the batch's
+            // type (the write-side twin of scan_evolved's union read).
+            // Key and partition columns must exist on both sides by
+            // construction of the join and the partitionBy below.
+            val old = Versioned.readEntries(s, corpusDir, oldEntries,
+                                            Some(partCol))
+            val aligned = cols.map { c =>
+              if (old.columns.contains(c)) col(c)
+              else lit(null).cast(batch.schema(c).dataType).as(c)
+            }
+            old.select(aligned: _*)
+              .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .selectExpr(cols: _*)
+              .unionByName(batch)
+          }
         val nv = v + 1
         merged.write.mode("overwrite").partitionBy(partCol)
           .parquet(Versioned.stagePath(corpusDir, nv))
@@ -422,6 +435,43 @@ object MergeOps {
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
     Versioned.publish(s, corpusDir, v + 1, kept)
+  }
+
+  /** Declared merge_schema_evolve query: a batch carrying a column the
+    * corpus predates (`urgent`) merges into ONE partition (status F) —
+    * the F partition restages under the widened schema, the other
+    * partitions are untouched (their manifest entries still point at
+    * version 1's narrow files), and the committed read unions the two
+    * schemas with null-fill. The oracle restates the whole outcome from
+    * the fold rule, so equality proves: the new column landed on exactly
+    * the merged rows, survivors in the touched partition null-filled,
+    * and untouched partitions neither rewrote nor grew the column
+    * physically. Write-side schema evolution without a table rewrite —
+    * the lakehouse ALTER TABLE ADD COLUMN. */
+  def mergeSchemaEvolveQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergesev_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = orders(s, d)
+    mergeUpsert(s, dir,
+      o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .where(fold(col("o_orderkey")) < 90),
+      "o_orderkey", "o_orderstatus")
+    val batch = o
+      .where(fold(col("o_orderkey")) >= 80 && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+              (col("o_totalprice") * 2).as("o_totalprice"),
+              col("o_orderstatus"),
+              (col("o_orderpriority") === "1-URGENT").cast("int")
+                .as("urgent"))
+    mergeUpsert(s, dir, batch, "o_orderkey", "o_orderstatus")
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"),
+              col("o_orderstatus"), col("urgent"))
+      .orderBy("o_orderkey")
   }
 
   /** Commit-log audit (Delta's DESCRIBE HISTORY): one row per committed

@@ -82,6 +82,33 @@ class Wave16Spec extends SparkTestBase {
     assert(got.toSeq == again.toSeq, "sketch rollup must be deterministic")
   }
 
+  test("schema-evolving merge: widened partition restages, narrow " +
+       "partitions keep v1 files, nulls fill at the read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sev_t").toString
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, 10.0, "A"), (2L, 20.0, "B")).toDF("k", "v", "p"), "k", "p")
+    // batch adds column `extra`, touching only partition B
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((3L, 30.0, "B", 7L)).toDF("k", "v", "p", "extra"), "k", "p")
+    val man = Versioned.manifest(spark, dir,
+      Versioned.currentVersion(spark, dir).get).toMap
+    assert(man("p=A").contains("data/1/") && man("p=B").contains("data/2/"),
+      s"only the touched partition may restage: $man")
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .select("k", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+                                 else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(7L)),
+      s"new column: value on merged row, null elsewhere: $rows")
+    // survivors in the touched partition null-fill too (2L was in B and
+    // survived the merge — it restaged under the widened schema)
+    val planFiles = MergeOps.readCorpus(spark, dir, "p")
+      .where(col("k") === 2L).select("extra").collect()
+    assert(planFiles(0).isNullAt(0))
+  }
+
   test("round-8 durable exports (zorder, status dim) are reused by a " +
        "fresh process (memo reset)") {
     Relational.scanZorder(spark, sf).count()
