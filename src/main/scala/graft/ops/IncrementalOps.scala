@@ -30,22 +30,31 @@ object IncrementalOps {
 
   /** The applied-batch ledger as of version `v` — a `ledger/<v>.txt`
     * sidecar beside `manifest/` and `stats/`, NOT inside the version's
-    * stage dir: manifest-level commits (compaction, retention,
-    * rollback) publish versions with no stage dir of their own, and
-    * vacuum deletes unreferenced stage dirs — either would silently
-    * lose a stage-dir-resident ledger, and a replayed batch id would
-    * then double-count (the composition bug the Wave16 compaction test
-    * pins). The read walks back to the newest version with a ledger
-    * file (bounded by version count, one existence probe per step);
-    * the write lands BEFORE publish, so ledger and data still commit
-    * together. */
+    * stage dir: manifest-level commits (compaction, retention) publish
+    * versions with no stage dir of their own, and vacuum deletes
+    * unreferenced stage dirs — either would silently lose a
+    * stage-dir-resident ledger, and a replayed batch id would then
+    * double-count (the composition bug the Wave16 compaction test
+    * pins). Rollback is handled by [[Versioned.rollback]] itself: it
+    * copies the TARGET version's ledger forward to the rollback commit,
+    * so ledger state rolls back with the data and a rolled-back batch
+    * re-folds instead of silently no-opping (the r8 advice defect; the
+    * Wave17 fold → rollback → re-fold test pins it). The read walks
+    * back to the newest COMMITTED version with a ledger file (bounded
+    * by version count, two existence probes per step); the write lands
+    * BEFORE publish, so ledger and data still commit together. */
   private def appliedIds(s: SparkSession, dir: String, v: Long): Set[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     var cur = v
     while (cur >= 1L) {
       val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$cur.txt")
-      if (fs.exists(p)) {
+      // COMMITTED ledgers only: a crashed fold leaves an orphaned ledger
+      // at an uncommitted version (ledger lands before publish), and
+      // trusting it would mark its never-committed batch as applied —
+      // silent data loss on the retry. The marker check skips orphans.
+      if (fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, s"commits/$cur"))) {
         val in = fs.open(p)
         try return scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toSet
@@ -56,11 +65,21 @@ object IncrementalOps {
     Set.empty
   }
 
+  /** WRITE-ONCE, like the manifest: a racing fold must not replace the
+    * ledger a committed version's replay checks read ([[Versioned]]'s
+    * concurrency contract; the loser dies here, before publish). */
   private def writeApplied(s: SparkSession, dir: String, v: Long,
                            ids: Set[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$v.txt")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new graft.engine.ConcurrentCommitException(
+            s"ledger $p already exists — another fold claimed this " +
+              "version; redo at nextVersion", e)
+      }
     try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -133,11 +152,13 @@ object IncrementalOps {
     require(!batchId.contains("\n"), "batchId must be single-line")
     Versioned.currentVersion(s, dir) match {
       case None =>
+        val nv = Versioned.nextVersion(s, dir)
+        val stageRel = Versioned.newStageRel(nv)
         roll(batch).write.mode("overwrite").partitionBy(DayCol)
-          .parquet(Versioned.stagePath(dir, 1L))
-        writeApplied(s, dir, 1L, Set(batchId))
-        Versioned.publish(s, dir, 1L,
-          Versioned.listPartDirs(s, dir, 1L, DayCol))
+          .parquet(s"$dir/$stageRel")
+        writeApplied(s, dir, nv, Set(batchId))
+        Versioned.publish(s, dir, nv,
+          Versioned.listStagedPartDirs(s, dir, stageRel, DayCol))
       case Some(v) =>
         val applied = appliedIds(s, dir, v)
         if (applied.contains(batchId)) return
@@ -159,11 +180,12 @@ object IncrementalOps {
               .withColumn(DayCol, col(DayCol).cast("string"))
               .selectExpr(part.columns: _*)
               .unionByName(part))
-        val nv = v + 1
+        val nv = Versioned.nextVersion(s, dir)
+        val stageRel = Versioned.newStageRel(nv)
         merged.write.mode("overwrite").partitionBy(DayCol)
-          .parquet(Versioned.stagePath(dir, nv))
+          .parquet(s"$dir/$stageRel")
         writeApplied(s, dir, nv, applied + batchId)
-        val staged = Versioned.listPartDirs(s, dir, nv, DayCol)
+        val staged = Versioned.listStagedPartDirs(s, dir, stageRel, DayCol)
         val stagedNames = staged.map(_._1).toSet
         Versioned.publish(s, dir, nv,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)

@@ -42,21 +42,35 @@ object MergeOps {
     // Per-partition zone-map stats of a staged write: one partition-
     // pruned aggregate over what was just written, collected as a
     // bounded (#partitions) driver list — the same metadata class as
-    // the manifest itself.
-    def statsOf(df: DataFrame, k: String): Seq[(String, (Long, Long))] =
+    // the manifest itself. The stats key must be an integral column:
+    // validated up front with a clear error rather than a
+    // ClassCastException at collect time (r8 advice), and read back
+    // through Number so parquet re-inference to a narrower integral
+    // type (int day keys and the like) still lands in the Long bounds.
+    def statsOf(df: DataFrame, k: String): Seq[(String, (Long, Long))] = {
+      val dt = df.schema(k).dataType
+      require(Seq("long", "integer", "short", "byte", "date")
+                .contains(dt.typeName),
+        s"statsKey column '$k' must be integral for zone-map bounds, " +
+          s"got ${dt.typeName}")
       df.groupBy(col(partCol))
-        .agg(min(col(k)).as("lo"), max(col(k)).as("hi"))
+        .agg(min(col(k).cast("long")).as("lo"),
+             max(col(k).cast("long")).as("hi"))
         .collect()
         .map(r => Versioned.partDirName(partCol, r.get(0)) ->
-          (r.getLong(1), r.getLong(2))).toSeq
+          (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+        .toSeq
+    }
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
+        val nv = Versioned.nextVersion(s, corpusDir)
+        val stageRel = Versioned.newStageRel(nv)
         batch.write.mode("overwrite").partitionBy(partCol)
-          .parquet(Versioned.stagePath(corpusDir, 1L))
-        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, 1L,
-          statsOf(s.read.parquet(Versioned.stagePath(corpusDir, 1L)), k)))
-        Versioned.publish(s, corpusDir, 1L,
-          Versioned.listPartDirs(s, corpusDir, 1L, partCol))
+          .parquet(s"$corpusDir/$stageRel")
+        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, nv,
+          statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)))
+        Versioned.publish(s, corpusDir, nv,
+          Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
       case Some(v) =>
         // Bounded driver-side list: distinct PARTITION VALUES of the batch
         // (#partitions, not #rows) — it becomes the manifest-pruning
@@ -91,17 +105,18 @@ object MergeOps {
               .selectExpr(cols: _*)
               .unionByName(batch)
           }
-        val nv = v + 1
+        val nv = Versioned.nextVersion(s, corpusDir)
+        val stageRel = Versioned.newStageRel(nv)
         merged.write.mode("overwrite").partitionBy(partCol)
-          .parquet(Versioned.stagePath(corpusDir, nv))
-        val staged = Versioned.listPartDirs(s, corpusDir, nv, partCol)
+          .parquet(s"$corpusDir/$stageRel")
+        val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                                  partCol)
         val stagedNames = staged.map(_._1).toSet
         statsKey.foreach { k =>
           val old = Versioned.readStats(s, corpusDir, v)
           // stats from the STAGED files (read-back, partition-local) —
           // not from re-evaluating the merged plan a second time
-          val fresh = statsOf(
-            s.read.parquet(Versioned.stagePath(corpusDir, nv)), k)
+          val fresh = statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)
           Versioned.writeStats(s, corpusDir, nv,
             (old.filterNot { case (n, _) => stagedNames(n) } ++ fresh)
               .toSeq.sortBy(_._1))
@@ -128,10 +143,19 @@ object MergeOps {
     val entries = man.filter { case (n, _) =>
       stats.get(n).forall { case (slo, shi) => shi >= lo && slo <= hi }
     }
-    // every partition pruned: an empty frame with the corpus schema
-    if (entries.isEmpty)
-      Versioned.readEntries(s, corpusDir, man, Some(partCol)).limit(0)
+    // Every partition pruned: an empty frame with the corpus schema,
+    // recovered from ONE manifest entry — the newest-staged one, whose
+    // schema is authoritative under the batch-wins evolution rule — so
+    // the all-pruned case costs one directory listing, not the full
+    // per-partition metadata walk the pruning exists to avoid (r8
+    // advice).
+    if (entries.isEmpty) {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+        .limit(0)
         .where(col(keyCol) >= lo && col(keyCol) <= hi)
+    }
     else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
@@ -160,12 +184,13 @@ object MergeOps {
     val frag = man.filter(e =>
       Versioned.dataFileCount(s, corpusDir, e._2) > maxFilesPerPart)
     if (frag.isEmpty) return
-    val nv = v + 1
+    val nv = Versioned.nextVersion(s, corpusDir)
+    val stageRel = Versioned.newStageRel(nv)
     Versioned.readEntries(s, corpusDir, frag, Some(partCol))
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
-      .parquet(Versioned.stagePath(corpusDir, nv))
-    val staged = Versioned.listPartDirs(s, corpusDir, nv, partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)
     val stagedNames = staged.map(_._1).toSet
     Versioned.publish(s, corpusDir, nv,
       man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
@@ -268,12 +293,15 @@ object MergeOps {
         "key per batch, or the one-open-row invariant breaks")
     Versioned.currentVersion(s, historyDir) match {
       case None =>
+        val nv = Versioned.nextVersion(s, historyDir)
+        val stageRel = Versioned.newStageRel(nv)
         changes.withColumn("valid_from", lit(version))
           .withColumn("valid_to", lit(null).cast("long"))
           .selectExpr(outCols: _*)
           .write.mode("overwrite")
-          .parquet(Versioned.stagePath(historyDir, 1L))
-        Versioned.publish(s, historyDir, 1L, Versioned.wholeTableEntries(1L))
+          .parquet(s"$historyDir/$stageRel")
+        Versioned.publish(s, historyDir, nv,
+          Versioned.wholeTableEntryAt(stageRel))
       case Some(v) =>
         val hist = Versioned.readCurrent(s, historyDir, None)
         val open = hist.where(col("valid_to").isNull)
@@ -288,7 +316,8 @@ object MergeOps {
         if (diff.isEmpty) return  // nothing changed: the no-op that makes
                                   // re-applying a batch idempotent
         val diffKeys = diff.select(keyCol)
-        val nv = v + 1
+        val nv = Versioned.nextVersion(s, historyDir)
+        val stageRel = Versioned.newStageRel(nv)
         hist.where(col("valid_to").isNotNull)                          // closed: keep
           .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))  // open, unchanged
           .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")   // open, changed:
@@ -297,8 +326,9 @@ object MergeOps {
                          .withColumn("valid_to", lit(null).cast("long")))// open
           .selectExpr(outCols: _*)
           .write.mode("overwrite")
-          .parquet(Versioned.stagePath(historyDir, nv))
-        Versioned.publish(s, historyDir, nv, Versioned.wholeTableEntries(nv))
+          .parquet(s"$historyDir/$stageRel")
+        Versioned.publish(s, historyDir, nv,
+          Versioned.wholeTableEntryAt(stageRel))
     }
   }
 
@@ -434,7 +464,7 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
-    Versioned.publish(s, corpusDir, v + 1, kept)
+    Versioned.publish(s, corpusDir, Versioned.nextVersion(s, corpusDir), kept)
   }
 
   /** Declared merge_schema_evolve query: a batch carrying a column the
@@ -482,9 +512,9 @@ object MergeOps {
     * listing. */
   def history(s: SparkSession, corpusDir: String,
               partCol: String): DataFrame = {
-    val cur = Versioned.currentVersion(s, corpusDir)
-      .getOrElse(sys.error(s"no committed version under $corpusDir"))
-    (1L to cur).map { v =>
+    val versions = Versioned.committedVersions(s, corpusDir)
+    require(versions.nonEmpty, s"no committed version under $corpusDir")
+    versions.map { v =>
       val man = Versioned.manifest(s, corpusDir, v)
       Versioned.readVersion(s, corpusDir, v, Some(partCol))
         .agg(count(lit(1)).as("n_rows"))
@@ -598,13 +628,15 @@ object MergeOps {
     val batch = changes.withColumn(BCol, keyBucket(keyCol, buckets))
     Versioned.currentVersion(s, historyDir) match {
       case None =>
+        val nv = Versioned.nextVersion(s, historyDir)
+        val stageRel = Versioned.newStageRel(nv)
         batch.withColumn("valid_from", lit(version))
           .withColumn("valid_to", lit(null).cast("long"))
           .selectExpr(outCols: _*)
           .write.mode("overwrite").partitionBy(BCol)
-          .parquet(Versioned.stagePath(historyDir, 1L))
-        Versioned.publish(s, historyDir, 1L,
-          Versioned.listPartDirs(s, historyDir, 1L, BCol))
+          .parquet(s"$historyDir/$stageRel")
+        Versioned.publish(s, historyDir, nv,
+          Versioned.listStagedPartDirs(s, historyDir, stageRel, BCol))
       case Some(v) =>
         // Bounded driver-side list: ≤ `buckets` values, the manifest-
         // pruning predicate for both the diff read and the restage.
@@ -642,10 +674,12 @@ object MergeOps {
                              .withColumn("valid_to", lit(null).cast("long")))
               .selectExpr(outCols: _*)
           }
-        val nv = v + 1
+        val nv = Versioned.nextVersion(s, historyDir)
+        val stageRel = Versioned.newStageRel(nv)
         slice.write.mode("overwrite").partitionBy(BCol)
-          .parquet(Versioned.stagePath(historyDir, nv))
-        val staged = Versioned.listPartDirs(s, historyDir, nv, BCol)
+          .parquet(s"$historyDir/$stageRel")
+        val staged = Versioned.listStagedPartDirs(s, historyDir, stageRel,
+                                                  BCol)
         val stagedNames = staged.map(_._1).toSet
         Versioned.publish(s, historyDir, nv,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)

@@ -40,9 +40,9 @@ class Wave16Spec extends SparkTestBase {
     val v = Versioned.currentVersion(spark, dir).get
     assert(v == 2L)
     val man = Versioned.manifest(spark, dir, v).toMap
-    assert(man("day_s=2024-03-01").contains("data/1/"),
+    assert(man("day_s=2024-03-01").startsWith("data/1_"),
       s"untouched day must still point at version 1: $man")
-    assert(man("day_s=2024-03-02").contains("data/2/"),
+    assert(man("day_s=2024-03-02").startsWith("data/2_"),
       s"touched day must point at version 2: $man")
     // replaying b1 must be a no-op (no new version, same rows)
     IncrementalOps.foldBatch(spark, dir,
@@ -94,7 +94,7 @@ class Wave16Spec extends SparkTestBase {
       Seq((3L, 30.0, "B", 7L)).toDF("k", "v", "p", "extra"), "k", "p")
     val man = Versioned.manifest(spark, dir,
       Versioned.currentVersion(spark, dir).get).toMap
-    assert(man("p=A").contains("data/1/") && man("p=B").contains("data/2/"),
+    assert(man("p=A").startsWith("data/1_") && man("p=B").startsWith("data/2_"),
       s"only the touched partition may restage: $man")
     val rows = MergeOps.readCorpus(spark, dir, "p")
       .select("k", "extra").collect()
@@ -282,7 +282,7 @@ class Wave16Spec extends SparkTestBase {
     val man = Versioned.manifest(spark, dir, v).toMap
     assert(man.keySet == Set("day_s=2024-03-02", "day_s=2024-03-03"),
       s"expired day must leave the manifest: $man")
-    assert(man.values.forall(_.contains("data/1/")),
+    assert(man.values.forall(_.startsWith("data/1_")),
       s"survivors must keep their ORIGINAL dirs — no rewrite: $man")
     // the dropped day's files still exist (soft delete; v1 time travel)
     val v1 = Versioned.readVersion(spark, dir, 1L, Some("day_s"))
