@@ -17,42 +17,55 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   * §2 merge rows; the design every table format with a commit log uses,
   * scaled down to "one manifest per version + one empty marker file").
   *
-  * Layout under a table root `dir`:
+  * Layout under a table root `dir` (protocol v3, round 10):
   * {{{
-  *   dir/commits/<v>            empty marker — its EXISTENCE is the commit
-  *   dir/manifest/<v>.txt       partition-dir-name \t relative-data-dir
-  *   dir/data/<v>_<token>/...   data staged by ONE writer's attempt at v
+  *   dir/commits/<v>               marker — EXISTENCE is the commit,
+  *                                 CONTENT is the winning attempt token
+  *   dir/manifest/<v>_<token>.txt  partition-dir-name \t rel-data-dir,
+  *                                 one per ATTEMPT (winner bound by the
+  *                                 marker; legacy: manifest/<v>.txt with
+  *                                 an empty marker)
+  *   dir/stats|ledger/<v>_<token>.txt  sidecars, same attempt binding
+  *   dir/data/<v>_<token>/...      data staged by ONE writer's attempt
   * }}}
   *
-  * A writer stages data under a UNIQUE `data/<v>_<token>` dir, writes
-  * `manifest/<v>.txt`, and only THEN creates the empty `commits/<v>`
-  * marker. Readers resolve the highest committed version and read exactly
-  * the directories its manifest lists. The marker file carries no
-  * content, so its creation is the one atomic step; a crash anywhere
-  * before it leaves every reader on the previous version — the corpus is
-  * always fully-old or fully-new, never a mix (the property
-  * [[graft.AtomicCommitSpec]] kills a staged write mid-flight to prove).
+  * A writer allocates `v` = current+1, mints an attempt token, stages
+  * data under its UNIQUE `data/<v>_<token>` dir, writes its sidecars and
+  * `manifest/<v>_<token>.txt`, and only THEN claims `commits/<v>` —
+  * created exclusively with the token as content, the one winner-takes-
+  * all step that both publishes `v` and binds it to this attempt's
+  * files. Readers resolve the highest committed version, read its
+  * marker token, and read exactly the directories the WINNING manifest
+  * lists. A crash anywhere before the marker leaves every reader on the
+  * previous version — always fully-old or fully-new, never a mix (the
+  * property [[graft.AtomicCommitSpec]] kills a staged write mid-flight
+  * to prove).
   *
-  * Concurrency contract (two LIVE writers racing the same version — the
-  * streaming maintenance sink + a batch merge sharing one store):
-  * exactly one wins. Three mechanisms compose:
-  *   1. the stage dir is unique per ATTEMPT (`data/<v>_<token>`), so a
-  *      racing writer can never overwrite data another writer's manifest
-  *      references — the round-8 design staged both writers into one
-  *      `data/<v>` dir, where the loser's files could silently become
-  *      the winner's committed bytes;
-  *   2. the manifest is WRITE-ONCE (created with overwrite=false): the
-  *      second writer to reach `manifest/<v>.txt` fails here, before
-  *      anything it staged can be referenced;
-  *   3. the marker is claimed with `createNewFile`, whose result is
-  *      REQUIRED true — the final backstop making the commit point a
-  *      single atomic winner-takes-all step.
-  * A loser gets [[ConcurrentCommitException]] and must redo the stage at
-  * [[nextVersion]]; its orphaned unique dir is reclaimed by [[vacuum]]
-  * once `current` passes its version. A writer that CRASHED between
-  * manifest and marker leaves an orphaned manifest; [[nextVersion]] skips
-  * past orphaned manifests (and stats/ledger sidecars), so retries
-  * allocate a fresh number instead of contending with a ghost.
+  * Concurrency contract (two LIVE writers racing — the streaming
+  * maintenance sink + a batch merge sharing one store): exactly one
+  * wins, and EVERY loser learns it lost. Three mechanisms compose:
+  *   1. every attempt's files (stage dir, manifest, sidecars) are
+  *      tokenized — attempts can never overwrite each other's bytes,
+  *      and a crashed ghost can never collide with (and so never burn)
+  *      a retry at the same version;
+  *   2. [[nextVersion]] allocates STRICTLY at current+1, so all racers
+  *      that staged from one snapshot contend on the SAME marker — the
+  *      round-9 protocol skipped in-flight sidecars and let a racer
+  *      slip to a higher number staged from a stale snapshot, where
+  *      both writers "won" and the first commit silently vanished (the
+  *      r9 advice lost-update);
+  *   3. the marker is created with overwrite=false — the single atomic
+  *      claim; its recorded token is what makes a loser's same-version
+  *      manifest and sidecars inert ghosts rather than ambient state.
+  * A loser gets [[ConcurrentCommitException]] and must redo the whole
+  * stage at [[nextVersion]] (the state it computed from changed);
+  * ghosts are reclaimed by [[vacuum]] once `current` passes them. The
+  * one residual window: the marker's token write is not atomic WITH its
+  * exclusive create — a writer dying inside those few microseconds of
+  * driver-local code leaves a token-less marker with no legacy
+  * manifest, which readers reject LOUDLY with the recovery step
+  * (delete the marker) instead of resolving arbitrarily; on HDFS-class
+  * stores the exclusive create itself is namenode-atomic.
   *
   * Scale notes: resolution is one `listStatus` of `commits/` (one entry
   * per version — the same bounded metadata walk a commit log replays);
@@ -75,11 +88,21 @@ object Versioned {
     * [[newStageRel]] so concurrent attempts can never collide. */
   def stagePath(dir: String, v: Long): String = s"$dir/data/$v"
 
-  /** A fresh UNIQUE relative stage dir for one writer's attempt at
-    * version `v`: `data/<v>_<token>`. Uniqueness (not secrecy) is the
-    * point — see the concurrency contract above. */
-  def newStageRel(v: Long): String =
-    s"data/${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+  /** A fresh attempt token: 8 hex chars of a UUID. One token identifies
+    * ONE writer attempt — its stage dir, its manifest, and its sidecars
+    * all carry it, and the commit marker records the winner's token so
+    * readers resolve exactly the winning attempt's files. Uniqueness
+    * (not secrecy) is the point. */
+  def newToken(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** The UNIQUE relative stage dir of attempt `token` at version `v`:
+    * `data/<v>_<token>`. */
+  def newStageRel(v: Long, token: String): String = s"data/${v}_$token"
+
+  /** [[newStageRel]] with a throwaway token — for writers that carry no
+    * sidecars (the stage token never needs to match the publish token;
+    * manifest entries record full relative paths). */
+  def newStageRel(v: Long): String = newStageRel(v, newToken())
 
   /** The version a data dir name was staged for: `<v>` or `<v>_<token>`. */
   private[graft] def stageDirVersion(name: String): Option[Long] =
@@ -102,36 +125,93 @@ object Versioned {
   def currentVersion(s: SparkSession, dir: String): Option[Long] =
     committedVersions(s, dir).lastOption
 
-  /** The next version a writer may attempt: past every committed version
-    * AND every orphaned manifest/stats/ledger sidecar a crashed writer
-    * left behind (those versions are burned — re-claiming a write-once
-    * sidecar would fail forever). Three bounded metadata listings. */
-  def nextVersion(s: SparkSession, dir: String): Long = {
+  /** The next version a writer may attempt: STRICTLY the highest
+    * committed version + 1, nothing else. This is the heart of the
+    * lost-update fix: every concurrent writer that staged from the same
+    * snapshot allocates the SAME number and therefore contends on the
+    * same `commits/<v>` marker — exactly one wins, every loser gets
+    * [[ConcurrentCommitException]] and redoes its stage against the
+    * winner's state. (The previous protocol advanced past orphaned
+    * sidecars, so a slow writer's in-flight manifest pushed a racer to
+    * a HIGHER version staged from a STALE snapshot — both "won" and the
+    * first commit silently vanished from current.) Crashed attempts
+    * cannot burn a version anymore because every manifest/stats/ledger
+    * file is tokenized per attempt ([[newToken]]) — nothing write-once
+    * lives at a shared name except the marker itself. One bounded
+    * metadata listing. */
+  def nextVersion(s: SparkSession, dir: String): Long =
+    currentVersion(s, dir).getOrElse(0L) + 1
+
+  /** The winning attempt's token recorded in a COMMITTED version's
+    * marker: Some(token) for tokenized commits, None for legacy commits
+    * (empty marker + version-named `manifest/<v>.txt`). The marker is
+    * created exclusively WITH its token in one stream; a racing reader
+    * can still glimpse the file between the exclusive create and the
+    * token landing, so an empty marker with no legacy manifest is
+    * re-read once before being declared torn — a real torn marker (the
+    * writer died inside the few-microsecond claim write) fails LOUDLY
+    * with the recovery step rather than resolving to the wrong attempt. */
+  private[graft] def committedToken(s: SparkSession, dir: String,
+                                    v: Long): Option[String] = {
     val fs = fsOf(s, dir)
-    def versionsIn(sub: String): Seq[Long] = {
-      val p = new Path(dir, sub)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.flatMap(st =>
-        scala.util.Try(
-          st.getPath.getName.stripSuffix(".txt").toLong).toOption)
+    val p = new Path(dir, s"commits/$v")
+    def readMarker(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
     }
-    (versionsIn("commits") ++ versionsIn("manifest") ++
-     versionsIn("stats") ++ versionsIn("ledger"))
-      .foldLeft(0L)(math.max) + 1
+    val t = readMarker()
+    if (t.nonEmpty) Some(t)
+    else if (fs.exists(new Path(dir, s"manifest/$v.txt"))) None
+    else {
+      Thread.sleep(100)
+      val t2 = readMarker()
+      if (t2.nonEmpty) Some(t2)
+      else throw new IllegalStateException(
+        s"torn commit marker commits/$v under $dir: the marker exists " +
+          "but records no winner token and no legacy manifest is " +
+          s"present — the publishing writer died mid-claim; delete " +
+          s"commits/$v to discard the torn commit")
+    }
+  }
+
+  /** The on-disk path of a version's `side` sidecar under attempt
+    * resolution: `side/<v>_<token>.txt` for tokenized commits,
+    * `side/<v>.txt` for legacy ones. */
+  private def sidecarPathFor(dir: String, v: Long, token: Option[String],
+                             side: String): Path = token match {
+    case Some(t) => new Path(dir, s"$side/${v}_$t.txt")
+    case None => new Path(dir, s"$side/$v.txt")
+  }
+
+  /** The COMMITTED version `v`'s `side` sidecar path, if the winning
+    * attempt wrote one. Resolves through the marker token, so a losing
+    * or crashed attempt's ghost sidecar at the same version can never
+    * be read. */
+  private[graft] def committedSidecar(s: SparkSession, dir: String, v: Long,
+                                      side: String): Option[Path] = {
+    val fs = fsOf(s, dir)
+    val p = sidecarPathFor(dir, v, committedToken(s, dir, v), side)
+    if (fs.exists(p)) Some(p) else None
+  }
+
+  private def readLines(fs: FileSystem, p: Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   /** The committed manifest of version `v`: (partition dir name, relative
-    * data dir) pairs; dir name `__ALL__` marks an unpartitioned table. */
+    * data dir) pairs; dir name `__ALL__` marks an unpartitioned table.
+    * Resolved through the marker token (see [[committedToken]]). */
   def manifest(s: SparkSession, dir: String, v: Long): Seq[(String, String)] = {
     val fs = fsOf(s, dir)
-    val in = fs.open(new Path(dir, s"manifest/$v.txt"))
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('\t')
-          (line.substring(0, i), line.substring(i + 1))
-        }.toList
-    } finally in.close()
+    val p = sidecarPathFor(dir, v, committedToken(s, dir, v), "manifest")
+    readLines(fs, p).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
   }
 
   /** Stage-dir partition listing → manifest entries: every `col=value`
@@ -157,7 +237,7 @@ object Versioned {
   /** Create a file write-once, translating "already exists" into the
     * commit-race signal. The existence pre-check is only for a friendlier
     * message; `overwrite=false` is the atomic claim. */
-  private def createExclusive(fs: FileSystem, p: Path, what: String)
+  private[graft] def createExclusive(fs: FileSystem, p: Path, what: String)
       : org.apache.hadoop.fs.FSDataOutputStream =
     try fs.create(p, false)
     catch {
@@ -171,25 +251,42 @@ object Versioned {
             "version; redo the stage at nextVersion", e)
     }
 
-  /** Publish version `v`: write its manifest (WRITE-ONCE), then create
-    * the empty commit marker — the single atomic winner-takes-all step
-    * that makes `v` visible. Throws [[ConcurrentCommitException]] if
-    * another writer claimed `v` first; the loser's staged data is never
-    * visible (unique stage dir, unreferenced). */
-  def publish(s: SparkSession, dir: String, v: Long,
+  /** Publish version `v` as attempt `token`: write the attempt's own
+    * manifest (`manifest/<v>_<token>.txt` — unique per attempt, so
+    * concurrent attempts and crashed ghosts can never collide), then
+    * claim `commits/<v>` exclusively WITH the token as its content —
+    * the single winner-takes-all step that both makes `v` visible and
+    * binds it to this attempt's manifest and sidecars. Because
+    * [[nextVersion]] allocates strictly at current+1, every racer that
+    * staged from the same snapshot claims the SAME marker: exactly one
+    * wins; every loser throws [[ConcurrentCommitException]] here and
+    * its staged data, manifest, and sidecars are inert ghosts (vacuum
+    * reclaims them). A writer whose snapshot went stale mid-flight also
+    * loses here — its version number is by then committed by whoever
+    * advanced current.
+    *
+    * Sidecar contract: [[writeStats]] / ledger writes that belong to
+    * this version must use the SAME token and land BEFORE publish, so a
+    * committed version and its sidecars are bound atomically by the one
+    * marker. */
+  def publish(s: SparkSession, dir: String, v: Long, token: String,
               entries: Seq[(String, String)]): Unit = {
     val fs = fsOf(s, dir)
-    val man = new Path(dir, s"manifest/$v.txt")
+    val man = sidecarPathFor(dir, v, Some(token), "manifest")
     val out = createExclusive(fs, man, "manifest")
     try out.write(entries.map { case (k, p) => s"$k\t$p" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.mkdirs(new Path(dir, "commits"))
-    if (!fs.createNewFile(new Path(dir, s"commits/$v")))
-      throw new ConcurrentCommitException(
-        s"commit marker for version $v already exists under $dir — " +
-          "another writer won this version; redo the stage at nextVersion")
+    val marker = createExclusive(fs, new Path(dir, s"commits/$v"), "commit marker")
+    try marker.write(token.getBytes("UTF-8")) finally marker.close()
   }
+
+  /** [[publish]] for writers that carry no sidecars: mints a throwaway
+    * token. */
+  def publish(s: SparkSession, dir: String, v: Long,
+              entries: Seq[(String, String)]): Unit =
+    publish(s, dir, v, newToken(), entries)
 
   /** Per-partition zone-map sidecar (Iceberg's manifest-stats idea):
     * `stats/<v>.txt` maps each partition dir name to the min/max of a
@@ -200,29 +297,28 @@ object Versioned {
     * committed version's readers prune by. Stats make range pruning
     * LAYOUT-AGNOSTIC: the reader needs no knowledge of how the writer
     * clustered the data, only the per-partition bounds. */
-  def writeStats(s: SparkSession, dir: String, v: Long,
+  def writeStats(s: SparkSession, dir: String, v: Long, token: String,
                  stats: Seq[(String, (Long, Long))]): Unit = {
     val fs = fsOf(s, dir)
-    val out = createExclusive(fs, new Path(dir, s"stats/$v.txt"), "stats")
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "stats"), "stats")
     try out.write(stats.map { case (k, (lo, hi)) => s"$k\t$lo\t$hi" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The zone-map sidecar of version `v`, empty if none was written. */
+  /** The COMMITTED zone-map sidecar of version `v` (resolved through the
+    * marker token), empty if the winning attempt wrote none. */
   def readStats(s: SparkSession, dir: String,
                 v: Long): Map[String, (Long, Long)] = {
     val fs = fsOf(s, dir)
-    val p = new Path(dir, s"stats/$v.txt")
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { line =>
+    committedSidecar(s, dir, v, "stats") match {
+      case None => Map.empty
+      case Some(p) =>
+        readLines(fs, p).map { line =>
           val parts = line.split('\t')
           parts(0) -> (parts(1).toLong, parts(2).toLong)
         }.toMap
-      finally in.close()
     }
   }
 
@@ -300,15 +396,18 @@ object Versioned {
   }
 
   /** The retention floor [[vacuum]] recorded, if any: versions below it
-    * may have had their data reclaimed and refuse to time-travel. */
+    * may have had their data reclaimed and refuse to time-travel. The
+    * floor is ADVISORY (a fail-fast, not a correctness gate), so a
+    * torn/empty file — a crash mid-record — parses as None rather than
+    * bricking every readVersion/rollback/vacuum until hand-repaired. */
   def retentionFloor(s: SparkSession, dir: String): Option[Long] = {
     val fs = fsOf(s, dir)
     val p = new Path(dir, "floor.txt")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim.toLong)
+      try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim.toLong).toOption
       finally in.close()
     }
   }
@@ -352,20 +451,50 @@ object Versioned {
       s"cannot roll back to version $toVersion: below the retention " +
         s"floor $f under $dir (its data dirs may have been vacuumed)"))
     val nv = nextVersion(s, dir)
-    Seq("stats", "ledger").foreach { side =>
-      val from = new Path(dir, s"$side/$toVersion.txt")
-      if (fs.exists(from)) {
-        val in = fs.open(from)
-        val bytes = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-          bos.toByteArray
-        } finally in.close()
-        val out = createExclusive(fs, new Path(dir, s"$side/$nv.txt"), side)
-        try out.write(bytes) finally out.close()
-      }
+    val tok = newToken()
+    def copyTo(from: Path, side: String): Unit = {
+      val in = fs.open(from)
+      val bytes = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+      val out = createExclusive(
+        fs, sidecarPathFor(dir, nv, Some(tok), side), side)
+      try out.write(bytes) finally out.close()
     }
-    publish(s, dir, nv, manifest(s, dir, toVersion))
+    // Stats describe exactly one manifest, so only the target version's
+    // own sidecar may roll forward (a neighbor's bounds could wrongly
+    // prune a partition whose data differs; missing stats merely skip
+    // pruning — safe).
+    committedSidecar(s, dir, toVersion, "stats").foreach(copyTo(_, "stats"))
+    // The ledger is cumulative history and its READER
+    // (IncrementalOps.appliedIds) walks back past ledgerless versions —
+    // so the rollback must restore the same ledger that walk would have
+    // found AT the target: the newest committed ledger at or below
+    // toVersion. Copying only the exact-version sidecar (the previous
+    // behavior) broke the fold → compact → fold → rollback-to-compact
+    // composition: nothing copied, the newest ledger stayed the
+    // post-rollback one, and the rolled-back batch re-fold silently
+    // no-opped — the lost-batch defect class again. If NO ledger exists
+    // at or below the target but some exists above, an empty ledger is
+    // written at the rollback version to mask the newer ones.
+    val committed = committedVersions(s, dir)
+    val ledgerAtOrBelow = committed.filter(_ <= toVersion).sorted.reverse
+      .iterator.map(w => committedSidecar(s, dir, w, "ledger"))
+      .collectFirst { case Some(p) => p }
+    ledgerAtOrBelow match {
+      case Some(from) => copyTo(from, "ledger")
+      case None =>
+        val anyAbove = committed.filter(w => w > toVersion && w <= v)
+          .exists(w => committedSidecar(s, dir, w, "ledger").isDefined)
+        if (anyAbove) {
+          val out = createExclusive(
+            fs, sidecarPathFor(dir, nv, Some(tok), "ledger"), "ledger")
+          out.close()
+        }
+    }
+    publish(s, dir, nv, tok, manifest(s, dir, toVersion))
   }
 
   /** Reclaim data dirs no RETAINED manifest references — retained =
@@ -398,8 +527,42 @@ object Versioned {
         n > cur || referenced.contains(s"data/$name"))
       if (!keep) fs.delete(st.getPath, true)
     }
+    // Ghost-sidecar sweep: a losing or crashed attempt's tokenized
+    // manifest/stats/ledger files at versions current has passed are
+    // inert (the marker binds each committed version to its winner's
+    // token) — reclaim them so the metadata dirs stay bounded by the
+    // commit count, not the attempt count. Conservative by design:
+    // only `<v>_<token>.txt` files whose token is NOT the committed
+    // winner's are touched (legacy version-named files and anything at
+    // a version a live writer could still claim are left alone), and a
+    // torn marker keeps its version's files in place.
+    val tokenOf = committed.map(cv => cv ->
+      scala.util.Try(committedToken(s, dir, cv)).toOption.flatten).toMap
+    Seq("manifest", "stats", "ledger").foreach { side =>
+      val root = new Path(dir, side)
+      if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
+        val name = st.getPath.getName.stripSuffix(".txt")
+        val i = name.indexOf('_')
+        if (i > 0) {
+          val ghost = scala.util.Try(name.take(i).toLong).toOption.exists {
+            gv =>
+              gv <= cur &&
+                (!tokenOf.contains(gv) ||
+                 tokenOf(gv).exists(_ != name.drop(i + 1)))
+          }
+          if (ghost) fs.delete(st.getPath, false)
+        }
+      }
+    }
+    // Record the floor via temp + rename: the plain in-place overwrite
+    // could tear to an empty file on a crash; with the tolerant parse in
+    // [[retentionFloor]] either failure mode now degrades to "floor
+    // forgotten" (advisory lost, correctness unaffected), never a brick.
     val fp = new Path(dir, "floor.txt")
-    val out = fs.create(fp, true)
+    val tmp = new Path(dir, s"floor.txt.tmp_${newToken()}")
+    val out = fs.create(tmp, true)
     try out.write(s"$floor\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(fp, false)
+    if (!fs.rename(tmp, fp)) fs.delete(tmp, false)
   }
 }

@@ -37,14 +37,30 @@ case class PqAdcScore(codes: Expression, adc: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"
 
+  /** Input guards (r9 advice): an empty code array is an empty sum (no
+    * division by zero), the ADC table length must be an exact multiple
+    * of m (a silent floor would misalign every sub-vector after the
+    * first), and each code must index inside its sub-table — an
+    * out-of-range code against an UnsafeArrayData would otherwise READ
+    * ARBITRARY MEMORY and return a garbage score with no error. */
   override def nullSafeEval(c: Any, a: Any): Any = {
     val codes = c.asInstanceOf[ArrayData]
     val adc = a.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    if (m == 0) return 0.0
+    if (adc.numElements() % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc: ADC table length ${adc.numElements()} is not a " +
+        s"multiple of the code length $m")
     val ksub = adc.numElements() / m
     var s = 0.0
     var j = 0
-    while (j < m) { s += adc.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    while (j < m) {
+      val code = codes.getInt(j)
+      if (code < 0 || code >= ksub) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $code at position $j is outside [0, $ksub)")
+      s += adc.getDouble(j * ksub + code)
+      j += 1
+    }
     s
   }
 
@@ -54,12 +70,29 @@ case class PqAdcScore(codes: Expression, adc: Expression)
       val m = ctx.freshName("m")
       val k = ctx.freshName("ksub")
       val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      // same guards as nullSafeEval: empty codes → 0.0, exact-multiple
+      // table, in-range codes (out-of-range on UnsafeArrayData is a
+      // silent arbitrary-memory read)
       s"""
          |final int $m = $c.numElements();
-         |final int $k = $a.numElements() / $m;
          |double $s = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
-         |  $s += $a.getDouble($j * $k + $c.getInt($j));
+         |if ($m > 0) {
+         |  if ($a.numElements() % $m != 0) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pq_adc: ADC table length " + $a.numElements() +
+         |        " is not a multiple of the code length " + $m);
+         |  }
+         |  final int $k = $a.numElements() / $m;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    final int $code = $c.getInt($j);
+         |    if ($code < 0 || $code >= $k) {
+         |      throw new IllegalArgumentException(
+         |        "graft_pq_adc: code " + $code + " at position " + $j +
+         |          " is outside [0, " + $k + ")");
+         |    }
+         |    $s += $a.getDouble($j * $k + $code);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

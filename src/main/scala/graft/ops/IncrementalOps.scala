@@ -17,10 +17,11 @@ import graft.engine.Versioned
   *
   * Exactly-once: unlike upsert, aggregate folding is NOT idempotent — a
   * replayed batch would double-count. Each fold writes a
-  * `ledger/<v>.txt` sidecar (the batch ids folded so far) BEFORE the
-  * version is published, so a fold whose id is already in the ledger is
-  * a no-op and a crash between stage and publish leaves both the ledger
-  * and the data on the previous version — they cannot diverge. See
+  * `ledger/<v>_<token>.txt` sidecar (the batch ids folded so far, at
+  * the fold's own attempt token) BEFORE the version is published, so a
+  * fold whose id is already in the ledger is a no-op and a crash
+  * between stage and publish leaves both the ledger and the data on
+  * the previous version — they cannot diverge. See
   * [[appliedIds]] for why the ledger is a sidecar rather than a
   * stage-dir resident. Same commit discipline as the streaming stores,
   * composed with the merge protocol's manifest pruning. */
@@ -28,7 +29,8 @@ object IncrementalOps {
 
   private val DayCol = "day_s"
 
-  /** The applied-batch ledger as of version `v` — a `ledger/<v>.txt`
+  /** The applied-batch ledger as of version `v` — a tokenized
+    * `ledger/<v>_<token>.txt`
     * sidecar beside `manifest/` and `stats/`, NOT inside the version's
     * stage dir: manifest-level commits (compaction, retention) publish
     * versions with no stage dir of their own, and vacuum deletes
@@ -36,50 +38,47 @@ object IncrementalOps {
     * stage-dir-resident ledger, and a replayed batch id would then
     * double-count (the composition bug the Wave16 compaction test
     * pins). Rollback is handled by [[Versioned.rollback]] itself: it
-    * copies the TARGET version's ledger forward to the rollback commit,
-    * so ledger state rolls back with the data and a rolled-back batch
-    * re-folds instead of silently no-opping (the r8 advice defect; the
-    * Wave17 fold → rollback → re-fold test pins it). The read walks
+    * copies forward the newest COMMITTED ledger at or below the target
+    * version — the same walk-back this reader performs — so ledger
+    * state rolls back with the data even when the target is a
+    * ledgerless maintenance commit, and a rolled-back batch re-folds
+    * instead of silently no-opping (the r8 and r9 advice defects; the
+    * Wave17 rollback tests pin both). The read walks
     * back to the newest COMMITTED version with a ledger file (bounded
     * by version count, two existence probes per step); the write lands
     * BEFORE publish, so ledger and data still commit together. */
   private def appliedIds(s: SparkSession, dir: String, v: Long): Set[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    var cur = v
-    while (cur >= 1L) {
-      val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$cur.txt")
-      // COMMITTED ledgers only: a crashed fold leaves an orphaned ledger
-      // at an uncommitted version (ledger lands before publish), and
-      // trusting it would mark its never-committed batch as applied —
-      // silent data loss on the retry. The marker check skips orphans.
-      if (fs.exists(p) &&
-          fs.exists(new org.apache.hadoop.fs.Path(dir, s"commits/$cur"))) {
+    // COMMITTED ledgers only, resolved through each version's marker
+    // token: a crashed fold's orphaned ledger (tokenized, never bound
+    // to a marker) and a losing racer's ghost are both invisible here —
+    // trusting either would mark a never-committed batch as applied,
+    // silent data loss on the retry.
+    Versioned.committedVersions(s, dir).filter(_ <= v).sorted.reverse
+      .iterator
+      .map(w => Versioned.committedSidecar(s, dir, w, "ledger"))
+      .collectFirst { case Some(p) =>
         val in = fs.open(p)
-        try return scala.io.Source.fromInputStream(in, "UTF-8")
+        try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toSet
         finally in.close()
       }
-      cur -= 1
-    }
-    Set.empty
+      .getOrElse(Set.empty)
   }
 
-  /** WRITE-ONCE, like the manifest: a racing fold must not replace the
-    * ledger a committed version's replay checks read ([[Versioned]]'s
-    * concurrency contract; the loser dies here, before publish). */
+  /** WRITE-ONCE at the attempt's own tokenized name, like the manifest:
+    * concurrent attempts can never collide on the file (each has its
+    * own token); the single-winner fight happens at the commit marker
+    * inside publish. Uses [[Versioned.createExclusive]], which only
+    * translates a REAL already-exists into the commit-race signal — a
+    * transient IO failure propagates as itself instead of masquerading
+    * as a race (r9 advice). */
   private def writeApplied(s: SparkSession, dir: String, v: Long,
-                           ids: Set[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, s"ledger/$v.txt")
+                           token: String, ids: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"ledger/${v}_$token.txt")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new graft.engine.ConcurrentCommitException(
-            s"ledger $p already exists — another fold claimed this " +
-              "version; redo at nextVersion", e)
-      }
+    val out = Versioned.createExclusive(fs, p, "ledger")
     try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -153,11 +152,12 @@ object IncrementalOps {
     Versioned.currentVersion(s, dir) match {
       case None =>
         val nv = Versioned.nextVersion(s, dir)
-        val stageRel = Versioned.newStageRel(nv)
+        val tok = Versioned.newToken()
+        val stageRel = Versioned.newStageRel(nv, tok)
         roll(batch).write.mode("overwrite").partitionBy(DayCol)
           .parquet(s"$dir/$stageRel")
-        writeApplied(s, dir, nv, Set(batchId))
-        Versioned.publish(s, dir, nv,
+        writeApplied(s, dir, nv, tok, Set(batchId))
+        Versioned.publish(s, dir, nv, tok,
           Versioned.listStagedPartDirs(s, dir, stageRel, DayCol))
       case Some(v) =>
         val applied = appliedIds(s, dir, v)
@@ -181,13 +181,14 @@ object IncrementalOps {
               .selectExpr(part.columns: _*)
               .unionByName(part))
         val nv = Versioned.nextVersion(s, dir)
-        val stageRel = Versioned.newStageRel(nv)
+        val tok = Versioned.newToken()
+        val stageRel = Versioned.newStageRel(nv, tok)
         merged.write.mode("overwrite").partitionBy(DayCol)
           .parquet(s"$dir/$stageRel")
-        writeApplied(s, dir, nv, applied + batchId)
+        writeApplied(s, dir, nv, tok, applied + batchId)
         val staged = Versioned.listStagedPartDirs(s, dir, stageRel, DayCol)
         val stagedNames = staged.map(_._1).toSet
-        Versioned.publish(s, dir, nv,
+        Versioned.publish(s, dir, nv, tok,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
   }

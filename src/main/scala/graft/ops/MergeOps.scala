@@ -49,7 +49,10 @@ object MergeOps {
     // type (int day keys and the like) still lands in the Long bounds.
     def statsOf(df: DataFrame, k: String): Seq[(String, (Long, Long))] = {
       val dt = df.schema(k).dataType
-      require(Seq("long", "integer", "short", "byte", "date")
+      // No DATE here: Spark disallows DateType→LongType casts, so a date
+      // key would pass this check and then die at analysis with exactly
+      // the confusing cast error the check exists to prevent (r9 advice).
+      require(Seq("long", "integer", "short", "byte")
                 .contains(dt.typeName),
         s"statsKey column '$k' must be integral for zone-map bounds, " +
           s"got ${dt.typeName}")
@@ -64,12 +67,13 @@ object MergeOps {
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
         val nv = Versioned.nextVersion(s, corpusDir)
-        val stageRel = Versioned.newStageRel(nv)
+        val tok = Versioned.newToken()
+        val stageRel = Versioned.newStageRel(nv, tok)
         batch.write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
-        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, nv,
+        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, nv, tok,
           statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)))
-        Versioned.publish(s, corpusDir, nv,
+        Versioned.publish(s, corpusDir, nv, tok,
           Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
       case Some(v) =>
         // Bounded driver-side list: distinct PARTITION VALUES of the batch
@@ -106,7 +110,8 @@ object MergeOps {
               .unionByName(batch)
           }
         val nv = Versioned.nextVersion(s, corpusDir)
-        val stageRel = Versioned.newStageRel(nv)
+        val tok = Versioned.newToken()
+        val stageRel = Versioned.newStageRel(nv, tok)
         merged.write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
@@ -117,11 +122,11 @@ object MergeOps {
           // stats from the STAGED files (read-back, partition-local) —
           // not from re-evaluating the merged plan a second time
           val fresh = statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)
-          Versioned.writeStats(s, corpusDir, nv,
+          Versioned.writeStats(s, corpusDir, nv, tok,
             (old.filterNot { case (n, _) => stagedNames(n) } ++ fresh)
               .toSeq.sortBy(_._1))
         }
-        Versioned.publish(s, corpusDir, nv,
+        Versioned.publish(s, corpusDir, nv, tok,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
   }
@@ -185,14 +190,23 @@ object MergeOps {
       Versioned.dataFileCount(s, corpusDir, e._2) > maxFilesPerPart)
     if (frag.isEmpty) return
     val nv = Versioned.nextVersion(s, corpusDir)
-    val stageRel = Versioned.newStageRel(nv)
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
     Versioned.readEntries(s, corpusDir, frag, Some(partCol))
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)
     val stagedNames = staged.map(_._1).toSet
-    Versioned.publish(s, corpusDir, nv,
+    // Compaction preserves each partition's multiset, so the previous
+    // version's zone-map bounds stay exact — carry them forward instead
+    // of silently dropping pruning after every maintenance pass (at
+    // 100 TB the whole point of compacting is to make the NEXT scans
+    // cheaper; un-prunable next scans would defeat it).
+    val old = Versioned.readStats(s, corpusDir, v)
+    if (old.nonEmpty)
+      Versioned.writeStats(s, corpusDir, nv, tok, old.toSeq.sortBy(_._1))
+    Versioned.publish(s, corpusDir, nv, tok,
       man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
   }
 
@@ -464,7 +478,17 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
-    Versioned.publish(s, corpusDir, Versioned.nextVersion(s, corpusDir), kept)
+    val nv = Versioned.nextVersion(s, corpusDir)
+    val tok = Versioned.newToken()
+    // Bounds of surviving partitions are untouched by a manifest-only
+    // drop — carry them (filtered to the kept names) so retention does
+    // not cost the corpus its zone-map pruning.
+    val old = Versioned.readStats(s, corpusDir, v)
+    val keptNames = kept.map(_._1).toSet
+    val keptStats = old.filter { case (n, _) => keptNames(n) }
+    if (keptStats.nonEmpty)
+      Versioned.writeStats(s, corpusDir, nv, tok, keptStats.toSeq.sortBy(_._1))
+    Versioned.publish(s, corpusDir, nv, tok, kept)
   }
 
   /** Declared merge_schema_evolve query: a batch carrying a column the

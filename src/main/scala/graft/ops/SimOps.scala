@@ -281,9 +281,18 @@ object SimOps {
 
   /** Corpus size for dispatch: a parquet count — Spark answers it from
     * footer row counts (one metadata job, no column data read), the
-    * "one count/catalog-stat check" the dispatcher is allowed to spend. */
+    * "one count/catalog-stat check" the dispatcher is allowed to spend.
+    * MEMOIZED per dataset dir (the [[ensureSignatureStore]]/
+    * embStoreBuilt pattern): the residual dispatch overhead is one
+    * metadata job per DATASET, not one per `*_auto` call — on a bench
+    * pass that calls four dispatchers per dir, three of the four count
+    * jobs were pure waste (r9 verdict). */
+  private val corpusSizeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Test hook: forget the per-JVM memo. */
+  private[graft] def resetCorpusSizeMemo(): Unit = corpusSizeMemo.clear()
   private def corpusSize(s: SparkSession, d: String): Long =
-    embeddings(s, d).count()
+    corpusSizeMemo.getOrElseUpdate(d, embeddings(s, d).count())
 
   /** Size-dispatched cosine top-k: exact all-pairs below the measured
     * crossover, LSH-bucketed ANN above it — the caller no longer needs to

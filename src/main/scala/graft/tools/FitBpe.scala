@@ -71,8 +71,14 @@ object FitBpe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Driver-side collect is the POINT here, but it must stay bounded:
+    // this offline fitting tool needs only a representative sample to
+    // learn ~48 merge rules, so cap the corpus pulled to the driver at
+    // 50k docs (deterministic limit — the whole sf0.01 fit corpus today,
+    // a sample on anything bigger). Never run this against a full-scale
+    // dir without the cap: the fit is O(sample), not O(corpus).
     val docs = spark.read.parquet(s"$d/documents.parquet")
-      .select("text").collect().map(_.getString(0)).toSeq
+      .select("text").limit(50000).collect().map(_.getString(0)).toSeq
     val merges = fit(docs, n)
     // Emit the Scala literal for BpeOps.merges — non-ASCII as \u escapes
     // so the generated source is encoding-proof.

@@ -70,7 +70,7 @@ class AtomicCommitSpec extends SparkTestBase {
       "rows the batch did not touch must be byte-identical")
   }
 
-  test("a merge after a torn stage clobbers the orphan and lands cleanly") {
+  test("a merge after a torn stage ignores the orphan and lands cleanly") {
     val dir = freshDir("graft_atomic_retry")
     MergeOps.mergeUpsert(spark, dir, corpus(50), "k", "p")
     // torn stage for v2: data only, no manifest, no marker (killed earlier
@@ -80,7 +80,8 @@ class AtomicCommitSpec extends SparkTestBase {
       .parquet(Versioned.stagePath(dir, 2L))
     assert(MergeOps.readCorpus(spark, dir, "p").count() == 50,
       "torn data-only stage must be invisible")
-    // the retry merge restages v2 (mode overwrite clobbers the orphan)
+    // the retry merge restages v2 under its own unique attempt dir —
+    // the orphan is simply never referenced (vacuum reclaims it later)
     import spark.implicits._
     val batch = Seq((1L, 111.0, "O")).toDF("k", "v", "p")
     MergeOps.mergeUpsert(spark, dir, batch, "k", "p")

@@ -79,26 +79,81 @@ class Wave17Spec extends SparkTestBase {
       "the losing attempt's unreferenced dir should be vacuumed")
   }
 
-  test("a crashed writer's orphaned manifest burns its version: retries " +
-       "skip past it and land cleanly") {
+  test("a crashed writer's orphaned manifest does NOT burn its version: " +
+       "the retry contends on the same number and lands cleanly") {
     import spark.implicits._
     val dir = freshDir("graft_orphan_manifest")
     MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")        // v1
-    // crash state: manifest for v2 written, NO marker (died mid-publish)
+    // crash states from BOTH layouts: a legacy version-named manifest
+    // and a tokenized attempt manifest for v2, each with NO marker
+    // (died mid-publish).
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "manifest/2.txt"),
-                        false)
-    out.write("p=O\tdata/2/p=O\n".getBytes("UTF-8")); out.close()
-
-    assert(Versioned.nextVersion(spark, dir) == 3L,
-      "nextVersion must skip the burned version")
+    Seq("manifest/2.txt", "manifest/2_deadbeef.txt").foreach { rel =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, rel), false)
+      out.write("p=O\tdata/2/p=O\n".getBytes("UTF-8")); out.close()
+    }
+    // THE round-9 advice fix: allocation is strictly current+1 — an
+    // orphaned manifest must NOT push a retry to a higher version
+    // staged from the same snapshot (that interleaving is exactly the
+    // lost-update hole: two writers at different numbers both "win").
+    assert(Versioned.nextVersion(spark, dir) == 2L,
+      "nextVersion must stay at current+1; orphans cannot burn versions")
     MergeOps.mergeUpsert(spark, dir,
       Seq((1L, 111.0, "O")).toDF("k", "v", "p"), "k", "p")
-    assert(Versioned.currentVersion(spark, dir).get == 3L)
+    assert(Versioned.currentVersion(spark, dir).get == 2L)
+    // the reader resolves the WINNER's tokenized manifest via the
+    // marker, never the orphans sitting at the same version
     val rows = MergeOps.readCorpus(spark, dir, "p")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(rows.size == 10 && rows(1L) == 111.0 && rows(2L) == 20.0)
+  }
+
+  test("slow writer vs fast writer on disjoint versions cannot both win: " +
+       "the round-9 lost-update interleaving now loses loudly") {
+    import spark.implicits._
+    val dir = freshDir("graft_lost_update")
+    MergeOps.mergeUpsert(spark, dir, corpus(20), "k", "p")        // v1
+    // Writer A: allocates v2, stages, writes its manifest — but has not
+    // yet claimed the marker (slow between the two publish steps).
+    val nvA = Versioned.nextVersion(spark, dir)
+    val tokA = Versioned.newToken()
+    val stageA = Versioned.newStageRel(nvA, tokA)
+    Seq((1L, -111.0, "O")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(s"$dir/$stageA")
+    val man1 = Versioned.manifest(spark, dir, 1L)
+    def entriesFor(stage: String) = {
+      val staged = Versioned.listStagedPartDirs(spark, dir, stage, "p")
+      man1.filterNot(e => staged.exists(_._1 == e._1)) ++ staged
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outA = fs.create(
+      new org.apache.hadoop.fs.Path(dir, s"manifest/${nvA}_$tokA.txt"), false)
+    outA.write(entriesFor(stageA).map { case (k, p) => s"$k\t$p" }
+      .mkString("", "\n", "\n").getBytes("UTF-8")); outA.close()
+
+    // Writer B arrives NOW. Under the round-8/9 protocol nextVersion
+    // skipped A's in-flight manifest, B allocated v3 from the SAME v1
+    // snapshot, both committed, and A's update silently vanished from
+    // current. Under strict allocation B must contend on v2 itself.
+    val nvB = Versioned.nextVersion(spark, dir)
+    assert(nvB == nvA,
+      s"racers must contend on the same version (A=$nvA, B=$nvB)")
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((3L, -333.0, "O")).toDF("k", "v", "p"), "k", "p")        // B wins v2
+    // A wakes up and re-runs its publish (fresh attempt token, same
+    // version and stage): the manifest write succeeds — tokenized names
+    // never collide — but the marker claim must LOSE loudly, not also
+    // win.
+    intercept[ConcurrentCommitException] {
+      Versioned.publish(spark, dir, nvA, Versioned.newToken(),
+                        entriesFor(stageA))
+    }
+    // current is B's commit, fully intact; A's staged rows invisible.
+    val rows = Versioned.readCurrent(spark, dir, Some("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows(3L) == -333.0 && !rows.values.exists(_ == -111.0))
   }
 
   test("vacuum to a retention floor: time travel works down to the floor " +
@@ -160,6 +215,40 @@ class Wave17Spec extends SparkTestBase {
     IncrementalOps.foldBatch(spark, dir, batch(2, Seq(5.0)), "b2")
     assert(sums == Map("2024-03-01" -> 3.0, "2024-03-02" -> 5.0),
       "replay of the re-applied batch must still be a no-op")
+  }
+
+  test("rollback to a ledgerless maintenance commit walks back to the " +
+       "newest committed ledger at or below it") {
+    import spark.implicits._
+    val dir = freshDir("graft_rollup_rb_walk")
+    def batch(day: Int, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (s"u$i", java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:0$i"), v)
+      }.toDF("user_id", "ts", "value")
+    def sums = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("sum_value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    IncrementalOps.foldBatch(spark, dir, batch(1, Seq(1.0, 2.0)), "b1") // v1 +ledger
+    MergeOps.compactPartitions(spark, dir, "day_s", maxFilesPerPart = 0) // v2 NO ledger
+    IncrementalOps.foldBatch(spark, dir, batch(2, Seq(5.0)), "b2")      // v3 +ledger
+    assert(sums == Map("2024-03-01" -> 3.0, "2024-03-02" -> 5.0))
+
+    // THE r9 advice defect: rollback to the ledgerless v2 used to copy
+    // nothing, so the newest committed ledger stayed v3's {b1,b2} and
+    // the re-fold of b2 silently no-opped — losing the batch the
+    // rollback was supposed to restore the line for.
+    Versioned.rollback(spark, dir, 2L)                                  // v4
+    assert(sums == Map("2024-03-01" -> 3.0),
+      "rollback to the compaction commit must restore the day-1 state")
+    IncrementalOps.foldBatch(spark, dir, batch(2, Seq(5.0)), "b2")
+    assert(sums == Map("2024-03-01" -> 3.0, "2024-03-02" -> 5.0),
+      "the rolled-back batch must re-apply after rollback to a " +
+        "ledgerless commit")
+    // exactly-once still holds on the restored line: b1 replay no-ops
+    IncrementalOps.foldBatch(spark, dir, batch(1, Seq(1.0, 2.0)), "b1")
+    assert(sums == Map("2024-03-01" -> 3.0, "2024-03-02" -> 5.0),
+      "the walked-back ledger must still mark pre-rollback batches " +
+        "as applied")
   }
 
   test("a crashed fold's orphaned ledger is not trusted: the batch " +
