@@ -54,18 +54,18 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   *      slip to a higher number staged from a stale snapshot, where
   *      both writers "won" and the first commit silently vanished (the
   *      r9 advice lost-update);
-  *   3. the marker is created with overwrite=false — the single atomic
-  *      claim; its recorded token is what makes a loser's same-version
-  *      manifest and sidecars inert ghosts rather than ambient state.
+  *   3. the marker is claimed with `createNewFile` — atomic on POSIX
+  *      local filesystems AND HDFS-class stores, the single claim; its
+  *      recorded token is what makes a loser's same-version manifest
+  *      and sidecars inert ghosts rather than ambient state.
   * A loser gets [[ConcurrentCommitException]] and must redo the whole
   * stage at [[nextVersion]] (the state it computed from changed);
   * ghosts are reclaimed by [[vacuum]] once `current` passes them. The
-  * one residual window: the marker's token write is not atomic WITH its
-  * exclusive create — a writer dying inside those few microseconds of
-  * driver-local code leaves a token-less marker with no legacy
+  * one residual window: the marker's token write is not atomic WITH the
+  * `createNewFile` claim — a writer dying inside those few microseconds
+  * of driver-local code leaves a token-less marker with no legacy
   * manifest, which readers reject LOUDLY with the recovery step
-  * (delete the marker) instead of resolving arbitrarily; on HDFS-class
-  * stores the exclusive create itself is namenode-atomic.
+  * (delete the marker) instead of resolving arbitrarily.
   *
   * Scale notes: resolution is one `listStatus` of `commits/` (one entry
   * per version — the same bounded metadata walk a commit log replays);
@@ -78,6 +78,35 @@ object Versioned {
 
   /** Manifest key used for the single entry of an unpartitioned table. */
   private val WholeTable = "__ALL__"
+
+  /** Optimistic-concurrency retry — the loop every commit-log system
+    * wraps its writers in. `op` must be a COMPLETE stage+publish that
+    * RE-DERIVES from the current committed state on every call (every
+    * [[graft.ops.MergeOps]] / [[graft.ops.IncrementalOps]] writer is:
+    * they read current, compute, allocate, stage, publish); a loser's
+    * retry then automatically lands against the winner's state instead
+    * of surfacing [[ConcurrentCommitException]] to the caller. Bounded
+    * attempts keep a livelock loud; jittered linear backoff de-syncs
+    * herds of racers (jitter only times the SLEEP — it can never reach
+    * committed data, so output determinism is untouched). */
+  def withCommitRetry[T](maxAttempts: Int = 5, baseBackoffMs: Long = 50L)
+                        (op: => T): T = {
+    require(maxAttempts >= 1, "withCommitRetry needs at least one attempt")
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw new ConcurrentCommitException(
+            s"commit still losing races after $maxAttempts attempts — " +
+              "writer contention is pathological, not transient", e)
+          Thread.sleep(baseBackoffMs * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -125,20 +154,25 @@ object Versioned {
   def currentVersion(s: SparkSession, dir: String): Option[Long] =
     committedVersions(s, dir).lastOption
 
-  /** The next version a writer may attempt: STRICTLY the highest
-    * committed version + 1, nothing else. This is the heart of the
-    * lost-update fix: every concurrent writer that staged from the same
-    * snapshot allocates the SAME number and therefore contends on the
-    * same `commits/<v>` marker — exactly one wins, every loser gets
-    * [[ConcurrentCommitException]] and redoes its stage against the
-    * winner's state. (The previous protocol advanced past orphaned
-    * sidecars, so a slow writer's in-flight manifest pushed a racer to
-    * a HIGHER version staged from a STALE snapshot — both "won" and the
-    * first commit silently vanished from current.) Crashed attempts
-    * cannot burn a version anymore because every manifest/stats/ledger
-    * file is tokenized per attempt ([[newToken]]) — nothing write-once
-    * lives at a shared name except the marker itself. One bounded
-    * metadata listing. */
+  /** The version a writer deriving from current RIGHT NOW may attempt:
+    * highest committed version + 1. The load-bearing invariant is
+    * stronger and belongs to every writer: **publish at SNAPSHOT + 1**,
+    * where the snapshot is the version the write actually derived from
+    * — allocated from the SAME read, never from a later re-listing.
+    * Two distinct lost-update holes close under that rule:
+    *   - allocating past orphaned sidecars (the round-9 protocol) let a
+    *     racer slip to a higher number with a stale snapshot;
+    *   - re-listing current at allocation time (the first round-10
+    *     draft) had the same hole in miniature — a racer committing
+    *     between a writer's derivation and its allocation leapfrogged
+    *     the claim instead of contesting it (caught live by the Wave18
+    *     threaded race).
+    * With snapshot+1, any commit that intervenes makes the claim FAIL
+    * with [[ConcurrentCommitException]] and the loser redoes its whole
+    * derivation. Crashed attempts cannot burn a version because every
+    * manifest/stats/ledger file is tokenized per attempt
+    * ([[newToken]]) — nothing write-once lives at a shared name except
+    * the marker itself. One bounded metadata listing. */
   def nextVersion(s: SparkSession, dir: String): Long =
     currentVersion(s, dir).getOrElse(0L) + 1
 
@@ -278,8 +312,40 @@ object Versioned {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.mkdirs(new Path(dir, "commits"))
-    val marker = createExclusive(fs, new Path(dir, s"commits/$v"), "commit marker")
-    try marker.write(token.getBytes("UTF-8")) finally marker.close()
+    // Only the single claim winner writes its token into the file it
+    // owns; a reader glimpsing the claimed-but-unwritten marker is
+    // handled by committedToken's one re-read.
+    val marker = new Path(dir, s"commits/$v")
+    if (!atomicCreateNewFile(fs, marker))
+      throw new ConcurrentCommitException(
+        s"commit marker for version $v already exists under $dir — " +
+          "another writer won this version; redo the stage at nextVersion")
+    val tokOut = fs.create(marker, true)
+    try tokOut.write(token.getBytes("UTF-8")) finally tokOut.close()
+  }
+
+  /** Create-empty-if-absent with a REAL atomicity guarantee. Hadoop's
+    * `FileSystem.createNewFile` and `RawLocalFileSystem.create(
+    * overwrite=false)` are exists-check-then-create — under genuine
+    * thread races on `file://` BOTH racers can pass the check and both
+    * "win" the claim (observed as a once-in-many-runs lost update in
+    * the Wave18 threaded test). For `file://` the claim drops to
+    * `java.io.File#createNewFile` — POSIX O_CREAT|O_EXCL, kernel-atomic;
+    * for HDFS-class stores `create(overwrite=false)` is already
+    * namenode-atomic and is used as-is. */
+  private def atomicCreateNewFile(fs: FileSystem, p: Path): Boolean = {
+    val q = fs.makeQualified(p)
+    if (Option(q.toUri.getScheme).forall(_ == "file")) {
+      val f = new java.io.File(q.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
   }
 
   /** [[publish]] for writers that carry no sidecars: mints a throwaway
@@ -450,7 +516,7 @@ object Versioned {
     retentionFloor(s, dir).foreach(f => require(toVersion >= f,
       s"cannot roll back to version $toVersion: below the retention " +
         s"floor $f under $dir (its data dirs may have been vacuumed)"))
-    val nv = nextVersion(s, dir)
+    val nv = v + 1  // OCC: the rollback derives from current = v
     val tok = newToken()
     def copyTo(from: Path, side: String): Unit = {
       val in = fs.open(from)
@@ -507,9 +573,14 @@ object Versioned {
     * [[readVersion]]/[[rollback]] below it fail fast instead of hitting
     * missing files. Crashed/losing stages ABOVE current are left for
     * their writer's retry or a later vacuum; everything at or below
-    * current that no retained manifest references is deleted. Bounded
-    * metadata work: one listing of `data/` plus `keepVersions`
-    * manifests. */
+    * current that no retained manifest references is deleted. Also
+    * sweeps METADATA below the floor (markers, manifests, sidecars,
+    * attempt ghosts) so the commit log stays bounded by the retention
+    * window, not the table's lifetime commit count — with the one
+    * exactly-once guard documented inline: the newest committed
+    * applied-batch ledger is never deleted, even below the floor.
+    * Bounded metadata work: one listing each of `data/`, `manifest/`,
+    * `stats/`, `ledger/` plus `keepVersions` manifests. */
   def vacuum(s: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = fsOf(s, dir)
@@ -527,6 +598,30 @@ object Versioned {
         n > cur || referenced.contains(s"data/$name"))
       if (!keep) fs.delete(st.getPath, true)
     }
+    // Metadata sweep below the floor: versions under the floor already
+    // refuse to time-travel (their data may be gone), so their markers,
+    // manifests, and sidecars are pure growth — at a streaming fold
+    // cadence the commit log would otherwise accumulate forever. One
+    // guard: the applied-batch ledger is CUMULATIVE state, and if the
+    // newest committed ledger sits below the floor (every later commit
+    // was ledgerless maintenance), deleting it would forget every
+    // applied batch id — exactly-once replay would double-count. That
+    // single version is retained whole (marker + sidecars) until a
+    // later fold writes a newer ledger above the floor. Legacy
+    // version-named sidecars are deleted here; tokenized ones fall to
+    // the ghost sweep below once their marker is gone.
+    val newestLedgerV = committed.sorted.reverse.find(w =>
+      scala.util.Try(committedSidecar(s, dir, w, "ledger")).toOption
+        .flatten.isDefined)
+    val ledgerKeep = newestLedgerV.filter(_ < floor)
+    val swept = committed
+      .filter(v => v < floor && !ledgerKeep.contains(v)).toSet
+    swept.foreach { v =>
+      Seq("manifest", "stats", "ledger").foreach(side =>
+        fs.delete(new Path(dir, s"$side/$v.txt"), false))
+      fs.delete(new Path(dir, s"commits/$v"), false)
+    }
+    val survivors = committed.filterNot(swept)
     // Ghost-sidecar sweep: a losing or crashed attempt's tokenized
     // manifest/stats/ledger files at versions current has passed are
     // inert (the marker binds each committed version to its winner's
@@ -536,7 +631,7 @@ object Versioned {
     // winner's are touched (legacy version-named files and anything at
     // a version a live writer could still claim are left alone), and a
     // torn marker keeps its version's files in place.
-    val tokenOf = committed.map(cv => cv ->
+    val tokenOf = survivors.map(cv => cv ->
       scala.util.Try(committedToken(s, dir, cv)).toOption.flatten).toMap
     Seq("manifest", "stats", "ledger").foreach { side =>
       val root = new Path(dir, side)

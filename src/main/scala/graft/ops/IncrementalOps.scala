@@ -151,7 +151,7 @@ object IncrementalOps {
     require(!batchId.contains("\n"), "batchId must be single-line")
     Versioned.currentVersion(s, dir) match {
       case None =>
-        val nv = Versioned.nextVersion(s, dir)
+        val nv = 1L  // OCC: snapshot+1, see MergeOps.mergeUpsert
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
         roll(batch).write.mode("overwrite").partitionBy(DayCol)
@@ -180,7 +180,7 @@ object IncrementalOps {
               .withColumn(DayCol, col(DayCol).cast("string"))
               .selectExpr(part.columns: _*)
               .unionByName(part))
-        val nv = Versioned.nextVersion(s, dir)
+        val nv = v + 1  // OCC: snapshot+1, see MergeOps.mergeUpsert
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
         merged.write.mode("overwrite").partitionBy(DayCol)

@@ -66,7 +66,13 @@ object MergeOps {
     }
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
-        val nv = Versioned.nextVersion(s, corpusDir)
+        // OCC rule: allocate from the snapshot this write DERIVES from
+        // (here: the empty table → version 1), never from a re-listing
+        // of current — a racer committing between derivation and
+        // allocation must make the claim FAIL, not shift it to an
+        // uncontested higher number carrying a stale snapshot (the
+        // Wave18 threaded-race lost update).
+        val nv = 1L
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
         batch.write.mode("overwrite").partitionBy(partCol)
@@ -109,7 +115,10 @@ object MergeOps {
               .selectExpr(cols: _*)
               .unionByName(batch)
           }
-        val nv = Versioned.nextVersion(s, corpusDir)
+        // OCC: publish at snapshot+1 (v is the version this merge
+        // derived from) so a concurrent commit makes this claim lose
+        // loudly instead of being leapfrogged (see the None branch).
+        val nv = v + 1
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
         merged.write.mode("overwrite").partitionBy(partCol)
@@ -189,7 +198,7 @@ object MergeOps {
     val frag = man.filter(e =>
       Versioned.dataFileCount(s, corpusDir, e._2) > maxFilesPerPart)
     if (frag.isEmpty) return
-    val nv = Versioned.nextVersion(s, corpusDir)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
     Versioned.readEntries(s, corpusDir, frag, Some(partCol))
@@ -307,7 +316,7 @@ object MergeOps {
         "key per batch, or the one-open-row invariant breaks")
     Versioned.currentVersion(s, historyDir) match {
       case None =>
-        val nv = Versioned.nextVersion(s, historyDir)
+        val nv = 1L  // OCC: snapshot+1, see mergeUpsert
         val stageRel = Versioned.newStageRel(nv)
         changes.withColumn("valid_from", lit(version))
           .withColumn("valid_to", lit(null).cast("long"))
@@ -317,7 +326,9 @@ object MergeOps {
         Versioned.publish(s, historyDir, nv,
           Versioned.wholeTableEntryAt(stageRel))
       case Some(v) =>
-        val hist = Versioned.readCurrent(s, historyDir, None)
+        // pinned to v (not re-read): the version this rewrite derives
+        // from must be the version its claim contends at
+        val hist = Versioned.readVersion(s, historyDir, v, None)
         val open = hist.where(col("valid_to").isNull)
         // keys whose open version differs on ANY attribute — or brand-new
         val diff = changes.alias("c")
@@ -330,7 +341,7 @@ object MergeOps {
         if (diff.isEmpty) return  // nothing changed: the no-op that makes
                                   // re-applying a batch idempotent
         val diffKeys = diff.select(keyCol)
-        val nv = Versioned.nextVersion(s, historyDir)
+        val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
         val stageRel = Versioned.newStageRel(nv)
         hist.where(col("valid_to").isNotNull)                          // closed: keep
           .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))  // open, unchanged
@@ -478,7 +489,7 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
-    val nv = Versioned.nextVersion(s, corpusDir)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     // Bounds of surviving partitions are untouched by a manifest-only
     // drop — carry them (filtered to the kept names) so retention does
@@ -536,7 +547,12 @@ object MergeOps {
     * listing. */
   def history(s: SparkSession, corpusDir: String,
               partCol: String): DataFrame = {
+    // Below-floor versions refuse to read (their data may be vacuumed)
+    // and may be missing entirely after a metadata sweep — the audit
+    // covers the retained window, exactly what the floor promises.
+    val floor = Versioned.retentionFloor(s, corpusDir).getOrElse(Long.MinValue)
     val versions = Versioned.committedVersions(s, corpusDir)
+      .filter(_ >= floor)
     require(versions.nonEmpty, s"no committed version under $corpusDir")
     versions.map { v =>
       val man = Versioned.manifest(s, corpusDir, v)
@@ -652,7 +668,7 @@ object MergeOps {
     val batch = changes.withColumn(BCol, keyBucket(keyCol, buckets))
     Versioned.currentVersion(s, historyDir) match {
       case None =>
-        val nv = Versioned.nextVersion(s, historyDir)
+        val nv = 1L  // OCC: snapshot+1, see mergeUpsert
         val stageRel = Versioned.newStageRel(nv)
         batch.withColumn("valid_from", lit(version))
           .withColumn("valid_to", lit(null).cast("long"))
@@ -698,7 +714,7 @@ object MergeOps {
                              .withColumn("valid_to", lit(null).cast("long")))
               .selectExpr(outCols: _*)
           }
-        val nv = Versioned.nextVersion(s, historyDir)
+        val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
         val stageRel = Versioned.newStageRel(nv)
         slice.write.mode("overwrite").partitionBy(BCol)
           .parquet(s"$historyDir/$stageRel")

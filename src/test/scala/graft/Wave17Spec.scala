@@ -174,13 +174,17 @@ class Wave17Spec extends SparkTestBase {
     assert(Versioned.retentionFloor(spark, dir).contains(2L))
     assert(snap(2L) == s2 && snap(3L) == s3,
       "every version at or above the floor must still read back exactly")
+    // r10: the metadata sweep removes below-floor versions entirely, so
+    // the fail-fast is now "never committed" (the version is gone, not
+    // merely unreadable); the "retention floor" error remains for kept-
+    // below-floor versions (Wave18 pins it on the ledger-guard version).
     val e = intercept[IllegalArgumentException] { snap(1L) }
-    assert(e.getMessage.contains("retention floor"),
+    assert(e.getMessage.contains("never committed"),
       s"below-floor reads need a clear error, got: ${e.getMessage}")
     val e2 = intercept[IllegalArgumentException] {
       Versioned.rollback(spark, dir, 1L)
     }
-    assert(e2.getMessage.contains("retention floor"))
+    assert(e2.getMessage.contains("never committed"))
     // the floor is monotonic: a later, more generous vacuum cannot
     // resurrect reclaimed versions
     Versioned.vacuum(spark, dir, keepVersions = 10)
