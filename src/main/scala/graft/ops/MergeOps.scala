@@ -489,6 +489,12 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val kept = man.filter { case (name, _) => keep(name) }
     if (kept.size == man.size) return
+    // an empty manifest has no entry to recover a schema from, so the
+    // committed read would fail — expiring EVERYTHING is table deletion,
+    // not retention; fail fast instead of publishing an unreadable state
+    require(kept.nonEmpty,
+      s"retention would drop every partition of $corpusDir — an empty " +
+        "table cannot be read back; delete the table instead")
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     // Bounds of surviving partitions are untouched by a manifest-only
