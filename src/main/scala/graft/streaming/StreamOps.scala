@@ -97,14 +97,22 @@ object StreamOps {
     * applied set. This is the third streaming→store composition (after
     * the minhash and embedding stores): the dashboard rollup stays
     * current per trigger, and a batch backfill and the stream can share
-    * one store because both go through foldBatch. */
+    * one store because both go through foldBatch. The fold runs inside
+    * [[graft.engine.Versioned.withCommitRetry]]: losing a commit race
+    * to a concurrent batch backfill is the EXPECTED event on a shared
+    * store, and the fold re-derives from current state per attempt, so
+    * the sink absorbs the race instead of killing the streaming query —
+    * while pathological contention still surfaces after the bounded
+    * attempts (a dead trigger beats silent starvation). */
   def rollupMaintenance(events: DataFrame,
                         rollupDir: String): DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.IncrementalOps.foldBatch(
-          batch.sparkSession, rollupDir, batch, s"stream-$batchId")
+        graft.engine.Versioned.withCommitRetry() {
+          graft.ops.IncrementalOps.foldBatch(
+            batch.sparkSession, rollupDir, batch, s"stream-$batchId")
+        }
       }
 
   /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,

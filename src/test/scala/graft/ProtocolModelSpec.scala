@@ -143,4 +143,134 @@ class ProtocolModelSpec extends SparkTestBase {
        "every step and on all retained time-travel reads (3 seeds)") {
     Seq(11L, 42L, 77L).foreach(run(_, steps = 30))
   }
+
+  // ---- the rollup/ledger family: exactly-once under random
+  //      fold / replay / compact / rollback / vacuum compositions ----
+
+  /** Rollup model: day → sum plus the applied-batch id set, with the
+    * snapshot history the ledger walk-back must reproduce. Batch
+    * content is a pure function of the id, so a replay is detectable
+    * only through the ledger — exactly the property under test. */
+  private case class RollupModel(
+      sums: Map[String, Double],
+      applied: Set[String],
+      snapshots: Vector[(Map[String, Double], Set[String])],
+      floor: Long)
+
+  private def runRollup(seed: Long, steps: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val dir = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_rollup_model_$seed").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    def dayOf(idNum: Int): String = f"2024-03-${1 + idNum % 4}%02d"
+    def valueOf(idNum: Int): Double = idNum + 0.25
+    def batchOf(idNum: Int) =
+      Seq(("u0",
+        java.sql.Timestamp.valueOf(s"${dayOf(idNum)} 12:00:00"),
+        valueOf(idNum))).toDF("user_id", "ts", "value")
+    def foldModel(m: Map[String, Double], idNum: Int): Map[String, Double] =
+      m.updatedWith(dayOf(idNum))(prev =>
+        Some(prev.getOrElse(0.0) + valueOf(idNum)))
+
+    graft.ops.IncrementalOps.foldBatch(spark, dir, batchOf(0), "b0")
+    var model = RollupModel(foldModel(Map.empty, 0), Set("b0"),
+      Vector((foldModel(Map.empty, 0), Set("b0"))), floor = 1L)
+    var nextId = 1
+    // versions published WITHOUT a ledger (compactions) — rollback is
+    // biased toward them because the ledger walk-back is the subtlest
+    // path (the r9-advice defect lived exactly there; a uniform target
+    // choice almost never composes compact→fold→rollback-to-compact)
+    var ledgerless = Set.empty[Long]
+
+    def readBack(): Map[String, Double] =
+      graft.ops.IncrementalOps.readRollup(spark, dir)
+        .select(col("day_s").cast("string"), col("sum_value").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    for (step <- 1 to steps) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 =>                                // fresh fold
+          val id = nextId; nextId += 1
+          graft.ops.IncrementalOps.foldBatch(spark, dir, batchOf(id), s"b$id")
+          val sums = foldModel(model.sums, id)
+          val app = model.applied + s"b$id"
+          model = model.copy(sums = sums, applied = app,
+            snapshots = model.snapshots :+ (sums, app))
+        case 4 | 5 =>                                        // REPLAY
+          val idNum = rnd.nextInt(nextId)
+          graft.ops.IncrementalOps.foldBatch(
+            spark, dir, batchOf(idNum), s"b$idNum")
+          if (!model.applied.contains(s"b$idNum")) {
+            // rolled-back batch: must RE-apply (the walk-back contract)
+            val sums = foldModel(model.sums, idNum)
+            val app = model.applied + s"b$idNum"
+            model = model.copy(sums = sums, applied = app,
+              snapshots = model.snapshots :+ (sums, app))
+          } // applied → ledger no-op: no new version, nothing changes
+        case 6 =>                                            // compact
+          val before = Versioned.currentVersion(spark, dir).get
+          // maxFilesPerPart=0: every partition "fragments", so each
+          // draw publishes a LEDGERLESS version — the composition the
+          // walk-back exists for must actually occur in the sequences
+          MergeOps.compactPartitions(spark, dir, "day_s", maxFilesPerPart = 0)
+          if (Versioned.currentVersion(spark, dir).get > before) {
+            model = model.copy(
+              snapshots = model.snapshots :+ (model.sums, model.applied))
+            ledgerless += model.snapshots.size.toLong
+          }
+        case 7 =>                                            // rollback
+          val candidates =
+            (model.floor to model.snapshots.size.toLong).filter(_ >= 1L)
+          if (candidates.size > 1) {
+            val pref = candidates.filter(c =>
+              ledgerless.contains(c) && c != model.snapshots.size.toLong)
+            val to =
+              if (pref.nonEmpty && rnd.nextBoolean()) pref(rnd.nextInt(pref.size))
+              else candidates(rnd.nextInt(candidates.size))
+            Versioned.rollback(spark, dir, to)
+            if (to != model.snapshots.size.toLong) {
+              val (sums, app) = model.snapshots(to.toInt - 1)
+              model = model.copy(sums = sums, applied = app,
+                snapshots = model.snapshots :+ (sums, app))
+            }
+          }
+        case 8 | 9 =>                                        // vacuum
+          val keep = 1 + rnd.nextInt(3)
+          Versioned.vacuum(spark, dir, keepVersions = keep)
+          val cur = model.snapshots.size.toLong
+          model = model.copy(floor =
+            math.max(model.floor, math.max(1L, cur - keep + 1)))
+      }
+      val got = readBack()
+      assert(got == model.sums,
+        s"seed=$seed step=$step: rollup diverged from model\n" +
+          s"  store: ${got.toSeq.sorted}\n  model: ${model.sums.toSeq.sorted}")
+    }
+
+    // end state: every id ever folded replays as a no-op iff the model
+    // says it is applied; non-applied (rolled-back) ids re-apply once
+    (0 until nextId).foreach { idNum =>
+      val pre = model.sums
+      graft.ops.IncrementalOps.foldBatch(
+        spark, dir, batchOf(idNum), s"b$idNum")
+      val got = readBack()
+      if (model.applied.contains(s"b$idNum"))
+        assert(got == pre,
+          s"seed=$seed: applied b$idNum must replay as a no-op")
+      else {
+        val sums = foldModel(model.sums, idNum)
+        assert(got == sums,
+          s"seed=$seed: rolled-back b$idNum must re-apply exactly once")
+        model = model.copy(sums = sums, applied = model.applied + s"b$idNum")
+      }
+    }
+  }
+
+  test("rollup fuzz: random fold/replay/compact/rollback/vacuum keeps " +
+       "exactly-once and the day sums model-exact (3 seeds)") {
+    Seq(5L, 23L, 91L).foreach(runRollup(_, steps = 25))
+  }
 }
