@@ -563,6 +563,14 @@ object Versioned {
     publish(s, dir, nv, tok, manifest(s, dir, toVersion))
   }
 
+  /** What a [[vacuum]] pass actually reclaimed — the operator-facing
+    * receipt (every table format's VACUUM prints one): deleting storage
+    * is the one irreversible act in an otherwise append-only protocol,
+    * so it should be auditable without diffing directory listings. */
+  final case class VacuumReport(
+      floor: Long, dataDirsDeleted: Int, versionsSwept: Int,
+      ghostFilesDeleted: Int)
+
   /** Reclaim data dirs no RETAINED manifest references — retained =
     * the newest `keepVersions` committed versions (default 1: current
     * only, the round-8 behavior). This is the hard-delete half of the
@@ -581,12 +589,15 @@ object Versioned {
     * applied-batch ledger is never deleted, even below the floor.
     * Bounded metadata work: one listing each of `data/`, `manifest/`,
     * `stats/`, `ledger/` plus `keepVersions` manifests. */
-  def vacuum(s: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+  def vacuum(s: SparkSession, dir: String,
+             keepVersions: Int = 1): VacuumReport = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = fsOf(s, dir)
     val committed = committedVersions(s, dir)
-    if (committed.isEmpty) return
+    if (committed.isEmpty) return VacuumReport(0L, 0, 0, 0)
     val cur = committed.last
+    var dataDeleted = 0
+    var ghostsDeleted = 0
     val retained = committed.takeRight(keepVersions)
     val floor = math.max(retained.min, retentionFloor(s, dir).getOrElse(1L))
     val referenced = retained.flatMap(rv => manifest(s, dir, rv))
@@ -596,7 +607,7 @@ object Versioned {
       val name = st.getPath.getName
       val keep = stageDirVersion(name).forall(n =>
         n > cur || referenced.contains(s"data/$name"))
-      if (!keep) fs.delete(st.getPath, true)
+      if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
     // Metadata sweep below the floor: versions under the floor already
     // refuse to time-travel (their data may be gone), so their markers,
@@ -645,7 +656,7 @@ object Versioned {
                 (!tokenOf.contains(gv) ||
                  tokenOf(gv).exists(_ != name.drop(i + 1)))
           }
-          if (ghost) fs.delete(st.getPath, false)
+          if (ghost) { fs.delete(st.getPath, false); ghostsDeleted += 1 }
         }
       }
     }
@@ -659,5 +670,6 @@ object Versioned {
     try out.write(s"$floor\n".getBytes("UTF-8")) finally out.close()
     fs.delete(fp, false)
     if (!fs.rename(tmp, fp)) fs.delete(tmp, false)
+    VacuumReport(floor, dataDeleted, swept.size, ghostsDeleted)
   }
 }

@@ -92,6 +92,47 @@ class Wave18Spec extends SparkTestBase {
     assert(Versioned.committedVersions(spark, dir).size == 10)
   }
 
+  test("a folding writer races a compacting maintainer on one rollup " +
+       "store: exactly-once and exact sums survive real contention") {
+    import spark.implicits._
+    val dir = freshDir("graft_fold_vs_compact")
+    def batch(idNum: Int) =
+      Seq(("u0",
+        java.sql.Timestamp.valueOf(f"2024-03-${1 + idNum % 3}%02d 12:00:00"),
+        idNum + 0.25)).toDF("user_id", "ts", "value")
+    IncrementalOps.foldBatch(spark, dir, batch(0), "b0")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val folder = new Thread(() => {
+      try (1 to 5).foreach { i =>
+        Versioned.withCommitRetry(maxAttempts = 12) {
+          IncrementalOps.foldBatch(spark, dir, batch(i), s"b$i")
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try (1 to 5).foreach { _ =>
+        Versioned.withCommitRetry(maxAttempts = 12) {
+          MergeOps.compactPartitions(spark, dir, "day_s", maxFilesPerPart = 0)
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    folder.start(); compactor.start()
+    folder.join(180000); compactor.join(180000)
+    assert(errs.isEmpty, s"no writer may fail: ${errs.toArray.toSeq}")
+    def sums = IncrementalOps.readRollup(spark, dir)
+      .select(col("day_s").cast("string"), col("sum_value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = (0 to 5).map(i =>
+      (f"2024-03-${1 + i % 3}%02d", i + 0.25))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sums == want, s"expected $want, got $sums")
+    // the races must not have damaged exactly-once: every id replays
+    // as a no-op
+    (0 to 5).foreach(i =>
+      IncrementalOps.foldBatch(spark, dir, batch(i), s"b$i"))
+    assert(sums == want, "replays after the race must all no-op")
+  }
+
   test("vacuum sweeps metadata below the floor: the commit log is " +
        "bounded by the retention window") {
     import spark.implicits._
@@ -101,7 +142,15 @@ class Wave18Spec extends SparkTestBase {
       Seq((1L, -1.0, "O")).toDF("k", "v", "p"), "k", "p")                 // v2
     MergeOps.mergeUpsert(spark, dir,
       Seq((2L, -2.0, "E")).toDF("k", "v", "p"), "k", "p")                 // v3
-    Versioned.vacuum(spark, dir, keepVersions = 2)                 // floor=2
+    val report = Versioned.vacuum(spark, dir, keepVersions = 2)    // floor=2
+    assert(report.floor == 2L && report.versionsSwept == 1,
+      s"the receipt must record the sweep, got $report")
+    // v1's data dir is still REFERENCED (v2's untouched-partition entry
+    // points into it — the whole point of manifest-level merges), so
+    // nothing is data-deletable here; the swept version's tokenized
+    // manifest is reclaimed as a ghost once its marker is gone
+    assert(report.dataDirsDeleted == 0 && report.ghostFilesDeleted >= 1,
+      s"receipt counts must match the sweep semantics, got $report")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "commits/1")),
