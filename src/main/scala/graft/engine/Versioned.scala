@@ -588,7 +588,17 @@ object Versioned {
     * exactly-once guard documented inline: the newest committed
     * applied-batch ledger is never deleted, even below the floor.
     * Bounded metadata work: one listing each of `data/`, `manifest/`,
-    * `stats/`, `ledger/` plus `keepVersions` manifests. */
+    * `stats/`, `ledger/` plus `keepVersions` manifests.
+    *
+    * Concurrency: two racing vacuums may leave `floor.txt` at the
+    * SMALLER of their floors (last write wins; no marker claim guards
+    * the advisory file). That weakens nothing: the sweep itself is
+    * idempotent, and a version one racer already swept fails loudly as
+    * "never committed" regardless of the recorded floor — the floor is
+    * a fail-fast courtesy, never the correctness gate. A vacuum racing
+    * a LIVE writer can at worst delete the stage of a writer that has
+    * already lost its version race (its claim will fail anyway); a
+    * writer at current+1 is never touched (`n > cur` keep rule). */
   def vacuum(s: SparkSession, dir: String,
              keepVersions: Int = 1): VacuumReport = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")

@@ -35,7 +35,18 @@ object MergeOps {
   /** Merge `batch` into the versioned parquet corpus at `corpusDir`:
     * rows with a `keyCol` already present replace the old row, others
     * append; only partitions present in `batch` are restaged. Creates
-    * the corpus (version 1) on first call. */
+    * the corpus (version 1) on first call.
+    *
+    * PRECONDITION — stable key→partition mapping: a key's `partCol`
+    * value must never change across batches. The replace rule is
+    * partition-LOCAL by design (that is what makes a merge cost
+    * O(touched partitions), the operator's whole point at 100 TB); a
+    * batch that moves a key to a new partition value would upsert there
+    * while the stale row survives untouched in the old partition —
+    * a duplicate no partition-pruned merge can see without scanning the
+    * full corpus. Derive `partCol` from immutable key attributes (hash
+    * buckets, creation date) or route moves through an explicit
+    * delete+insert that touches both partitions. */
   def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
                   keyCol: String, partCol: String,
                   statsKey: Option[String] = None): Unit = {
