@@ -17,29 +17,34 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   * §2 merge rows; the design every table format with a commit log uses,
   * scaled down to "one manifest per version + one empty marker file").
   *
-  * Layout under a table root `dir` (protocol v3, round 10):
+  * Layout under a table root `dir` (protocol v3.1, round 10):
   * {{{
-  *   dir/commits/<v>               marker — EXISTENCE is the commit,
-  *                                 CONTENT is the winning attempt token
+  *   dir/commits/<v>               marker — EXISTENCE is the commit;
+  *                                 stays EMPTY forever
+  *   dir/commits/<v>.winner        winner binding — the committed
+  *                                 attempt's token, exclusive-created
   *   dir/manifest/<v>_<token>.txt  partition-dir-name \t rel-data-dir,
   *                                 one per ATTEMPT (winner bound by the
-  *                                 marker; legacy: manifest/<v>.txt with
-  *                                 an empty marker)
+  *                                 binding; legacy: manifest/<v>.txt
+  *                                 with no binding)
   *   dir/stats|ledger/<v>_<token>.txt  sidecars, same attempt binding
   *   dir/data/<v>_<token>/...      data staged by ONE writer's attempt
   * }}}
   *
-  * A writer allocates `v` = current+1, mints an attempt token, stages
-  * data under its UNIQUE `data/<v>_<token>` dir, writes its sidecars and
-  * `manifest/<v>_<token>.txt`, and only THEN claims `commits/<v>` —
-  * created exclusively with the token as content, the one winner-takes-
-  * all step that both publishes `v` and binds it to this attempt's
-  * files. Readers resolve the highest committed version, read its
-  * marker token, and read exactly the directories the WINNING manifest
-  * lists. A crash anywhere before the marker leaves every reader on the
-  * previous version — always fully-old or fully-new, never a mix (the
-  * property [[graft.AtomicCommitSpec]] kills a staged write mid-flight
-  * to prove).
+  * A writer allocates `v` = snapshot+1, mints an attempt token, stages
+  * data under its UNIQUE `data/<v>_<token>` dir, writes its sidecars
+  * and `manifest/<v>_<token>.txt`, then claims the EMPTY marker and
+  * binds its token ([[publish]] — four steps, every torn intermediate
+  * either invisible or mechanically recoverable via
+  * [[repairTornCommit]]). Readers resolve the highest committed
+  * version, read its winner binding, and read exactly the directories
+  * the WINNING manifest lists. A crash before the claim leaves every
+  * reader on the previous version — always fully-old or fully-new,
+  * never a mix (the property [[graft.AtomicCommitSpec]] kills a staged
+  * write mid-flight to prove); a crash between claim and binding is
+  * the one LOUD state (reads of it fail naming the repair, nothing
+  * resolves arbitrarily, and nothing anyone was told committed is
+  * lost).
   *
   * Concurrency contract (two LIVE writers racing — the streaming
   * maintenance sink + a batch merge sharing one store): exactly one
@@ -48,24 +53,21 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   *      tokenized — attempts can never overwrite each other's bytes,
   *      and a crashed ghost can never collide with (and so never burn)
   *      a retry at the same version;
-  *   2. [[nextVersion]] allocates STRICTLY at current+1, so all racers
-  *      that staged from one snapshot contend on the SAME marker — the
+  *   2. every writer publishes at SNAPSHOT+1 ([[nextVersion]]), so all
+  *      racers from one snapshot contend on the SAME marker — the
   *      round-9 protocol skipped in-flight sidecars and let a racer
   *      slip to a higher number staged from a stale snapshot, where
   *      both writers "won" and the first commit silently vanished (the
   *      r9 advice lost-update);
-  *   3. the marker is claimed with `createNewFile` — atomic on POSIX
-  *      local filesystems AND HDFS-class stores, the single claim; its
-  *      recorded token is what makes a loser's same-version manifest
-  *      and sidecars inert ghosts rather than ambient state.
+  *   3. the marker claim and the winner binding are both atomic
+  *      exclusive creates (kernel-atomic on POSIX local filesystems,
+  *      namenode-atomic on HDFS-class stores); the binding is what
+  *      makes a loser's same-version manifest and sidecars inert
+  *      ghosts rather than ambient state.
   * A loser gets [[ConcurrentCommitException]] and must redo the whole
-  * stage at [[nextVersion]] (the state it computed from changed);
-  * ghosts are reclaimed by [[vacuum]] once `current` passes them. The
-  * one residual window: the marker's token write is not atomic WITH the
-  * `createNewFile` claim — a writer dying inside those few microseconds
-  * of driver-local code leaves a token-less marker with no legacy
-  * manifest, which readers reject LOUDLY with the recovery step
-  * (delete the marker) instead of resolving arbitrarily.
+  * stage at snapshot+1 of the NEW current (the state it computed from
+  * changed) — [[withCommitRetry]] automates exactly that loop; ghosts
+  * are reclaimed by [[vacuum]] once `current` passes them.
   *
   * Scale notes: resolution is one `listStatus` of `commits/` (one entry
   * per version — the same bounded metadata walk a commit log replays);
@@ -176,37 +178,86 @@ object Versioned {
   def nextVersion(s: SparkSession, dir: String): Long =
     currentVersion(s, dir).getOrElse(0L) + 1
 
-  /** The winning attempt's token recorded in a COMMITTED version's
-    * marker: Some(token) for tokenized commits, None for legacy commits
-    * (empty marker + version-named `manifest/<v>.txt`). The marker is
-    * created exclusively WITH its token in one stream; a racing reader
-    * can still glimpse the file between the exclusive create and the
-    * token landing, so an empty marker with no legacy manifest is
-    * re-read once before being declared torn — a real torn marker (the
-    * writer died inside the few-microsecond claim write) fails LOUDLY
-    * with the recovery step rather than resolving to the wrong attempt. */
+  /** The winning attempt's token of a COMMITTED version: Some(token)
+    * for tokenized commits, None for legacy commits (empty marker +
+    * version-named `manifest/<v>.txt`). Resolution order:
+    *   1. `commits/<v>.winner` content (protocol v3.1 — the marker
+    *      itself stays empty forever, so there is no torn-content or
+    *      overwrite-glimpse hazard on the marker);
+    *   2. non-empty marker content (the short-lived v3.0 interim format
+    *      that wrote the token into the marker — still readable);
+    *   3. legacy `manifest/<v>.txt` → None.
+    * A marker with none of the three is a TORN commit: the writer died
+    * between its claim and its binding. A racing reader can also catch
+    * the microseconds between those two creates, so the reader retries
+    * briefly; a genuinely torn commit then fails LOUDLY, naming
+    * [[repairTornCommit]] as the recovery — never resolving to an
+    * arbitrary attempt. */
   private[graft] def committedToken(s: SparkSession, dir: String,
                                     v: Long): Option[String] = {
     val fs = fsOf(s, dir)
-    val p = new Path(dir, s"commits/$v")
-    def readMarker(): String = {
+    def readFile(p: Path): String = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
-    val t = readMarker()
-    if (t.nonEmpty) Some(t)
-    else if (fs.exists(new Path(dir, s"manifest/$v.txt"))) None
-    else {
-      Thread.sleep(100)
-      val t2 = readMarker()
-      if (t2.nonEmpty) Some(t2)
-      else throw new IllegalStateException(
-        s"torn commit marker commits/$v under $dir: the marker exists " +
-          "but records no winner token and no legacy manifest is " +
-          s"present — the publishing writer died mid-claim; delete " +
-          s"commits/$v to discard the torn commit")
+    def resolveOnce(): Option[Option[String]] = {
+      val w = winnerPath(dir, v)
+      if (fs.exists(w)) {
+        val t = readFile(w)
+        if (t.nonEmpty) return Some(Some(t))
+      }
+      val m = readFile(new Path(dir, s"commits/$v"))
+      if (m.nonEmpty) Some(Some(m))
+      else if (fs.exists(new Path(dir, s"manifest/$v.txt"))) Some(None)
+      else None
     }
+    var attempt = 0
+    while (attempt < 5) {
+      resolveOnce() match {
+        case Some(r) => return r
+        case None =>
+          attempt += 1
+          if (attempt < 5) Thread.sleep(100L * attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"torn commit at version $v under $dir: the marker exists but no " +
+        "winner binding, marker token, or legacy manifest resolves it — " +
+        "the publishing writer died between its claim and its binding; " +
+        "run Versioned.repairTornCommit to discard it safely")
+  }
+
+  /** Discard a TORN commit — a marker whose publishing writer died
+    * between the claim and the winner binding, leaving a version that
+    * exists but cannot resolve (reads of it fail loudly). Safe because
+    * a writer only returns from [[publish]] AFTER its binding lands: a
+    * torn commit is one nobody was ever told succeeded. The grace
+    * period guards the live-writer case — a writer merely PAUSED
+    * between the two creates resumes by binding the version and
+    * re-claiming the marker ([[publish]] step 4), so repair refuses to
+    * touch markers younger than `graceMs`. Returns true if the marker
+    * was removed. */
+  def repairTornCommit(s: SparkSession, dir: String, v: Long,
+                       graceMs: Long = 60000L): Boolean = {
+    val fs = fsOf(s, dir)
+    val marker = new Path(dir, s"commits/$v")
+    if (!fs.exists(marker)) return false
+    if (fs.exists(winnerPath(dir, v))) return false
+    val content = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (content.nonEmpty) return false                    // v3.0 interim
+    if (fs.exists(new Path(dir, s"manifest/$v.txt"))) return false // legacy
+    val age = System.currentTimeMillis() - fs.getFileStatus(marker)
+      .getModificationTime
+    require(age >= graceMs,
+      s"commit marker for version $v under $dir is only ${age}ms old — " +
+        "its writer may still be mid-publish; wait out the grace period " +
+        "before repairing")
+    fs.delete(marker, false)
   }
 
   /** The on-disk path of a version's `side` sidecar under attempt
@@ -285,24 +336,44 @@ object Versioned {
             "version; redo the stage at nextVersion", e)
     }
 
-  /** Publish version `v` as attempt `token`: write the attempt's own
-    * manifest (`manifest/<v>_<token>.txt` — unique per attempt, so
-    * concurrent attempts and crashed ghosts can never collide), then
-    * claim `commits/<v>` exclusively WITH the token as its content —
-    * the single winner-takes-all step that both makes `v` visible and
-    * binds it to this attempt's manifest and sidecars. Because
-    * [[nextVersion]] allocates strictly at current+1, every racer that
-    * staged from the same snapshot claims the SAME marker: exactly one
-    * wins; every loser throws [[ConcurrentCommitException]] here and
-    * its staged data, manifest, and sidecars are inert ghosts (vacuum
-    * reclaims them). A writer whose snapshot went stale mid-flight also
-    * loses here — its version number is by then committed by whoever
-    * advanced current.
+  /** The winner-binding sidecar of a committed version: created
+    * EXCLUSIVELY, written once, never overwritten. */
+  private def winnerPath(dir: String, v: Long): Path =
+    new Path(dir, s"commits/$v.winner")
+
+  /** Publish version `v` as attempt `token`, in four steps whose every
+    * torn intermediate state is either invisible or mechanically
+    * recoverable:
+    *
+    *  1. write the attempt's own manifest
+    *     (`manifest/<v>_<token>.txt` — tokenized, collision-free);
+    *  2. CLAIM `commits/<v>` — an atomic create of an EMPTY file that
+    *     stays empty forever (exactly the round-8 commit point, which
+    *     had no torn-content state to worry about). Exists → the
+    *     version went to another writer → [[ConcurrentCommitException]];
+    *  3. BIND the winner: exclusively create `commits/<v>.winner` with
+    *     the token. Exists → a repair cycle stole the claim while this
+    *     writer was paused and another attempt bound the version →
+    *     loser, redo (own staged files stay inert ghosts);
+    *  4. VERIFY the marker still exists and re-claim it if a
+    *     [[repairTornCommit]] deleted it between 2 and 3 — the binding
+    *     from step 3 is already ours, so resurrecting the marker
+    *     completes OUR commit; if someone re-claimed in between, the
+    *     marker exists again and the binding is still ours, which is
+    *     equally complete.
+    *
+    * A writer crash between 2 and 3 leaves a token-less marker — reads
+    * fail LOUDLY ([[committedToken]]) and [[repairTornCommit]] removes
+    * it safely after a grace period (the writer never returned, so
+    * nothing anyone believes committed is lost). Because
+    * [[nextVersion]] allocates strictly at snapshot+1, every racer from
+    * one snapshot contends on the SAME claim; a stale writer's number
+    * is committed by whoever advanced current, so it loses at step 2.
     *
     * Sidecar contract: [[writeStats]] / ledger writes that belong to
     * this version must use the SAME token and land BEFORE publish, so a
     * committed version and its sidecars are bound atomically by the one
-    * marker. */
+    * winner file. */
   def publish(s: SparkSession, dir: String, v: Long, token: String,
               entries: Seq[(String, String)]): Unit = {
     val fs = fsOf(s, dir)
@@ -312,16 +383,22 @@ object Versioned {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.mkdirs(new Path(dir, "commits"))
-    // Only the single claim winner writes its token into the file it
-    // owns; a reader glimpsing the claimed-but-unwritten marker is
-    // handled by committedToken's one re-read.
     val marker = new Path(dir, s"commits/$v")
     if (!atomicCreateNewFile(fs, marker))
       throw new ConcurrentCommitException(
         s"commit marker for version $v already exists under $dir — " +
           "another writer won this version; redo the stage at nextVersion")
-    val tokOut = fs.create(marker, true)
-    try tokOut.write(token.getBytes("UTF-8")) finally tokOut.close()
+    val bind = try {
+      val o = createExclusive(fs, winnerPath(dir, v), "winner binding")
+      try o.write(token.getBytes("UTF-8")) finally o.close()
+      true
+    } catch { case _: ConcurrentCommitException => false }
+    if (!bind)
+      throw new ConcurrentCommitException(
+        s"version $v's winner binding already exists under $dir — a " +
+          "repair cycle reassigned the claim while this writer was " +
+          "paused; redo the stage at nextVersion")
+    if (!fs.exists(marker)) atomicCreateNewFile(fs, marker)
   }
 
   /** Create-empty-if-absent with a REAL atomicity guarantee. Hadoop's
@@ -546,14 +623,20 @@ object Versioned {
     // at or below the target but some exists above, an empty ledger is
     // written at the rollback version to mask the newer ones.
     val committed = committedVersions(s, dir)
-    val ledgerAtOrBelow = committed.filter(_ <= toVersion).sorted.reverse
-      .iterator.map(w => committedSidecar(s, dir, w, "ledger"))
-      .collectFirst { case Some(p) => p }
+    // short-circuit: tables that never wrote a ledger (every plain merge
+    // corpus) must not pay an O(versions) marker-read walk here
+    val hasLedgerDir = fs.exists(new Path(dir, "ledger"))
+    val ledgerAtOrBelow =
+      if (!hasLedgerDir) None
+      else committed.filter(_ <= toVersion).sorted.reverse
+        .iterator.map(w => committedSidecar(s, dir, w, "ledger"))
+        .collectFirst { case Some(p) => p }
     ledgerAtOrBelow match {
       case Some(from) => copyTo(from, "ledger")
       case None =>
-        val anyAbove = committed.filter(w => w > toVersion && w <= v)
-          .exists(w => committedSidecar(s, dir, w, "ledger").isDefined)
+        val anyAbove = hasLedgerDir &&
+          committed.filter(w => w > toVersion && w <= v)
+            .exists(w => committedSidecar(s, dir, w, "ledger").isDefined)
         if (anyAbove) {
           val out = createExclusive(
             fs, sidecarPathFor(dir, nv, Some(tok), "ledger"), "ledger")
@@ -596,9 +679,17 @@ object Versioned {
     * idempotent, and a version one racer already swept fails loudly as
     * "never committed" regardless of the recorded floor — the floor is
     * a fail-fast courtesy, never the correctness gate. A vacuum racing
-    * a LIVE writer can at worst delete the stage of a writer that has
-    * already lost its version race (its claim will fail anyway); a
-    * writer at current+1 is never touched (`n > cur` keep rule). */
+    * an ordinary STAGE-AND-PUBLISH writer can at worst delete the stage
+    * of an attempt that already lost its version race (its claim will
+    * fail anyway); a writer at current+1 is never touched (`n > cur`
+    * keep rule). The one maintenance writer vacuum must NOT race is
+    * [[rollback]]: a rollback's new manifest references OLD data dirs,
+    * so a vacuum whose referenced-set snapshot predates the rollback
+    * commit could reclaim dirs the new current needs. Vacuum re-checks
+    * the commit log right before its destructive pass and aborts if it
+    * moved, which closes all but the in-pass window — schedule rollback
+    * and vacuum from a single maintainer (the contract every table
+    * format's VACUUM has with time travel). */
   def vacuum(s: SparkSession, dir: String,
              keepVersions: Int = 1): VacuumReport = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
@@ -612,6 +703,31 @@ object Versioned {
     val floor = math.max(retained.min, retentionFloor(s, dir).getOrElse(1L))
     val referenced = retained.flatMap(rv => manifest(s, dir, rv))
       .map(_._2.split("/").take(2).mkString("/")).toSet
+    // Record the floor BEFORE anything is deleted: a crash mid-sweep
+    // then leaves a floor that is merely conservative (reads fail fast
+    // on versions whose data still exists), never the reverse — the
+    // missing-file surprise the floor exists to prevent. Temp + rename
+    // because an in-place overwrite could tear to an empty file; stale
+    // tmps from crashed vacuums are reclaimed first.
+    val fp = new Path(dir, "floor.txt")
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("floor.txt.tmp_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val tmp = new Path(dir, s"floor.txt.tmp_${newToken()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$floor\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(fp, false)
+    if (!fs.rename(tmp, fp)) fs.delete(tmp, false)
+    // Best-effort guard against a maintenance writer (rollback is the
+    // dangerous one: its new manifest references OLD dirs) committing
+    // between the referenced-set snapshot and the deletes: re-check
+    // current and abort the destructive half for this pass if it moved.
+    // A commit landing INSIDE the delete loop below remains possible —
+    // scheduling vacuum and rollback from one maintainer (or wrapping
+    // both in withCommitRetry and re-running vacuum) is the operational
+    // contract, as with every table format's VACUUM vs time-travel.
+    if (committedVersions(s, dir) != committed)
+      return VacuumReport(floor, 0, 0, 0)
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).toSeq.foreach { st =>
       val name = st.getPath.getName
@@ -631,15 +747,18 @@ object Versioned {
     // later fold writes a newer ledger above the floor. Legacy
     // version-named sidecars are deleted here; tokenized ones fall to
     // the ghost sweep below once their marker is gone.
-    val newestLedgerV = committed.sorted.reverse.find(w =>
-      scala.util.Try(committedSidecar(s, dir, w, "ledger")).toOption
-        .flatten.isDefined)
+    val newestLedgerV =
+      if (!fs.exists(new Path(dir, "ledger"))) None   // ledger-less table:
+      else committed.sorted.reverse.find(w =>        // skip the O(versions)
+        scala.util.Try(committedSidecar(s, dir, w, "ledger")).toOption
+          .flatten.isDefined)                        // marker-read walk
     val ledgerKeep = newestLedgerV.filter(_ < floor)
     val swept = committed
       .filter(v => v < floor && !ledgerKeep.contains(v)).toSet
     swept.foreach { v =>
       Seq("manifest", "stats", "ledger").foreach(side =>
         fs.delete(new Path(dir, s"$side/$v.txt"), false))
+      fs.delete(winnerPath(dir, v), false)
       fs.delete(new Path(dir, s"commits/$v"), false)
     }
     val survivors = committed.filterNot(swept)
@@ -670,16 +789,6 @@ object Versioned {
         }
       }
     }
-    // Record the floor via temp + rename: the plain in-place overwrite
-    // could tear to an empty file on a crash; with the tolerant parse in
-    // [[retentionFloor]] either failure mode now degrades to "floor
-    // forgotten" (advisory lost, correctness unaffected), never a brick.
-    val fp = new Path(dir, "floor.txt")
-    val tmp = new Path(dir, s"floor.txt.tmp_${newToken()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"$floor\n".getBytes("UTF-8")) finally out.close()
-    fs.delete(fp, false)
-    if (!fs.rename(tmp, fp)) fs.delete(tmp, false)
     VacuumReport(floor, dataDeleted, swept.size, ghostsDeleted)
   }
 }

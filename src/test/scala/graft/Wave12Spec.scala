@@ -426,6 +426,10 @@ class Wave12Spec extends SparkTestBase {
         "the static side should come from cache with live partitioning")
       assert("HashAggregate".r.findAllIn(plan).size >= 2,
         "contributions should partially aggregate map-side")
-    } finally edgesDeg.unpersist(true)
+    } finally GraphOps.resetSubstrateMemo()
+    // reset, NOT a bare unpersist: the substrate is memoized per dataset
+    // (a standing artifact since r10) — unpersisting while leaving the
+    // memo entry would hand every later caller an uncached plan that
+    // recomputes the edges+deg join per iteration
   }
 }

@@ -92,6 +92,49 @@ class Wave18Spec extends SparkTestBase {
     assert(Versioned.committedVersions(spark, dir).size == 10)
   }
 
+  test("a torn commit (claim without binding) fails reads loudly and " +
+       "repairs mechanically; the marker itself stays empty") {
+    import spark.implicits._
+    val dir = freshDir("graft_torn")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")          // v1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // protocol v3.1: the marker is EMPTY; the winner binding resolves
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, "commits/1")).getLen == 0,
+      "the marker must stay empty forever (no torn-content state)")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "commits/1.winner")),
+      "the winner binding must exist for a committed version")
+
+    // crash state: claim landed, binding did not (writer died between
+    // publish steps 2 and 3)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "commits/2"))
+    val e = intercept[IllegalStateException] {
+      MergeOps.readCorpus(spark, dir, "p").collect()
+    }
+    assert(e.getMessage.contains("repairTornCommit"),
+      s"torn reads must name the recovery, got: ${e.getMessage}")
+    // repair refuses inside the grace period (the writer might be a
+    // live pause, whose resume completes the commit)
+    val g = intercept[IllegalArgumentException] {
+      Versioned.repairTornCommit(spark, dir, 2L)
+    }
+    assert(g.getMessage.contains("grace"))
+    // ... and discards the torn claim once the grace is waived
+    assert(Versioned.repairTornCommit(spark, dir, 2L, graceMs = 0L))
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(rows == (1L to 10L).toSet,
+      "after repair, readers land on the previous committed version")
+    // the version is reusable: the next merge claims v2 cleanly
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, 111.0, "O")).toDF("k", "v", "p"), "k", "p")
+    assert(Versioned.currentVersion(spark, dir).get == 2L)
+    // repair is a no-op on healthy commits
+    assert(!Versioned.repairTornCommit(spark, dir, 2L, graceMs = 0L))
+  }
+
   test("a folding writer races a compacting maintainer on one rollup " +
        "store: exactly-once and exact sums survive real contention") {
     import spark.implicits._
