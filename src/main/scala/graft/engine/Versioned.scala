@@ -42,9 +42,10 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   * reader on the previous version — always fully-old or fully-new,
   * never a mix (the property [[graft.AtomicCommitSpec]] kills a staged
   * write mid-flight to prove); a crash between claim and binding is
-  * the one LOUD state (reads of it fail naming the repair, nothing
-  * resolves arbitrarily, and nothing anyone was told committed is
-  * lost).
+  * the one LOUD state: reads of it fail naming [[repairTornCommit]],
+  * which COMPLETES the version as a no-op commit through the same
+  * binding claim every writer uses — nothing resolves arbitrarily,
+  * nothing is deleted, and nothing anyone was told committed is lost.
   *
   * Concurrency contract (two LIVE writers racing — the streaming
   * maintenance sink + a batch merge sharing one store): exactly one
@@ -193,21 +194,23 @@ object Versioned {
     * briefly; a genuinely torn commit then fails LOUDLY, naming
     * [[repairTornCommit]] as the recovery — never resolving to an
     * arbitrary attempt. */
+  /** Read a small metadata file as its trimmed UTF-8 content. */
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   private[graft] def committedToken(s: SparkSession, dir: String,
                                     v: Long): Option[String] = {
     val fs = fsOf(s, dir)
-    def readFile(p: Path): String = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
     def resolveOnce(): Option[Option[String]] = {
       val w = winnerPath(dir, v)
       if (fs.exists(w)) {
-        val t = readFile(w)
+        val t = readSmallFile(fs, w)
         if (t.nonEmpty) return Some(Some(t))
       }
-      val m = readFile(new Path(dir, s"commits/$v"))
+      val m = readSmallFile(fs, new Path(dir, s"commits/$v"))
       if (m.nonEmpty) Some(Some(m))
       else if (fs.exists(new Path(dir, s"manifest/$v.txt"))) Some(None)
       else None
@@ -221,43 +224,90 @@ object Versioned {
           if (attempt < 5) Thread.sleep(100L * attempt)
       }
     }
-    throw new IllegalStateException(
-      s"torn commit at version $v under $dir: the marker exists but no " +
-        "winner binding, marker token, or legacy manifest resolves it — " +
-        "the publishing writer died between its claim and its binding; " +
-        "run Versioned.repairTornCommit to discard it safely")
+    // ConcurrentCommitException, not IllegalState: the unresolved claim
+    // is either a writer mid-publish (transient — withCommitRetry's
+    // backoff absorbs it and re-derives once the binding lands) or a
+    // dead writer's torn claim (run the repair). Both are commit-state
+    // conflicts, not corrupt data.
+    throw new ConcurrentCommitException(
+      s"commit at version $v under $dir is unresolved: the claim exists " +
+        "but no winner binding, marker token, or legacy manifest names " +
+        "the winning attempt. Either its writer is mid-publish (retry " +
+        "shortly) or it died between claim and binding — run " +
+        "Versioned.repairTornCommit to complete it as a no-op commit")
   }
 
-  /** Discard a TORN commit — a marker whose publishing writer died
-    * between the claim and the winner binding, leaving a version that
-    * exists but cannot resolve (reads of it fail loudly). Safe because
-    * a writer only returns from [[publish]] AFTER its binding lands: a
-    * torn commit is one nobody was ever told succeeded. The grace
-    * period guards the live-writer case — a writer merely PAUSED
-    * between the two creates resumes by binding the version and
-    * re-claiming the marker ([[publish]] step 4), so repair refuses to
-    * touch markers younger than `graceMs`. Returns true if the marker
-    * was removed. */
+  /** Repair a TORN commit — a claim whose publishing writer died
+    * before its winner binding landed, leaving a version that exists
+    * but cannot resolve (reads of it fail loudly). The repair COMPLETES
+    * the version as a NO-OP COMMIT: it writes a fresh tokenized
+    * manifest duplicating the previous committed version's entries and
+    * binds it through the same exclusive-create claim every writer
+    * uses — so a paused (not dead) writer that resumes contends on the
+    * binding like any racer: if the writer binds first, repair sees a
+    * healthy commit and backs off (false); if repair binds first, the
+    * writer loses with [[ConcurrentCommitException]] and redoes its
+    * stage, exactly as if a real competitor had won. NOTHING is
+    * deleted, so there is no state in which a commit someone was told
+    * succeeded disappears. (Only a torn FIRST version, with no prior
+    * manifest to duplicate, is discarded by deleting the claim —
+    * nothing below it can reference it.) An empty winner file — a
+    * writer dead INSIDE its binding write — repairs the same way after
+    * the grace, replacing the dead binding.
+    *
+    * The grace period is measured against the STORE's clock (a probe
+    * file's mtime), not the client's, so clock skew cannot shrink or
+    * stretch it. Returns true if this call repaired the version. */
   def repairTornCommit(s: SparkSession, dir: String, v: Long,
                        graceMs: Long = 60000L): Boolean = {
     val fs = fsOf(s, dir)
     val marker = new Path(dir, s"commits/$v")
     if (!fs.exists(marker)) return false
-    if (fs.exists(winnerPath(dir, v))) return false
-    val content = {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+    val w = winnerPath(dir, v)
+    val emptyWinner = fs.exists(w) && {
+      if (readSmallFile(fs, w).nonEmpty) return false      // healthy
+      true
     }
-    if (content.nonEmpty) return false                    // v3.0 interim
+    if (readSmallFile(fs, marker).nonEmpty) return false   // v3.0 interim
     if (fs.exists(new Path(dir, s"manifest/$v.txt"))) return false // legacy
-    val age = System.currentTimeMillis() - fs.getFileStatus(marker)
+    // store-clock age: create a probe and compare the two mtimes, so
+    // client/store clock skew cannot defeat the grace either way
+    val probe = new Path(dir, s"commits/.repair_probe_${newToken()}")
+    atomicCreateNewFile(fs, probe)
+    val storeNow = fs.getFileStatus(probe).getModificationTime
+    fs.delete(probe, false)
+    val anchor = fs.getFileStatus(if (emptyWinner) w else marker)
       .getModificationTime
+    val age = storeNow - anchor
     require(age >= graceMs,
-      s"commit marker for version $v under $dir is only ${age}ms old — " +
-        "its writer may still be mid-publish; wait out the grace period " +
-        "before repairing")
-    fs.delete(marker, false)
+      s"commit claim for version $v under $dir is only ${age}ms old by " +
+        "the store's clock — its writer may still be mid-publish; wait " +
+        "out the grace period before repairing")
+    committedVersions(s, dir).filter(_ < v).lastOption match {
+      case None =>
+        // torn first version: nothing committed below it, nothing can
+        // reference it — discard the claim. A paused writer that
+        // resumes re-binds and re-claims via publish steps 3-4.
+        if (emptyWinner) fs.delete(w, false)
+        fs.delete(marker, false)
+        true
+      case Some(pv) =>
+        val entries = manifest(s, dir, pv)
+        val tok = newToken()
+        val man = sidecarPathFor(dir, v, Some(tok), "manifest")
+        val out = createExclusive(fs, man, "manifest")
+        try out.write(entries.map { case (k, p2) => s"$k\t$p2" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (emptyWinner) fs.delete(w, false)
+        try {
+          val o = createExclusive(fs, w, "winner binding")
+          try o.write(tok.getBytes("UTF-8")) finally o.close()
+          true
+        } catch {
+          case _: ConcurrentCommitException => false // writer finished first
+        }
+    }
   }
 
   /** The on-disk path of a version's `side` sidecar under attempt
@@ -547,12 +597,7 @@ object Versioned {
     val fs = fsOf(s, dir)
     val p = new Path(dir, "floor.txt")
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim.toLong).toOption
-      finally in.close()
-    }
+    else scala.util.Try(readSmallFile(fs, p).toLong).toOption
   }
 
   /** Time travel: read the table AS OF a specific committed version —
@@ -758,8 +803,11 @@ object Versioned {
     swept.foreach { v =>
       Seq("manifest", "stats", "ledger").foreach(side =>
         fs.delete(new Path(dir, s"$side/$v.txt"), false))
-      fs.delete(winnerPath(dir, v), false)
+      // marker FIRST: a crash between the two deletes then leaves a
+      // harmless orphaned winner file (invisible to committedVersions)
+      // instead of a committed-but-unresolvable torn state
       fs.delete(new Path(dir, s"commits/$v"), false)
+      fs.delete(winnerPath(dir, v), false)
     }
     val survivors = committed.filterNot(swept)
     // Ghost-sidecar sweep: a losing or crashed attempt's tokenized

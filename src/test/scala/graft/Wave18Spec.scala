@@ -81,6 +81,8 @@ class Wave18Spec extends SparkTestBase {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive),
+      "a hung writer must fail the test as a hang, not a sum mismatch")
     assert(errs.isEmpty, s"no writer may fail: ${errs.toArray.toSeq}")
     val rows = MergeOps.readCorpus(spark, dir, "p")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -110,7 +112,10 @@ class Wave18Spec extends SparkTestBase {
     // crash state: claim landed, binding did not (writer died between
     // publish steps 2 and 3)
     fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "commits/2"))
-    val e = intercept[IllegalStateException] {
+    // unresolved commits surface as the commit-race class so a
+    // writer's withCommitRetry absorbs an in-flight window instead of
+    // dying on a misleading "corrupt" error
+    val e = intercept[ConcurrentCommitException] {
       MergeOps.readCorpus(spark, dir, "p").collect()
     }
     assert(e.getMessage.contains("repairTornCommit"),
@@ -121,18 +126,23 @@ class Wave18Spec extends SparkTestBase {
       Versioned.repairTornCommit(spark, dir, 2L)
     }
     assert(g.getMessage.contains("grace"))
-    // ... and discards the torn claim once the grace is waived
+    // ... and COMPLETES the torn claim as a no-op commit once the
+    // grace is waived: v2 becomes readable as v1's state verbatim —
+    // nothing is deleted, so no writer's believed commit can vanish
     assert(Versioned.repairTornCommit(spark, dir, 2L, graceMs = 0L))
+    assert(Versioned.currentVersion(spark, dir).get == 2L,
+      "the repaired version stays committed (as a no-op)")
     val rows = MergeOps.readCorpus(spark, dir, "p")
       .collect().map(r => r.getLong(0)).toSet
     assert(rows == (1L to 10L).toSet,
-      "after repair, readers land on the previous committed version")
-    // the version is reusable: the next merge claims v2 cleanly
+      "after repair, readers see the previous committed state")
+    // the table is writable again: the next merge lands at v3
     MergeOps.mergeUpsert(spark, dir,
       Seq((1L, 111.0, "O")).toDF("k", "v", "p"), "k", "p")
-    assert(Versioned.currentVersion(spark, dir).get == 2L)
+    assert(Versioned.currentVersion(spark, dir).get == 3L)
     // repair is a no-op on healthy commits
     assert(!Versioned.repairTornCommit(spark, dir, 2L, graceMs = 0L))
+    assert(!Versioned.repairTornCommit(spark, dir, 3L, graceMs = 0L))
   }
 
   test("a folding writer races a compacting maintainer on one rollup " +
@@ -161,6 +171,8 @@ class Wave18Spec extends SparkTestBase {
     })
     folder.start(); compactor.start()
     folder.join(180000); compactor.join(180000)
+    assert(!folder.isAlive && !compactor.isAlive,
+      "a hung writer must fail the test as a hang, not a sum mismatch")
     assert(errs.isEmpty, s"no writer may fail: ${errs.toArray.toSeq}")
     def sums = IncrementalOps.readRollup(spark, dir)
       .select(col("day_s").cast("string"), col("sum_value").cast("double"))
