@@ -69,7 +69,17 @@ class ProtocolModelSpec extends SparkTestBase {
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
 
     for (step <- 1 to steps) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
+        case 10 =>                   // torn claim + mechanical repair:
+          // a writer dies between claim and binding at current+1; the
+          // repair completes it as a no-op commit duplicating current
+          val tv = model.snapshots.size.toLong + 1
+          val fsT = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsT.createNewFile(new org.apache.hadoop.fs.Path(dir, s"commits/$tv"))
+          assert(Versioned.repairTornCommit(spark, dir, tv, graceMs = 0L),
+            s"seed=$seed step=$step: repair must complete the torn claim")
+          model = model.copy(snapshots = model.snapshots :+ model.rows)
         case 0 | 1 | 2 | 3 | 4 =>                            // merge
           val b = batch(1 + rnd.nextInt(5))
           if (b.nonEmpty) {
@@ -191,7 +201,17 @@ class ProtocolModelSpec extends SparkTestBase {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
     for (step <- 1 to steps) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
+        case 10 =>                   // torn claim + mechanical repair
+          val tv = model.snapshots.size.toLong + 1
+          val fsT = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsT.createNewFile(new org.apache.hadoop.fs.Path(dir, s"commits/$tv"))
+          assert(Versioned.repairTornCommit(spark, dir, tv, graceMs = 0L),
+            s"seed=$seed step=$step: repair must complete the torn claim")
+          model = model.copy(
+            snapshots = model.snapshots :+ (model.sums, model.applied))
+          ledgerless += model.snapshots.size.toLong   // no-op has no ledger
         case 0 | 1 | 2 | 3 =>                                // fresh fold
           val id = nextId; nextId += 1
           graft.ops.IncrementalOps.foldBatch(spark, dir, batchOf(id), s"b$id")
