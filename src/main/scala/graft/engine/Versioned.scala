@@ -102,7 +102,8 @@ object Versioned {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw new ConcurrentCommitException(
             s"commit still losing races after $maxAttempts attempts — " +
-              "writer contention is pathological, not transient", e)
+              "either writer contention is pathological or the conflict " +
+              s"is not transient (last: ${e.getMessage})", e)
           Thread.sleep(baseBackoffMs * attempt +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
           attempt += 1
@@ -210,7 +211,15 @@ object Versioned {
         val t = readSmallFile(fs, w)
         if (t.nonEmpty) return Some(Some(t))
       }
-      val m = readSmallFile(fs, new Path(dir, s"commits/$v"))
+      val markerP = new Path(dir, s"commits/$v")
+      if (!fs.exists(markerP))
+        // the version vanished between the caller's listing and this
+        // read: a torn FIRST version was repaired away or the metadata
+        // sweep passed — a commit-state change, not corruption
+        throw new ConcurrentCommitException(
+          s"commit marker for version $v under $dir disappeared " +
+            "mid-read — re-derive from the current commit log")
+      val m = readSmallFile(fs, markerP)
       if (m.nonEmpty) Some(Some(m))
       else if (fs.exists(new Path(dir, s"manifest/$v.txt"))) Some(None)
       else None
@@ -250,14 +259,22 @@ object Versioned {
     * stage, exactly as if a real competitor had won. NOTHING is
     * deleted, so there is no state in which a commit someone was told
     * succeeded disappears. (Only a torn FIRST version, with no prior
-    * manifest to duplicate, is discarded by deleting the claim —
-    * nothing below it can reference it.) An empty winner file — a
-    * writer dead INSIDE its binding write — repairs the same way after
-    * the grace, replacing the dead binding.
+    * manifest to duplicate and no binding at all, is discarded by
+    * deleting the claim — nothing below it can reference it.) An EMPTY
+    * winner file — a writer dead INSIDE its binding write — is
+    * repaired after the grace by OVERWRITING it with the no-op token,
+    * never deleting it: if the "dead" writer was merely paused and its
+    * own 8-byte token write lands after ours, last-write-wins leaves
+    * ITS valid commit bound (repair's no-op manifest becomes a ghost)
+    * — both terminal states are valid committed versions and neither
+    * loses data, which a delete-then-recreate could not guarantee
+    * (the writer's resumed write would land in an unlinked inode and
+    * its believed commit would vanish).
     *
     * The grace period is measured against the STORE's clock (a probe
-    * file's mtime), not the client's, so clock skew cannot shrink or
-    * stretch it. Returns true if this call repaired the version. */
+    * file's mtime), not the client's, so clock skew cannot defeat it
+    * in either direction. Returns true if this call repaired the
+    * version. */
   def repairTornCommit(s: SparkSession, dir: String, v: Long,
                        graceMs: Long = 60000L): Boolean = {
     val fs = fsOf(s, dir)
@@ -273,9 +290,10 @@ object Versioned {
     // store-clock age: create a probe and compare the two mtimes, so
     // client/store clock skew cannot defeat the grace either way
     val probe = new Path(dir, s"commits/.repair_probe_${newToken()}")
-    atomicCreateNewFile(fs, probe)
-    val storeNow = fs.getFileStatus(probe).getModificationTime
-    fs.delete(probe, false)
+    val storeNow =
+      try { atomicCreateNewFile(fs, probe)
+            fs.getFileStatus(probe).getModificationTime }
+      finally fs.delete(probe, false)
     val anchor = fs.getFileStatus(if (emptyWinner) w else marker)
       .getModificationTime
     val age = storeNow - anchor
@@ -285,27 +303,36 @@ object Versioned {
         "out the grace period before repairing")
     committedVersions(s, dir).filter(_ < v).lastOption match {
       case None =>
-        // torn first version: nothing committed below it, nothing can
-        // reference it — discard the claim. A paused writer that
-        // resumes re-binds and re-claims via publish steps 3-4.
-        if (emptyWinner) fs.delete(w, false)
-        fs.delete(marker, false)
-        true
+        // torn first version with no binding: nothing committed below
+        // it, nothing can reference it — discard the claim. A paused
+        // writer that resumes re-binds and re-claims via publish steps
+        // 3-4. With an EMPTY binding the winner identity is
+        // undecidable and there is no prior manifest to no-op to:
+        // refuse rather than risk unlinking a resuming writer's
+        // binding — a first version with no data is a delete-the-table
+        // situation, not a repair.
+        if (emptyWinner) false
+        else { fs.delete(marker, false); true }
       case Some(pv) =>
         val entries = manifest(s, dir, pv)
         val tok = newToken()
-        val man = sidecarPathFor(dir, v, Some(tok), "manifest")
-        val out = createExclusive(fs, man, "manifest")
-        try out.write(entries.map { case (k, p2) => s"$k\t$p2" }
-          .mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
-        if (emptyWinner) fs.delete(w, false)
-        try {
-          val o = createExclusive(fs, w, "winner binding")
+        writeManifestFile(fs,
+          sidecarPathFor(dir, v, Some(tok), "manifest"), entries)
+        if (emptyWinner) {
+          // overwrite-in-place (see the scaladoc): last-write-wins
+          // between this 8-byte write and a resuming writer's leaves a
+          // valid binding either way; nothing is unlinked
+          val o = fs.create(w, true)
           try o.write(tok.getBytes("UTF-8")) finally o.close()
           true
-        } catch {
-          case _: ConcurrentCommitException => false // writer finished first
+        } else {
+          try {
+            val o = createExclusive(fs, w, "winner binding")
+            try o.write(tok.getBytes("UTF-8")) finally o.close()
+            true
+          } catch {
+            case _: ConcurrentCommitException => false // writer finished first
+          }
         }
     }
   }
@@ -391,6 +418,16 @@ object Versioned {
   private def winnerPath(dir: String, v: Long): Path =
     new Path(dir, s"commits/$v.winner")
 
+  /** Serialize manifest entries to a write-once file — the ONE format
+    * both [[publish]] and [[repairTornCommit]] emit. */
+  private def writeManifestFile(fs: FileSystem, p: Path,
+                                entries: Seq[(String, String)]): Unit = {
+    val out = createExclusive(fs, p, "manifest")
+    try out.write(entries.map { case (k, rel) => s"$k\t$rel" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Publish version `v` as attempt `token`, in four steps whose every
     * torn intermediate state is either invisible or mechanically
     * recoverable:
@@ -427,11 +464,8 @@ object Versioned {
   def publish(s: SparkSession, dir: String, v: Long, token: String,
               entries: Seq[(String, String)]): Unit = {
     val fs = fsOf(s, dir)
-    val man = sidecarPathFor(dir, v, Some(token), "manifest")
-    val out = createExclusive(fs, man, "manifest")
-    try out.write(entries.map { case (k, p) => s"$k\t$p" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    writeManifestFile(fs, sidecarPathFor(dir, v, Some(token), "manifest"),
+                      entries)
     fs.mkdirs(new Path(dir, "commits"))
     val marker = new Path(dir, s"commits/$v")
     if (!atomicCreateNewFile(fs, marker))
@@ -757,6 +791,13 @@ object Versioned {
     val fp = new Path(dir, "floor.txt")
     fs.listStatus(new Path(dir)).toSeq
       .filter(_.getPath.getName.startsWith("floor.txt.tmp_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    // ... and any store-clock probes a crashed repairTornCommit leaked
+    // into commits/ (dotfiles, invisible to committedVersions but real
+    // files in the directory whose boundedness the protocol relies on)
+    val commitsRoot = new Path(dir, "commits")
+    if (fs.exists(commitsRoot)) fs.listStatus(commitsRoot).toSeq
+      .filter(_.getPath.getName.startsWith(".repair_probe_"))
       .foreach(st => fs.delete(st.getPath, false))
     val tmp = new Path(dir, s"floor.txt.tmp_${newToken()}")
     val out = fs.create(tmp, true)
