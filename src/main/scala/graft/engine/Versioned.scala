@@ -319,21 +319,14 @@ object Versioned {
         writeManifestFile(fs,
           sidecarPathFor(dir, v, Some(tok), "manifest"), entries)
         if (emptyWinner) {
-          // overwrite-in-place (see the scaladoc): last-write-wins
-          // between this 8-byte write and a resuming writer's leaves a
-          // valid binding either way; nothing is unlinked
-          val o = fs.create(w, true)
-          try o.write(tok.getBytes("UTF-8")) finally o.close()
+          // overwrite (see the scaladoc): last-write-wins between this
+          // repair token and a resuming writer's leaves a valid binding
+          // either way; nothing is unlinked — and the write is a
+          // rename-replace, so a racing reader sees empty-or-full,
+          // never the truncated prefix a create(overwrite) could tear to
+          atomicWriteSmallFile(fs, w, tok)
           true
-        } else {
-          try {
-            val o = createExclusive(fs, w, "winner binding")
-            try o.write(tok.getBytes("UTF-8")) finally o.close()
-            true
-          } catch {
-            case _: ConcurrentCommitException => false // writer finished first
-          }
-        }
+        } else claimWinner(fs, dir, v, tok) // false → writer finished first
     }
   }
 
@@ -370,9 +363,20 @@ object Versioned {
   def manifest(s: SparkSession, dir: String, v: Long): Seq[(String, String)] = {
     val fs = fsOf(s, dir)
     val p = sidecarPathFor(dir, v, committedToken(s, dir, v), "manifest")
-    readLines(fs, p).map { line =>
+    // A winner-named manifest that VANISHED between the token resolve
+    // and this read is a commit-state change (a repair rebound the
+    // version and a vacuum ghost-swept the old attempt's files), not
+    // corruption — surface the retryable race signal so withCommitRetry
+    // re-derives, instead of a raw FileNotFoundException.
+    try readLines(fs, p).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
+    } catch {
+      case e: java.io.FileNotFoundException =>
+        throw new ConcurrentCommitException(
+          s"manifest $p of committed version $v under $dir vanished " +
+            "mid-read — the version's winner was rebound concurrently; " +
+            "re-derive from the current commit log", e)
     }
   }
 
@@ -472,17 +476,83 @@ object Versioned {
       throw new ConcurrentCommitException(
         s"commit marker for version $v already exists under $dir — " +
           "another writer won this version; redo the stage at nextVersion")
-    val bind = try {
-      val o = createExclusive(fs, winnerPath(dir, v), "winner binding")
-      try o.write(token.getBytes("UTF-8")) finally o.close()
-      true
-    } catch { case _: ConcurrentCommitException => false }
-    if (!bind)
+    if (!claimWinner(fs, dir, v, token))
       throw new ConcurrentCommitException(
         s"version $v's winner binding already exists under $dir — a " +
           "repair cycle reassigned the claim while this writer was " +
           "paused; redo the stage at nextVersion")
     if (!fs.exists(marker)) atomicCreateNewFile(fs, marker)
+  }
+
+  /** Replace a small metadata file's content ATOMICALLY: write a
+    * tokenized temp sibling, then rename it over the target, so a
+    * racing reader observes the old content or the new content — never
+    * a truncated prefix (the torn-token hazard the round-10 advice
+    * flagged on both the empty-winner repair and the floor record).
+    * On `file://` the move is `rename(2)` via NIO ATOMIC_MOVE (and any
+    * stale Hadoop checksum sidecar from an older writer is dropped so
+    * the raw replace cannot trip ChecksumFileSystem verification); on
+    * HDFS-class stores an overwriting `rename` is used, falling back to
+    * an in-place overwrite only where the store refuses it — there the
+    * caller's read path must absorb the store's own create window
+    * ([[committedToken]]'s retry / [[retentionFloor]]'s tolerant
+    * parse both do). */
+  private def atomicWriteSmallFile(fs: FileSystem, p: Path,
+                                   content: String): Unit = {
+    val q = fs.makeQualified(p)
+    val bytes = content.getBytes("UTF-8")
+    if (Option(q.toUri.getScheme).forall(_ == "file")) {
+      val dst = java.nio.file.Paths.get(q.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      // retry on a vanished tmp: a racing sweeper (a concurrent vacuum
+      // reclaiming stale tmps) may delete the staged file between write
+      // and move — re-stage under a fresh token rather than surfacing a
+      // raw NoSuchFileException from an otherwise-valid write
+      var attempts = 0
+      var moved = false
+      while (!moved) {
+        val tmp = dst.resolveSibling(s".${dst.getFileName}.tmp_${newToken()}")
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        } catch {
+          case e: java.nio.file.NoSuchFileException =>
+            attempts += 1; if (attempts >= 3) throw e
+        }
+      }
+      java.nio.file.Files.deleteIfExists(
+        dst.resolveSibling(s".${dst.getFileName}.crc"))
+    } else {
+      val tmp = new Path(q.getParent, s".${q.getName}.tmp_${newToken()}")
+      val o = fs.create(tmp, true)
+      try o.write(bytes) finally o.close()
+      if (!fs.rename(tmp, q)) {
+        val o2 = fs.create(q, true)
+        try o2.write(bytes) finally o2.close()
+        fs.delete(tmp, false)
+      }
+    }
+  }
+
+  /** Claim version `v`'s winner binding for attempt `token`. The CLAIM
+    * is [[atomicCreateNewFile]] on the winner file itself — kernel-
+    * atomic O_CREAT|O_EXCL on `file://`, namenode-atomic elsewhere —
+    * closing the check-then-create race the round-10 advice flagged on
+    * `createExclusive` here (the very race class observed on the marker
+    * in Wave18). The token then lands via [[atomicWriteSmallFile]], so
+    * the only observable intermediate is an EMPTY claimed winner, which
+    * [[committedToken]]'s bounded retry already absorbs. Returns false
+    * if another party (a racing writer, or a repair cycle) holds the
+    * claim. */
+  private def claimWinner(fs: FileSystem, dir: String, v: Long,
+                          token: String): Boolean = {
+    val w = winnerPath(dir, v)
+    if (!atomicCreateNewFile(fs, w)) return false
+    atomicWriteSmallFile(fs, w, token)
+    true
   }
 
   /** Create-empty-if-absent with a REAL atomicity guarantee. Hadoop's
@@ -785,25 +855,38 @@ object Versioned {
     // Record the floor BEFORE anything is deleted: a crash mid-sweep
     // then leaves a floor that is merely conservative (reads fail fast
     // on versions whose data still exists), never the reverse — the
-    // missing-file surprise the floor exists to prevent. Temp + rename
-    // because an in-place overwrite could tear to an empty file; stale
-    // tmps from crashed vacuums are reclaimed first.
+    // missing-file surprise the floor exists to prevent. The write is
+    // [[atomicWriteSmallFile]]'s rename-replace: no delete-then-rename
+    // window in which a crash removes the record entirely while already-
+    // vacuumed data stays gone (the round-10 advice defect), and no
+    // in-place overwrite that could tear to an empty file. Stale tmps
+    // from crashed vacuums (legacy `floor.txt.tmp_*` and the current
+    // dotted form) are reclaimed first.
     val fp = new Path(dir, "floor.txt")
     fs.listStatus(new Path(dir)).toSeq
-      .filter(_.getPath.getName.startsWith("floor.txt.tmp_"))
+      .filter(st => st.getPath.getName.startsWith("floor.txt.tmp_") ||
+        st.getPath.getName.startsWith(".floor.txt.tmp_"))
       .foreach(st => fs.delete(st.getPath, false))
     // ... and any store-clock probes a crashed repairTornCommit leaked
     // into commits/ (dotfiles, invisible to committedVersions but real
     // files in the directory whose boundedness the protocol relies on)
+    // ... and winner-binding tmps a crashed publish/repair leaked (the
+    // dotted `.tmp_` siblings atomicWriteSmallFile stages through) —
+    // but ONLY below the floor: a tmp at a retained version could
+    // belong to a LIVE writer mid-binding (its marker commits the
+    // version before the binding lands, so "at or above the floor"
+    // is exactly the window a publish can still be in flight), and
+    // the vacuum contract promises never to touch a live writer
     val commitsRoot = new Path(dir, "commits")
     if (fs.exists(commitsRoot)) fs.listStatus(commitsRoot).toSeq
-      .filter(_.getPath.getName.startsWith(".repair_probe_"))
+      .filter { st =>
+        val n = st.getPath.getName
+        val tmpVer = n.stripPrefix(".").takeWhile(_.isDigit)
+        n.startsWith(".repair_probe_") ||
+          (n.contains(".tmp_") && tmpVer.nonEmpty && tmpVer.toLong < floor)
+      }
       .foreach(st => fs.delete(st.getPath, false))
-    val tmp = new Path(dir, s"floor.txt.tmp_${newToken()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"$floor\n".getBytes("UTF-8")) finally out.close()
-    fs.delete(fp, false)
-    if (!fs.rename(tmp, fp)) fs.delete(tmp, false)
+    atomicWriteSmallFile(fs, fp, s"$floor\n")
     // Best-effort guard against a maintenance writer (rollback is the
     // dangerous one: its new manifest references OLD dirs) committing
     // between the referenced-set snapshot and the deletes: re-check

@@ -45,9 +45,29 @@ object GraphOps {
   private val substrateMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Memo lookup that VALIDATES the cached DataFrame's session before
+    * reuse (round-10 advice): a cached plan is bound to the SparkSession
+    * that built it, so after a session restart the entry is stale — a
+    * caller on a fresh session would get a plan tied to a stopped
+    * context. Stale entries are unpersisted best-effort and rebuilt on
+    * the caller's session. Dataset dirs are assumed IMMUTABLE for the
+    * JVM's lifetime (the standing-artifact contract every memo in this
+    * engine shares); a refreshed dir needs [[resetSubstrateMemo]]. */
+  private def cachedSubstrate(key: String, s: SparkSession)
+                             (build: => DataFrame): DataFrame =
+    substrateMemo.get(key) match {
+      case Some(df) if (df.sparkSession eq s) &&
+          !df.sparkSession.sparkContext.isStopped => df
+      case stale =>
+        stale.foreach(df => scala.util.Try(df.unpersist(false)))
+        val fresh = build
+        substrateMemo.put(key, fresh)
+        fresh
+    }
+
   /** Test hook: unpersist and forget the per-JVM substrate memo. */
   private[graft] def resetSubstrateMemo(): Unit = {
-    substrateMemo.values.foreach(_.unpersist(false))
+    substrateMemo.values.foreach(df => scala.util.Try(df.unpersist(false)))
     substrateMemo.clear()
   }
 
@@ -64,19 +84,20 @@ object GraphOps {
     * side already clustered by src and only exchanges the O(V) rank rows. */
   private[graft] def pagerankSubstrate(s: SparkSession, d: String)
       : DataFrame =
-    substrateMemo.getOrElseUpdate(s"pr:$d", {
+    cachedSubstrate(s"pr:$d", s) {
       val edges = tradeEdges(s, d)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       edges.join(deg, "src").repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** The BFS edge substrate: trade edges pre-partitioned by src and
     * persisted (see [[substrateMemo]]). */
   private[graft] def ssspEdges(s: SparkSession, d: String): DataFrame =
-    substrateMemo.getOrElseUpdate(s"sssp:$d",
+    cachedSubstrate(s"sssp:$d", s) {
       tradeEdges(s, d).repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** One damped power-iteration step: rank flows src→dst in proportion
     * to 1/deg; the dst aggregation partially sums map-side. */

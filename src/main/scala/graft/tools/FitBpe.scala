@@ -74,11 +74,18 @@ object FitBpe {
     // Driver-side collect is the POINT here, but it must stay bounded:
     // this offline fitting tool needs only a representative sample to
     // learn ~48 merge rules, so cap the corpus pulled to the driver at
-    // 50k docs (deterministic limit — the whole sf0.01 fit corpus today,
-    // a sample on anything bigger). Never run this against a full-scale
-    // dir without the cap: the fit is O(sample), not O(corpus).
+    // 50k docs. The sample is DETERMINISTIC (round-10 advice): the 50k
+    // smallest doc_ids via orderBy+limit (TakeOrderedAndProject — a
+    // distributed top-k, never a full collect), not a bare limit()
+    // whose rows shift with file layout/partition order — the emitted
+    // merge literal must reproduce bit-for-bit for the same corpus.
+    // On sf0.01 this is the whole fit corpus, so the committed
+    // BpeOps.merges table is unchanged by the sampling rule. Never run
+    // this against a full-scale dir without the cap: the fit is
+    // O(sample), not O(corpus).
     val docs = spark.read.parquet(s"$d/documents.parquet")
-      .select("text").limit(50000).collect().map(_.getString(0)).toSeq
+      .select("doc_id", "text").orderBy("doc_id").limit(50000)
+      .collect().map(_.getString(1)).toSeq
     val merges = fit(docs, n)
     // Emit the Scala literal for BpeOps.merges — non-ASCII as \u escapes
     // so the generated source is encoding-proof.

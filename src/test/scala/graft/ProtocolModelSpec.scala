@@ -71,12 +71,17 @@ class ProtocolModelSpec extends SparkTestBase {
     for (step <- 1 to steps) {
       rnd.nextInt(11) match {
         case 10 =>                   // torn claim + mechanical repair:
-          // a writer dies between claim and binding at current+1; the
-          // repair completes it as a no-op commit duplicating current
+          // a writer dies at current+1 either BETWEEN claim and binding
+          // (bare marker) or INSIDE its binding write (claim + EMPTY
+          // winner — the round-11 atomic-overwrite repair path); both
+          // flavors repair as a no-op commit duplicating current
           val tv = model.snapshots.size.toLong + 1
           val fsT = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           fsT.createNewFile(new org.apache.hadoop.fs.Path(dir, s"commits/$tv"))
+          if (rnd.nextBoolean())
+            fsT.create(new org.apache.hadoop.fs.Path(
+              dir, s"commits/$tv.winner"), true).close()
           assert(Versioned.repairTornCommit(spark, dir, tv, graceMs = 0L),
             s"seed=$seed step=$step: repair must complete the torn claim")
           model = model.copy(snapshots = model.snapshots :+ model.rows)

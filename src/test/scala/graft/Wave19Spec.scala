@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{ConcurrentCommitException, Versioned}
+import graft.ops.MergeOps
+
+/** Round-11 wave: the advice fixes on the commit protocol's last
+  * non-atomic writes. The winner binding is now CLAIMED with the same
+  * O_CREAT|O_EXCL create the marker uses (no check-then-create race on
+  * file://), and every small-metadata overwrite (binding content, the
+  * empty-winner repair token, floor.txt) lands via temp + rename —
+  * a reader can observe old-or-new content, never a truncated prefix
+  * and never a deleted-floor crash window. A vanished winner-named
+  * manifest surfaces as the retryable commit-race signal instead of a
+  * raw FileNotFoundException. */
+class Wave19Spec extends SparkTestBase {
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "p")
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("publish: two REAL threads racing the same version resolve to " +
+       "exactly one winner via the exclusive binding claim") {
+    val dir = freshDir("graft_pubrace")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "data/1_a"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "data/1_b"))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("a", "b").map { tok =>
+      new Thread(() => {
+        gate.await()
+        try {
+          Versioned.publish(spark, dir, 1L, tok,
+            Versioned.wholeTableEntryAt(s"data/1_$tok"))
+          outcomes.add(s"win:$tok")
+        } catch {
+          case _: ConcurrentCommitException => outcomes.add(s"lose:$tok")
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "publish must never hang")
+    val (wins, losses) = outcomes.toArray.map(_.toString)
+      .partition(_.startsWith("win:"))
+    assert(wins.length == 1 && losses.length == 1,
+      s"exactly one winner and one loud loser, got ${outcomes.toArray.toSeq}")
+    val winTok = wins.head.stripPrefix("win:")
+    // the committed binding names the winner's attempt, full token
+    assert(Versioned.manifest(spark, dir, 1L) ==
+      Seq(("__ALL__", s"data/1_$winTok")),
+      "readers must resolve exactly the winning attempt's manifest")
+  }
+
+  test("empty-winner repair: the token lands atomically even over a " +
+       "checksummed empty binding from an older writer") {
+    import spark.implicits._
+    val dir = freshDir("graft_emptywinner")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")          // v1
+    val fs = fsOf(dir)
+    // crash state: a writer died INSIDE its binding write — claim and
+    // an EMPTY winner file exist. Craft it with fs.create so the store
+    // also carries a Hadoop .crc sidecar for the empty content (what a
+    // round-10 writer would have left): the repair's rename-replace
+    // must not leave that stale checksum behind to fail later reads.
+    fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "commits/2"))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "commits/2.winner"), true)
+      .close()
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "commits/.2.winner.crc")),
+      "precondition: the crafted empty binding is checksummed")
+    assert(Versioned.repairTornCommit(spark, dir, 2L, graceMs = 0L),
+      "an aged empty binding must repair as a no-op commit")
+    // the repaired version reads back v1's state through the new token
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == (1L to 10L).toSet)
+    assert(Versioned.currentVersion(spark, dir).contains(2L))
+    // and the table stays writable
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((99L, 9.9, "O")).toDF("k", "v", "p"), "k", "p")
+    assert(Versioned.currentVersion(spark, dir).contains(3L))
+  }
+
+  test("floor.txt: vacuum replaces the record atomically (no delete " +
+       "window) and survives a checksummed predecessor") {
+    import spark.implicits._
+    val dir = freshDir("graft_floor")
+    MergeOps.mergeUpsert(spark, dir, corpus(6), "k", "p")           // v1
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, -1.0, "O")).toDF("k", "v", "p"), "k", "p")           // v2
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((2L, -2.0, "E")).toDF("k", "v", "p"), "k", "p")           // v3
+    val fs = fsOf(dir)
+    // an older engine's floor record: fs.create-written, checksummed
+    val fp = new org.apache.hadoop.fs.Path(dir, "floor.txt")
+    val o = fs.create(fp, true)
+    o.write("1\n".getBytes("UTF-8")); o.close()
+    assert(Versioned.retentionFloor(spark, dir).contains(1L))
+    val rep = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(rep.floor == 3L, s"floor must advance to current, got $rep")
+    // the replace went through rename: the record reads back exactly
+    // (a stale .crc from the predecessor would fail this read loudly)
+    assert(Versioned.retentionFloor(spark, dir).contains(3L))
+    // no temp debris survives the pass
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.contains("floor.txt.tmp"))
+    assert(debris.isEmpty, s"stale floor tmps must be reclaimed: $debris")
+    // and the table still reads current state
+    val m = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == -1.0 && m(2L) == -2.0 && m.size == 6)
+  }
+
+  test("a retention maintainer races a merging writer: manifest-only " +
+       "commits and data commits contend on the same claims, every " +
+       "surviving write lands, every drop sticks") {
+    import spark.implicits._
+    val dir = freshDir("graft_retention_race")
+    // base corpus: one key in each of six partitions d1..d6
+    MergeOps.mergeUpsert(spark, dir,
+      (1 to 6).map(i => (i.toLong, i * 1.0, s"d$i")).toDF("k", "v", "p"),
+      "k", "p")                                                     // v1
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val merger = new Thread(() => {
+      try (1 to 5).foreach { i =>
+        Versioned.withCommitRetry(maxAttempts = 12) {
+          MergeOps.mergeUpsert(spark, dir,
+            Seq((100L + i, i * 10.0, s"d${4 + i % 3}")).toDF("k", "v", "p"),
+            "k", "p")
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val retainer = new Thread(() => {
+      try (1 to 3).foreach { i =>
+        Versioned.withCommitRetry(maxAttempts = 12) {
+          MergeOps.applyRetention(spark, dir, name => name != s"p=d$i")
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    merger.start(); retainer.start()
+    merger.join(180000); retainer.join(180000)
+    assert(!merger.isAlive && !retainer.isAlive,
+      "a hung writer must fail the test as a hang, not a state mismatch")
+    assert(errs.isEmpty, s"no writer may fail: ${errs.toArray.toSeq}")
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // the retained base keys (the merger and retainer touch DISJOINT
+    // partitions, so the outcome is order-independent) ...
+    assert(rows.keySet.filter(_ <= 6L) == Set(4L, 5L, 6L),
+      s"d1..d3 must be dropped, d4..d6 retained: $rows")
+    // ... plus every merged key, each in its written partition
+    (1 to 5).foreach { i =>
+      assert(rows.get(100L + i).contains(s"d${4 + i % 3}"),
+        s"merged key ${100 + i} must have survived the race: $rows")
+    }
+    // one committed version per successful writer: 1 base + 5 merges +
+    // 3 real drops — losers redid their attempt, never burned a number
+    assert(Versioned.committedVersions(spark, dir).size == 9,
+      s"got ${Versioned.committedVersions(spark, dir)}")
+    // and the store survives a vacuum after the contention
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    val after = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(after == rows, "vacuum must not change the committed state")
+  }
+
+  test("a committed manifest vanishing mid-read surfaces as the " +
+       "retryable commit-race signal, not a raw FileNotFound") {
+    val dir = freshDir("graft_goneman")
+    MergeOps.mergeUpsert(spark, dir, corpus(5), "k", "p")           // v1
+    val fs = fsOf(dir)
+    val manDir = new org.apache.hadoop.fs.Path(dir, "manifest")
+    fs.listStatus(manDir).foreach(st => fs.delete(st.getPath, false))
+    val e = intercept[ConcurrentCommitException] {
+      Versioned.manifest(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("re-derive"),
+      s"the error must route the caller to retry, got: ${e.getMessage}")
+  }
+}
