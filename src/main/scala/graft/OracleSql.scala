@@ -1132,6 +1132,16 @@ object OracleSql {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
         |ORDER BY o_orderkey""".stripMargin,
 
+    // scan_zonemap_multi: intersection pruning over per-column bounds
+    // must be invisible in the data — the oracle is the plain
+    // conjunctive filter.
+    "scan_zonemap_multi" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price_r
+        |FROM orders
+        |WHERE o_custkey BETWEEN 40 AND 139
+        |  AND o_orderkey BETWEEN 0 AND 1200
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_zorder: the oracle replays the two-dimensional slice from
     // the ORIGINAL table — equality proves the Morton-clustered export
     // is content-complete.

@@ -595,29 +595,86 @@ object Versioned {
     * LAYOUT-AGNOSTIC: the reader needs no knowledge of how the writer
     * clustered the data, only the per-partition bounds. */
   def writeStats(s: SparkSession, dir: String, v: Long, token: String,
-                 stats: Seq[(String, (Long, Long))]): Unit = {
+                 stats: Seq[(String, (Long, Long))]): Unit =
+    writeStatsLines(s, dir, v, token,
+      stats.map { case (k, (lo, hi)) => s"$k\t$lo\t$hi" })
+
+  /** MULTI-COLUMN zone maps (the Iceberg/Delta per-column bounds idea,
+    * at this store's partition granularity): `stats/<v>_<token>.txt`
+    * lines of `partition-dir-name \t column \t lo \t hi`, one per
+    * partition × stats column — the 3-field legacy form (no column
+    * field) remains readable as the table's single unnamed key. Same
+    * write-once / commit-with-the-manifest contract as [[writeStats]].
+    * Multi-column bounds are what let a reader prune on the
+    * INTERSECTION of several predicates without knowing which column
+    * the writer clustered by — at 100 TB, the second predicate often
+    * prunes what the first cannot. */
+  def writeStatsMulti(s: SparkSession, dir: String, v: Long, token: String,
+                      stats: Seq[(String, Seq[(String, (Long, Long))])])
+      : Unit =
+    writeStatsLines(s, dir, v, token,
+      stats.flatMap { case (part, cols) =>
+        cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" } })
+
+  /** Raw committed stats lines of version `v` (empty if none) — the
+    * FORMAT-PRESERVING carry surface maintenance writers use: a carry
+    * filters lines by partition name (the first tab field) without
+    * parsing bounds, so single-key (3-field) and multi-column (4-field)
+    * sidecars survive compaction/retention/merge identically, and a
+    * carry can never silently downgrade a multi-column table to its
+    * first column. */
+  private[graft] def readStatsLines(s: SparkSession, dir: String,
+                                    v: Long): Seq[String] = {
+    val fs = fsOf(s, dir)
+    committedSidecar(s, dir, v, "stats") match {
+      case None => Seq.empty
+      case Some(p) => readLines(fs, p)
+    }
+  }
+
+  /** Serialize stats lines write-once (see [[readStatsLines]]). */
+  private[graft] def writeStatsLines(s: SparkSession, dir: String, v: Long,
+                                     token: String,
+                                     lines: Seq[String]): Unit = {
     val fs = fsOf(s, dir)
     val out = createExclusive(
       fs, sidecarPathFor(dir, v, Some(token), "stats"), "stats")
-    try out.write(stats.map { case (k, (lo, hi)) => s"$k\t$lo\t$hi" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** The partition-name prefix of a stats line — the carry filter key. */
+  private[graft] def statsLinePart(line: String): String =
+    line.takeWhile(_ != '\t')
+
   /** The COMMITTED zone-map sidecar of version `v` (resolved through the
-    * marker token), empty if the winning attempt wrote none. */
+    * marker token), empty if the winning attempt wrote none. Reads the
+    * single-key (3-field) form; multi-column lines are skipped — a
+    * multi-column table is read through [[readStatsMulti]]. */
   def readStats(s: SparkSession, dir: String,
-                v: Long): Map[String, (Long, Long)] = {
-    val fs = fsOf(s, dir)
-    committedSidecar(s, dir, v, "stats") match {
-      case None => Map.empty
-      case Some(p) =>
-        readLines(fs, p).map { line =>
-          val parts = line.split('\t')
-          parts(0) -> (parts(1).toLong, parts(2).toLong)
-        }.toMap
+                v: Long): Map[String, (Long, Long)] =
+    readStatsLines(s, dir, v).flatMap { line =>
+      val parts = line.split('\t')
+      if (parts.length == 3)
+        Some(parts(0) -> (parts(1).toLong, parts(2).toLong))
+      else None
+    }.toMap
+
+  /** Per-partition, per-column committed bounds of version `v` —
+    * partition dir name → column → (lo, hi). Legacy 3-field lines
+    * surface under the column name `__key__` so a single-key table is
+    * readable through the multi API too. */
+  def readStatsMulti(s: SparkSession, dir: String,
+                     v: Long): Map[String, Map[String, (Long, Long)]] =
+    readStatsLines(s, dir, v).map { line =>
+      val parts = line.split('\t')
+      if (parts.length == 4)
+        (parts(0), parts(1), (parts(2).toLong, parts(3).toLong))
+      else
+        (parts(0), "__key__", (parts(1).toLong, parts(2).toLong))
+    }.groupBy(_._1).map { case (part, rows) =>
+      part -> rows.map(r => r._2 -> r._3).toMap
     }
-  }
 
   /** Read the current committed state. `partCol` present: entries are
     * `col=value` dirs possibly spread across versions — they are grouped

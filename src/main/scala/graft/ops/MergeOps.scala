@@ -49,16 +49,24 @@ object MergeOps {
     * delete+insert that touches both partitions. */
   def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
                   keyCol: String, partCol: String,
-                  statsKey: Option[String] = None): Unit = {
+                  statsKey: Option[String] = None,
+                  statsKeys: Seq[String] = Nil): Unit = {
     // Per-partition zone-map stats of a staged write: one partition-
-    // pruned aggregate over what was just written, collected as a
-    // bounded (#partitions) driver list — the same metadata class as
-    // the manifest itself. The stats key must be an integral column:
-    // validated up front with a clear error rather than a
-    // ClassCastException at collect time (r8 advice), and read back
-    // through Number so parquet re-inference to a narrower integral
-    // type (int day keys and the like) still lands in the Long bounds.
-    def statsOf(df: DataFrame, k: String): Seq[(String, (Long, Long))] = {
+    // pruned aggregate over what was just written (ALL stats columns in
+    // the single job), collected as a bounded (#partitions) driver
+    // list — the same metadata class as the manifest itself. Stats
+    // columns must be integral: validated up front with a clear error
+    // rather than a ClassCastException at collect time (r8 advice), and
+    // read back through Number so parquet re-inference to a narrower
+    // integral type (int day keys and the like) still lands in the Long
+    // bounds. `statsKey` emits the legacy single-key 3-field sidecar;
+    // `statsKeys` emits the multi-column 4-field form (see
+    // [[Versioned.writeStatsMulti]]) — the two are mutually exclusive
+    // because one write-once sidecar holds one format.
+    require(statsKey.isEmpty || statsKeys.isEmpty,
+      "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
+        "not both")
+    def checkIntegral(df: DataFrame, k: String): Unit = {
       val dt = df.schema(k).dataType
       // No DATE here: Spark disallows DateType→LongType casts, so a date
       // key would pass this check and then die at analysis with exactly
@@ -67,14 +75,33 @@ object MergeOps {
                 .contains(dt.typeName),
         s"statsKey column '$k' must be integral for zone-map bounds, " +
           s"got ${dt.typeName}")
-      df.groupBy(col(partCol))
-        .agg(min(col(k).cast("long")).as("lo"),
-             max(col(k).cast("long")).as("hi"))
-        .collect()
-        .map(r => Versioned.partDirName(partCol, r.get(0)) ->
-          (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
-        .toSeq
     }
+    def boundsOf(df: DataFrame, ks: Seq[String])
+        : Seq[(String, Seq[(String, (Long, Long))])] = {
+      ks.foreach(checkIntegral(df, _))
+      val aggs = ks.flatMap(k => Seq(min(col(k).cast("long")),
+                                     max(col(k).cast("long"))))
+      df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          Versioned.partDirName(partCol, r.get(0)) ->
+            ks.zipWithIndex.map { case (k, i) =>
+              k -> (r.getAs[Number](1 + 2 * i).longValue,
+                    r.getAs[Number](2 + 2 * i).longValue)
+            }
+        }.toSeq
+    }
+    // fresh stats lines of a staged write, in the requested format
+    def freshStatsLines(df: DataFrame): Seq[String] =
+      if (statsKey.isDefined)
+        boundsOf(df, statsKey.toSeq).map { case (part, cols) =>
+          val (lo, hi) = cols.head._2
+          s"$part\t$lo\t$hi"
+        }
+      else boundsOf(df, statsKeys).flatMap { case (part, cols) =>
+        cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
+      }
+    val wantStats = statsKey.isDefined || statsKeys.nonEmpty
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
         // OCC rule: allocate from the snapshot this write DERIVES from
@@ -88,8 +115,8 @@ object MergeOps {
         val stageRel = Versioned.newStageRel(nv, tok)
         batch.write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
-        statsKey.foreach(k => Versioned.writeStats(s, corpusDir, nv, tok,
-          statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)))
+        if (wantStats) Versioned.writeStatsLines(s, corpusDir, nv, tok,
+          freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel")).sorted)
         Versioned.publish(s, corpusDir, nv, tok,
           Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
       case Some(v) =>
@@ -137,14 +164,16 @@ object MergeOps {
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                                   partCol)
         val stagedNames = staged.map(_._1).toSet
-        statsKey.foreach { k =>
-          val old = Versioned.readStats(s, corpusDir, v)
-          // stats from the STAGED files (read-back, partition-local) —
-          // not from re-evaluating the merged plan a second time
-          val fresh = statsOf(s.read.parquet(s"$corpusDir/$stageRel"), k)
-          Versioned.writeStats(s, corpusDir, nv, tok,
-            (old.filterNot { case (n, _) => stagedNames(n) } ++ fresh)
-              .toSeq.sortBy(_._1))
+        if (wantStats) {
+          // untouched partitions' lines carry VERBATIM (format-
+          // preserving, see Versioned.readStatsLines); fresh stats come
+          // from the STAGED files (read-back, partition-local) — not
+          // from re-evaluating the merged plan a second time
+          val carried = Versioned.readStatsLines(s, corpusDir, v)
+            .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
+          val fresh = freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"))
+          Versioned.writeStatsLines(s, corpusDir, nv, tok,
+            (carried ++ fresh).sorted)
         }
         Versioned.publish(s, corpusDir, nv, tok,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
@@ -185,6 +214,46 @@ object MergeOps {
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** INTERSECTION zone-map pruning over multi-column bounds
+    * ([[Versioned.readStatsMulti]]): keep a manifest entry only if
+    * EVERY predicate's range overlaps that partition's recorded bounds
+    * for the predicate's column — a partition with no bounds for some
+    * column is kept (stats are an optimization, never a correctness
+    * gate). This is what per-column stats buy at 100 TB: the writer
+    * clusters by ONE dimension, but a second predicate on a correlated
+    * column (order keys within a customer range, timestamps within an
+    * ingest day) still prunes — the reader needs no knowledge of the
+    * clustering, only the bounds. The residual conjunction is applied
+    * on the surviving rows, so the result is exactly the filtered
+    * corpus regardless of how much pruning bit. */
+  def readCorpusPruned(s: SparkSession, corpusDir: String, partCol: String,
+                       ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "readCorpusPruned needs at least one range")
+    val v = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    val stats = Versioned.readStatsMulti(s, corpusDir, v)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val entries = man.filter { case (n, _) =>
+      stats.get(n).forall { cols =>
+        ranges.forall { case (c, lo, hi) =>
+          cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
+        }
+      }
+    }
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    // every partition pruned: recover the schema from the newest-staged
+    // entry (same rationale as readCorpusKeyPruned's all-pruned case)
+    if (entries.isEmpty) {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+        .limit(0).where(residual)
+    }
+    else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
+      .where(residual)
+  }
+
   /** Read the current committed corpus state (see [[Versioned]]). */
   def readCorpus(s: SparkSession, corpusDir: String,
                  partCol: String): DataFrame =
@@ -219,13 +288,15 @@ object MergeOps {
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)
     val stagedNames = staged.map(_._1).toSet
     // Compaction preserves each partition's multiset, so the previous
-    // version's zone-map bounds stay exact — carry them forward instead
-    // of silently dropping pruning after every maintenance pass (at
-    // 100 TB the whole point of compacting is to make the NEXT scans
-    // cheaper; un-prunable next scans would defeat it).
-    val old = Versioned.readStats(s, corpusDir, v)
+    // version's zone-map bounds stay exact — carry the lines forward
+    // VERBATIM (format-preserving: single-key and multi-column sidecars
+    // alike) instead of silently dropping pruning after every
+    // maintenance pass (at 100 TB the whole point of compacting is to
+    // make the NEXT scans cheaper; un-prunable next scans would defeat
+    // it).
+    val old = Versioned.readStatsLines(s, corpusDir, v)
     if (old.nonEmpty)
-      Versioned.writeStats(s, corpusDir, nv, tok, old.toSeq.sortBy(_._1))
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, old)
     Versioned.publish(s, corpusDir, nv, tok,
       man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
   }
@@ -509,13 +580,14 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     // Bounds of surviving partitions are untouched by a manifest-only
-    // drop — carry them (filtered to the kept names) so retention does
-    // not cost the corpus its zone-map pruning.
-    val old = Versioned.readStats(s, corpusDir, v)
+    // drop — carry their lines VERBATIM (filtered to the kept names,
+    // format-preserving) so retention does not cost the corpus its
+    // zone-map pruning.
+    val old = Versioned.readStatsLines(s, corpusDir, v)
     val keptNames = kept.map(_._1).toSet
-    val keptStats = old.filter { case (n, _) => keptNames(n) }
+    val keptStats = old.filter(l => keptNames(Versioned.statsLinePart(l)))
     if (keptStats.nonEmpty)
-      Versioned.writeStats(s, corpusDir, nv, tok, keptStats.toSeq.sortBy(_._1))
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, keptStats)
     Versioned.publish(s, corpusDir, nv, tok, kept)
   }
 
@@ -623,6 +695,35 @@ object MergeOps {
                 statsKey = Some("o_orderkey"))
     readCorpusKeyPruned(s, dir, "kb", "o_orderkey", 1000L, 2999L)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared scan_zonemap_multi query: orders clustered by CUSTOMER
+    * bucket (o_custkey/512) with multi-column zone maps on BOTH
+    * o_custkey and o_orderkey, read back through the intersection
+    * pruner with one predicate per column. The custkey predicate is
+    * the one the clustering makes prunable (tight per-partition custkey
+    * bounds); the orderkey predicate rides the same bounds file and
+    * prunes whatever the data's correlation allows — exactly the
+    * two-predicate shape per-column stats exist for. The oracle is the
+    * plain conjunctive filter over the source table, so equality proves
+    * pruning dropped only partitions that contain NO qualifying row. */
+  def scanZonemapMultiQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_zonemap2_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              (col("o_custkey") / 512).cast("long").as("cb"))
+    mergeUpsert(s, dir, o, "o_orderkey", "cb",
+                statsKeys = Seq("o_custkey", "o_orderkey"))
+    readCorpusPruned(s, dir, "cb",
+        Seq(("o_custkey", 40L, 139L), ("o_orderkey", 0L, 1200L)))
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("price_r"))
       .orderBy("o_orderkey")
   }
 

@@ -176,6 +176,65 @@ class Wave19Spec extends SparkTestBase {
     assert(after == rows, "vacuum must not change the committed state")
   }
 
+  test("multi-column zone maps: intersection pruning reads fewer " +
+       "files, returns the exact filter, and the bounds survive " +
+       "merge, compaction, and retention verbatim") {
+    import spark.implicits._
+    val dir = freshDir("graft_multizone")
+    // 100 rows, clustered by bucket b = k/10; a is correlated with k
+    // (tight per-partition bounds), c anti-correlated (tight too) — so
+    // EACH predicate can prune partitions the other cannot.
+    def rows(ks: Seq[Long]) =
+      ks.map(k => (k, k * 3, 1000L - k * 3, k / 10)).toDF("k", "a", "c", "b")
+    MergeOps.mergeUpsert(spark, dir, rows(0L until 100L), "k", "b",
+      statsKeys = Seq("a", "c"))                                    // v1
+    def prune(aLo: Long, aHi: Long, cLo: Long, cHi: Long) =
+      MergeOps.readCorpusPruned(spark, dir, "b",
+        Seq(("a", aLo, aHi), ("c", cLo, cHi)))
+    // a ∈ [60,150] keeps k ∈ [20,50]; c ∈ [880,940] keeps k ∈ [20,40]
+    // → intersection k ∈ [20,40] = buckets 2..4 of 10
+    val got = prune(60, 150, 880, 940).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (20L to 40L).toSet, s"exact filter result, got $got")
+    val full = MergeOps.readCorpus(spark, dir, "b")
+    val pruned = prune(60, 150, 880, 940)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruning must skip partition files: ${pruned.inputFiles.length} " +
+        s"vs ${full.inputFiles.length}")
+    // all-pruned range: empty result, schema intact, one-entry listing
+    assert(prune(10000, 20000, 10000, 20000).collect().isEmpty)
+    // a merge touching one bucket refreshes its lines and carries the
+    // rest verbatim
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((25L, 500L, 500L, 2L)).toDF("k", "a", "c", "b"), "k", "b",
+      statsKeys = Seq("a", "c"))                                    // v2
+    val s2 = graft.engine.Versioned.readStatsMulti(spark, dir, 2L)
+    assert(s2("b=2")("a") == (60L, 500L) && s2("b=2")("c") == (500L, 940L),
+      s"touched bucket's bounds must refresh, got ${s2("b=2")}")
+    assert(s2("b=5")("a") == (150L, 177L),
+      "untouched buckets' bounds carry verbatim")
+    // compaction and retention carry the multi-format lines unchanged
+    MergeOps.compactPartitions(spark, dir, "b", maxFilesPerPart = 0) // v3
+    assert(graft.engine.Versioned.readStatsMulti(spark, dir, 3L) == s2,
+      "compaction must carry multi-column bounds verbatim")
+    MergeOps.applyRetention(spark, dir, name => name != "b=9")      // v4
+    val s4 = graft.engine.Versioned.readStatsMulti(spark, dir, 4L)
+    assert(s4 == (s2 - "b=9"),
+      "retention must carry kept partitions' bounds and drop the rest")
+    // pruning still bites after the maintenance passes
+    val afterK = prune(60, 150, 880, 940).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(afterK == ((20L to 40L).toSet - 25L),
+      s"post-maintenance prune must reflect the merge, got $afterK")
+    // a single-key legacy table reads through the multi API as __key__
+    val dirL = freshDir("graft_legacyzone")
+    MergeOps.mergeUpsert(spark, dirL, rows(0L until 30L), "k", "b",
+      statsKey = Some("a"))
+    val sl = graft.engine.Versioned.readStatsMulti(spark, dirL, 1L)
+    assert(sl("b=1")("__key__") == (30L, 57L),
+      s"legacy 3-field lines must lift to __key__, got $sl")
+  }
+
   test("a committed manifest vanishing mid-read surfaces as the " +
        "retryable commit-race signal, not a raw FileNotFound") {
     val dir = freshDir("graft_goneman")
