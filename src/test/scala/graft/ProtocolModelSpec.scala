@@ -59,8 +59,15 @@ class ProtocolModelSpec extends SparkTestBase {
         (k, math.floor(rnd.nextDouble() * 1e4) / 1e2, partOf(k))
       }.distinctBy(_._1)
 
+    // every merge writes MULTI-COLUMN zone maps (round 11), so the fuzz
+    // drives the 4-field stats format through every maintenance
+    // composition — carry (merge/compact/retention), byte-copy
+    // (rollback), absence (repair no-op commits write no sidecar) —
+    // and a random pruned read checks intersection pruning against the
+    // model's plain filter after every step
     val init = batch(10)
-    MergeOps.mergeUpsert(spark, dir, init.toDF("k", "v", "p"), "k", "p")
+    MergeOps.mergeUpsert(spark, dir, init.toDF("k", "v", "p"), "k", "p",
+      statsKeys = Seq("k"))
     var model = Model(mergeModel(Map.empty, init),
       Vector(mergeModel(Map.empty, init)), floor = 1L)
 
@@ -88,7 +95,8 @@ class ProtocolModelSpec extends SparkTestBase {
         case 0 | 1 | 2 | 3 | 4 =>                            // merge
           val b = batch(1 + rnd.nextInt(5))
           if (b.nonEmpty) {
-            MergeOps.mergeUpsert(spark, dir, b.toDF("k", "v", "p"), "k", "p")
+            MergeOps.mergeUpsert(spark, dir, b.toDF("k", "v", "p"), "k", "p",
+              statsKeys = Seq("k"))
             val next = mergeModel(model.rows, b)
             model = model.copy(rows = next,
               snapshots = model.snapshots :+ next)
@@ -138,6 +146,19 @@ class ProtocolModelSpec extends SparkTestBase {
         s"seed=$seed step=$step: committed read diverged from model\n" +
           s"  store: ${got.toSeq.sortBy(_._1)}\n" +
           s"  model: ${model.current.toSeq.sortBy(_._1)}")
+      // zone-map-pruned read with a random key range: must equal the
+      // model's plain filter no matter which maintenance op (or stats-
+      // less repair commit) produced the current version
+      val lo = rnd.nextInt(30).toLong
+      val hi = lo + rnd.nextInt(15).toLong
+      val prunedGot = MergeOps.readCorpusPruned(spark, dir, "p",
+          Seq(("k", lo, hi))).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      val prunedWant = model.current.filter { case (k, _) => k >= lo && k <= hi }
+      assert(prunedGot == prunedWant,
+        s"seed=$seed step=$step: pruned read [$lo,$hi] diverged\n" +
+          s"  store: ${prunedGot.toSeq.sortBy(_._1)}\n" +
+          s"  model: ${prunedWant.toSeq.sortBy(_._1)}")
     }
 
     // end state: every retained version time-travels to its model
