@@ -85,18 +85,21 @@ object MergeOps {
         .collect()
         .map { r =>
           Versioned.partDirName(partCol, r.get(0)) ->
-            ks.zipWithIndex.map { case (k, i) =>
-              k -> (r.getAs[Number](1 + 2 * i).longValue,
-                    r.getAs[Number](2 + 2 * i).longValue)
+            ks.zipWithIndex.flatMap { case (k, i) =>
+              // an all-NULL column in a partition has no bounds (min/max
+              // return null): emit NO line for it — a missing bound
+              // always reads, so correctness never rides on the stats
+              if (r.isNullAt(1 + 2 * i)) None
+              else Some(k -> (r.getAs[Number](1 + 2 * i).longValue,
+                              r.getAs[Number](2 + 2 * i).longValue))
             }
         }.toSeq
     }
     // fresh stats lines of a staged write, in the requested format
     def freshStatsLines(df: DataFrame): Seq[String] =
       if (statsKey.isDefined)
-        boundsOf(df, statsKey.toSeq).map { case (part, cols) =>
-          val (lo, hi) = cols.head._2
-          s"$part\t$lo\t$hi"
+        boundsOf(df, statsKey.toSeq).flatMap { case (part, cols) =>
+          cols.headOption.map { case (_, (lo, hi)) => s"$part\t$lo\t$hi" }
         }
       else boundsOf(df, statsKeys).flatMap { case (part, cols) =>
         cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }

@@ -233,6 +233,20 @@ class Wave19Spec extends SparkTestBase {
     val sl = graft.engine.Versioned.readStatsMulti(spark, dirL, 1L)
     assert(sl("b=1")("__key__") == (30L, 57L),
       s"legacy 3-field lines must lift to __key__, got $sl")
+    // an all-NULL stats column in a partition emits no bounds line for
+    // it (no NPE at stats time) and that partition always reads
+    val dirN = freshDir("graft_nullzone")
+    val withNulls = rows(0L until 30L)
+      .withColumn("a", when(col("k") < 10, col("a")))   // b=1, b=2 all-null
+    MergeOps.mergeUpsert(spark, dirN, withNulls, "k", "b",
+      statsKeys = Seq("a", "c"))
+    val sn = graft.engine.Versioned.readStatsMulti(spark, dirN, 1L)
+    assert(!sn("b=1").contains("a") && sn("b=1").contains("c"),
+      s"all-null column must have no bounds, others keep theirs: $sn")
+    val nGot = MergeOps.readCorpusPruned(spark, dirN, "b",
+        Seq(("a", 0L, 20L))).select("k").collect().map(_.getLong(0)).toSet
+    assert(nGot == (0L to 6L).toSet,
+      s"boundless partitions are pruned by the RESIDUAL only, got $nGot")
   }
 
   test("a committed manifest vanishing mid-read surfaces as the " +
