@@ -116,7 +116,16 @@ object MergeOps {
         val nv = 1L
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
-        batch.write.mode("overwrite").partitionBy(partCol)
+        // write-time clustering: a task-local sort by (partition, key)
+        // before the partitioned write — the dynamic-partition writer's
+        // required ordering is then already satisfied (no second sort),
+        // each partition's rows land key-ordered, and parquet row-group
+        // min/max skipping becomes effective on key residuals INSIDE
+        // the partitions manifest pruning keeps. Two-level skipping for
+        // one local sort: at 100 TB the row-group tier is what keeps a
+        // narrow key range from reading a whole partition.
+        batch.sortWithinPartitions(col(partCol), col(keyCol))
+          .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
         if (wantStats) Versioned.writeStatsLines(s, corpusDir, nv, tok,
           freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel")).sorted)
@@ -162,7 +171,8 @@ object MergeOps {
         val nv = v + 1
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
-        merged.write.mode("overwrite").partitionBy(partCol)
+        merged.sortWithinPartitions(col(partCol), col(keyCol))
+          .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                                   partCol)
@@ -273,9 +283,14 @@ object MergeOps {
     * task, so the partitionBy writer emits exactly one file per value,
     * and the new version's manifest points untouched partitions at their
     * existing dirs. Multiset-preserving by construction (pure
-    * read→repartition→write); publish is atomic as ever. */
+    * read→repartition→write); publish is atomic as ever. `sortCol`
+    * re-clusters each compacted partition by that column during the
+    * rewrite (the OPTIMIZE-with-sort idiom): compaction is the natural
+    * moment to restore key order that interleaved merges eroded, so
+    * parquet row-group skipping stays tight without a separate pass. */
   def compactPartitions(s: SparkSession, corpusDir: String, partCol: String,
-                        maxFilesPerPart: Int = 4): Unit = {
+                        maxFilesPerPart: Int = 4,
+                        sortCol: Option[String] = None): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
     val frag = man.filter(e =>
@@ -284,8 +299,10 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    Versioned.readEntries(s, corpusDir, frag, Some(partCol))
+    val clustered = Versioned.readEntries(s, corpusDir, frag, Some(partCol))
       .repartition(col(partCol))
+    sortCol.fold(clustered)(c =>
+        clustered.sortWithinPartitions(col(partCol), col(c)))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)

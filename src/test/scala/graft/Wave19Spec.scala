@@ -249,6 +249,49 @@ class Wave19Spec extends SparkTestBase {
       s"boundless partitions are pruned by the RESIDUAL only, got $nGot")
   }
 
+  test("merge stages land key-ordered inside each partition, and a " +
+       "sorted compaction restores the order merges interleave") {
+    import spark.implicits._
+    val dir = freshDir("graft_sortedstage")
+    val fs = fsOf(dir)
+    def assertFilesOrdered(v: Long): Unit =
+      graft.engine.Versioned.manifest(spark, dir, v).foreach {
+        case (name, rel) =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val ks = spark.read.parquet(f.getPath.toString)
+                .select("k").collect().map(_.getLong(0))
+              assert(ks.sameElements(ks.sorted),
+                s"$name/${f.getPath.getName} must be key-ordered at v$v")
+            }
+      }
+    // a deliberately scrambled batch across 8 input tasks: the stage
+    // write's local sort must still land every file key-ordered
+    val scrambled = (0 until 200)
+      .map(i => ((i * 37 % 200).toLong, i.toDouble,
+        if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "p").repartition(8)
+    MergeOps.mergeUpsert(spark, dir, scrambled, "k", "p")           // v1
+    assertFilesOrdered(1L)
+    // two more merges fragment the partitions (one file per task per
+    // merge); a SORTED compaction rewrites each to one ordered file
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((500L, 1.0, "E"), (501L, 1.0, "O")).toDF("k", "v", "p"),
+      "k", "p")                                                     // v2
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((600L, 2.0, "E"), (601L, 2.0, "O")).toDF("k", "v", "p"),
+      "k", "p")                                                     // v3
+    MergeOps.compactPartitions(spark, dir, "p", maxFilesPerPart = 1,
+      sortCol = Some("k"))                                          // v4
+    assertFilesOrdered(4L)
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows == ((0L until 200L) ++ Seq(500L, 501L, 600L, 601L)).toSet,
+      "clustering must never change the committed multiset")
+  }
+
   test("a committed manifest vanishing mid-read surfaces as the " +
        "retryable commit-race signal, not a raw FileNotFound") {
     val dir = freshDir("graft_goneman")
