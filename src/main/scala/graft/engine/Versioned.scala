@@ -779,6 +779,42 @@ object Versioned {
     readEntries(s, dir, manifest(s, dir, v), partCol)
   }
 
+  /** Time travel by TIMESTAMP (AS OF TIMESTAMP): the newest committed
+    * version whose commit instant — the marker's STORE mtime, the same
+    * clock [[repairTornCommit]]'s grace uses — is ≤ `tsMillis`. One
+    * bounded listing of `commits/` resolves it (the mtimes ride the
+    * same listStatus the version listing uses). Caveats shared with
+    * every table format's timestamp travel: the mapping is the store
+    * clock's, not the writer's, and a marker resurrected by publish
+    * step 4 (a repair raced the claim) carries the resurrection time —
+    * ties and anomalies resolve to the HIGHEST qualifying version, so
+    * the answer is always a real committed snapshot, at worst a
+    * slightly newer one than a skewed clock implies. None if nothing
+    * was committed at or before the instant. */
+  def versionAsOf(s: SparkSession, dir: String,
+                  tsMillis: Long): Option[Long] = {
+    val fs = fsOf(s, dir)
+    val c = new Path(dir, "commits")
+    if (!fs.exists(c)) None
+    else fs.listStatus(c).toSeq.flatMap { st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption
+        .filter(_ => st.getModificationTime <= tsMillis)
+    }.maxOption
+  }
+
+  /** [[readVersion]] at [[versionAsOf]]'s resolution — fails fast with
+    * the table's earliest commit instant when the timestamp predates
+    * the log, and with the retention-floor error when the resolved
+    * version's data may have been vacuumed. */
+  def readAsOf(s: SparkSession, dir: String, tsMillis: Long,
+               partCol: Option[String]): DataFrame =
+    versionAsOf(s, dir, tsMillis) match {
+      case Some(v) => readVersion(s, dir, v, partCol)
+      case None => throw new IllegalArgumentException(
+        s"no version committed at or before $tsMillis under $dir — " +
+          "the timestamp predates the table (or its vacuumed history)")
+    }
+
   /** Roll back to an earlier committed version — published as a NEW
     * version whose manifest is the old one verbatim, so the rollback is
     * itself atomic, auditable in the commit log, and reversible (nothing

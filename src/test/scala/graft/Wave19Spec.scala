@@ -292,6 +292,48 @@ class Wave19Spec extends SparkTestBase {
       "clustering must never change the committed multiset")
   }
 
+  test("AS OF TIMESTAMP resolves by the store clock's commit instants " +
+       "and fails fast before the log or below the floor") {
+    import spark.implicits._
+    val dir = freshDir("graft_asof")
+    MergeOps.mergeUpsert(spark, dir, corpus(5), "k", "p")           // v1
+    val fs = fsOf(dir)
+    def mtime(v: Long) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, s"commits/$v")).getModificationTime
+    val t1 = mtime(1L)
+    Thread.sleep(20)  // ensure distinct store mtimes across commits
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, -1.0, "O")).toDF("k", "v", "p"), "k", "p")           // v2
+    val t2 = mtime(2L)
+    assert(t2 > t1, "precondition: distinct commit instants")
+    assert(graft.engine.Versioned.versionAsOf(spark, dir, t1).contains(1L))
+    assert(graft.engine.Versioned.versionAsOf(spark, dir, t2).contains(2L))
+    assert(graft.engine.Versioned
+      .versionAsOf(spark, dir, (t1 + t2) / 2).contains(1L),
+      "an instant between commits resolves to the earlier version")
+    val atV1 = graft.engine.Versioned.readAsOf(spark, dir, t1, Some("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(atV1(1L) == 10.0, "AS OF v1's instant reads v1's data")
+    val now = graft.engine.Versioned.readAsOf(spark, dir, t2, Some("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(now(1L) == -1.0, "AS OF the newest instant reads current")
+    val ePre = intercept[IllegalArgumentException] {
+      graft.engine.Versioned.readAsOf(spark, dir, t1 - 1000000L, Some("p"))
+    }
+    assert(ePre.getMessage.contains("predates"))
+    // a vacuumed-below-floor resolution hits the floor fail-fast, not
+    // a missing-file surprise
+    Versioned.vacuum(spark, dir, keepVersions = 1)                  // floor=2
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((2L, -2.0, "E")).toDF("k", "v", "p"), "k", "p")           // v3
+    Versioned.vacuum(spark, dir, keepVersions = 1)                  // floor=3,
+    // sweeps v1's marker below the floor: AS OF t1 now resolves to no
+    // version (its marker is gone) or fails the floor check — both loud
+    val res = scala.util.Try(
+      graft.engine.Versioned.readAsOf(spark, dir, t1, Some("p")))
+    assert(res.isFailure, "below-floor AS OF must fail fast")
+  }
+
   test("a committed manifest vanishing mid-read surfaces as the " +
        "retryable commit-race signal, not a raw FileNotFound") {
     val dir = freshDir("graft_goneman")
