@@ -1132,6 +1132,16 @@ object OracleSql {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
         |ORDER BY o_orderkey""".stripMargin,
 
+    // merge_delete: the copy-on-write delete must equal the plain
+    // complement filter — removed exactly the doomed keys, nothing else.
+    "merge_delete" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 70
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_zonemap_multi: intersection pruning over per-column bounds
     // must be invisible in the data — the oracle is the plain
     // conjunctive filter.

@@ -193,6 +193,60 @@ object MergeOps {
     }
   }
 
+  /** Row-level DELETE (the GDPR / right-to-be-forgotten write every
+    * lakehouse needs): remove every corpus row whose `keyCol` appears in
+    * `keys`, by RESTAGING only the partitions that contain such a key —
+    * copy-on-write deletes at merge cost, O(touched partitions) like
+    * every write here, never a full-table rewrite. The touched set is
+    * found with one semi-join of the committed corpus against the key
+    * set (the same find-touched-files pass a Delta DELETE runs); a
+    * partition whose every row dies drops out of the manifest entirely,
+    * and deleting the last populated partition fails fast like
+    * retention (an empty table cannot be read back — that is table
+    * deletion, not a delete). Stats lines carry for SURVIVING
+    * partitions only: a restaged partition's old bounds remain a VALID
+    * superset after row removal (bounds can only narrow), so pruning
+    * stays correct without recomputing — the next merge or sorted
+    * compaction re-tightens them. Idempotent: a second identical delete
+    * finds no touched partition and publishes nothing. Publishes at
+    * snapshot+1 under the same OCC claim as every writer. */
+  def mergeDelete(s: SparkSession, corpusDir: String, keys: DataFrame,
+                  keyCol: String, partCol: String): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val corpus = Versioned.readEntries(s, corpusDir, man, Some(partCol))
+    val touched = corpus.join(keys.select(keyCol).distinct(),
+        Seq(keyCol), "left_semi")
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    val oldEntries = man.filter(e => touchedNames.contains(e._1))
+    val survivors = Versioned.readEntries(s, corpusDir, oldEntries,
+        Some(partCol))
+      .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    survivors.sortWithinPartitions(col(partCol), col(keyCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    val stagedNames = staged.map(_._1).toSet
+    val newMan = man.filterNot(e => touchedNames.contains(e._1)) ++ staged
+    require(newMan.nonEmpty,
+      s"delete would remove every row of $corpusDir — an empty table " +
+        "cannot be read back; delete the table instead")
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filter { l =>
+        val n = Versioned.statsLinePart(l)
+        !touchedNames(n) || stagedNames(n)
+      }
+    if (carried.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, carried)
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
+  }
+
   /** Zone-map-pruned corpus read: keep only the manifest entries whose
     * stats range overlaps [lo, hi] (entries with no stats row are kept —
     * stats are an optimization, never a correctness gate), then apply
@@ -715,6 +769,37 @@ object MergeOps {
                 statsKey = Some("o_orderkey"))
     readCorpusKeyPruned(s, dir, "kb", "o_orderkey", 1000L, 2999L)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_delete query: build the full orders corpus
+    * (partitioned by status), row-level-DELETE the fold ≥ 70 keys
+    * (~30%, spread across every partition), delete the SAME keys again
+    * — idempotence is part of the checked contract (the second pass
+    * must find no touched partition and publish nothing) — and read
+    * the survivors back. The oracle is the plain complement filter
+    * over the source table: equality proves the copy-on-write restage
+    * removed exactly the doomed keys and nothing else. */
+  def mergeDeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergedel_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus")
+    val doomed = base.where(fold(col("o_orderkey")) >= 70)
+      .select("o_orderkey")
+    mergeDelete(s, dir, doomed, "o_orderkey", "o_orderstatus")
+    mergeDelete(s, dir, doomed, "o_orderkey", "o_orderstatus")
+    val vAfter = Versioned.currentVersion(s, dir).get
+    require(vAfter == 2L,
+      s"idempotent re-delete must publish nothing, at v$vAfter")
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 

@@ -76,7 +76,23 @@ class ProtocolModelSpec extends SparkTestBase {
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
 
     for (step <- 1 to steps) {
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
+        case 11 =>                                           // row delete
+          // copy-on-write mergeDelete (round 11): random key set, some
+          // hitting, some missing; an all-miss call must publish
+          // NOTHING (the end-state version-count assertion catches a
+          // phantom version), and draws that would empty the table are
+          // skipped like retention's last-partition guard
+          val ks = (1 to (1 + rnd.nextInt(4)))
+            .map(_ => rnd.nextInt(30).toLong).distinct
+          val hit = model.rows.keySet.intersect(ks.toSet)
+          val remaining = model.rows -- ks
+          if (remaining.nonEmpty) {
+            MergeOps.mergeDelete(spark, dir, ks.toDF("k"), "k", "p")
+            if (hit.nonEmpty)
+              model = model.copy(rows = remaining,
+                snapshots = model.snapshots :+ remaining)
+          }
         case 10 =>                   // torn claim + mechanical repair:
           // a writer dies at current+1 either BETWEEN claim and binding
           // (bare marker) or INSIDE its binding write (claim + EMPTY

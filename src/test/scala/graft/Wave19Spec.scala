@@ -334,6 +334,52 @@ class Wave19Spec extends SparkTestBase {
     assert(res.isFailure, "below-floor AS OF must fail fast")
   }
 
+  test("mergeDelete: copy-on-write row deletes restage only touched " +
+       "partitions, drop fully-emptied ones, refuse to empty the " +
+       "table, and keep valid stats") {
+    import spark.implicits._
+    val dir = freshDir("graft_rowdelete")
+    // partitions d1 (k 1-3), d2 (k 4-6), d3 (k 7-9)
+    MergeOps.mergeUpsert(spark, dir,
+      (1 to 9).map(i => (i.toLong, i * 1.0, s"d${(i - 1) / 3 + 1}"))
+        .toDF("k", "v", "p"),
+      "k", "p", statsKeys = Seq("k"))                               // v1
+    // delete k=2 (partial d1) and all of d2 (k 4,5,6); k=99 no-ops
+    MergeOps.mergeDelete(spark, dir,
+      Seq(2L, 4L, 5L, 6L, 99L).toDF("k"), "k", "p")                 // v2
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(rows.keySet == Set(1L, 3L, 7L, 8L, 9L), s"got $rows")
+    val man2 = graft.engine.Versioned.manifest(spark, dir, 2L)
+    assert(!man2.exists(_._1 == "p=d2"),
+      "a fully-emptied partition must drop out of the manifest")
+    // stats: untouched d3 carries verbatim; restaged d1 keeps its old
+    // (valid superset) bounds; emptied d2's line is gone
+    val s2 = graft.engine.Versioned.readStatsMulti(spark, dir, 2L)
+    assert(s2("p=d1")("k") == (1L, 3L) && s2("p=d3")("k") == (7L, 9L) &&
+      !s2.contains("p=d2"), s"stats carry, got $s2")
+    // pruning still correct with the superset bounds
+    val pr = MergeOps.readCorpusPruned(spark, dir, "p", Seq(("k", 1L, 3L)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(pr == Set(1L, 3L))
+    // deleting a key that is already gone publishes nothing
+    MergeOps.mergeDelete(spark, dir, Seq(2L).toDF("k"), "k", "p")
+    assert(graft.engine.Versioned.currentVersion(spark, dir).contains(2L),
+      "an all-miss delete must not publish a version")
+    // refusing to empty the table
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.mergeDelete(spark, dir,
+        Seq(1L, 3L, 7L, 8L, 9L).toDF("k"), "k", "p")
+    }
+    assert(e.getMessage.contains("empty table"),
+      s"must fail fast, got: ${e.getMessage}")
+    // time travel still sees the pre-delete state (nothing was erased)
+    val v1 = graft.engine.Versioned.readVersion(spark, dir, 1L, Some("p"))
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 == (1L to 9L).toSet,
+      "copy-on-write: the deleted rows remain time-travelable")
+  }
+
   test("a committed manifest vanishing mid-read surfaces as the " +
        "retryable commit-race signal, not a raw FileNotFound") {
     val dir = freshDir("graft_goneman")
