@@ -1132,6 +1132,16 @@ object OracleSql {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
         |ORDER BY o_orderkey""".stripMargin,
 
+    // pipeline_dedup_delete: retroactive dedup-by-delete must leave
+    // exactly the canonical (min doc_id per text hash) documents.
+    "pipeline_dedup_delete" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT MIN(doc_id) AS doc_id
+        |      FROM documents GROUP BY md5(text)) k USING (doc_id)
+        |WHERE d.n_chars >= 200
+        |ORDER BY d.doc_id""".stripMargin,
+
     // merge_delete: the copy-on-write delete must equal the plain
     // complement filter — removed exactly the doomed keys, nothing else.
     "merge_delete" ->

@@ -803,6 +803,40 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Declared pipeline_dedup_delete query: RETROACTIVE corpus dedup —
+    * the composition a production training-data pipeline runs when a
+    * dedup pass lands after a corpus is already ingested. The documents
+    * table becomes a lang-partitioned versioned corpus; the doom set
+    * is exact-dup non-canonicals (dedup_exact's keep-min-doc_id-per-
+    * md5 rule) UNION a quality gate (n_chars < 200 — the testdata has
+    * few exact dups at small SF, so the gate keeps the delete path
+    * exercised at every scale); [[mergeDelete]] removes them
+    * copy-on-write (only partitions holding a doomed id restage; the
+    * pre-dedup corpus stays time-travelable for provenance). The
+    * oracle restates the surviving set straight from the source, so
+    * equality proves the delete removed exactly the doomed ids. */
+  def pipelineDedupDeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_deduppurge_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    mergeUpsert(s, dir, docs, "doc_id", "lang")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val doomed = docs.select("doc_id")
+      .join(keep, Seq("doc_id"), "left_anti")
+      .union(docs.where(col("n_chars") < 200).select("doc_id"))
+    mergeDelete(s, dir, doomed, "doc_id", "lang")
+    readCorpus(s, dir, "lang")
+      .select(col("doc_id"), col("lang").cast("string").as("lang"),
+              col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Declared scan_zonemap_multi query: orders clustered by CUSTOMER
     * bucket (o_custkey/512) with multi-column zone maps on BOTH
     * o_custkey and o_orderkey, read back through the intersection

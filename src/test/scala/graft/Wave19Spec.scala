@@ -362,6 +362,14 @@ class Wave19Spec extends SparkTestBase {
     val pr = MergeOps.readCorpusPruned(spark, dir, "p", Seq(("k", 1L, 3L)))
       .select("k").collect().map(_.getLong(0)).toSet
     assert(pr == Set(1L, 3L))
+    // CDC sees the row deletes as deletes — downstream consumers
+    // (index maintenance, cache invalidation) subscribe to the same
+    // changelog for DELETE writes as for merges
+    val cdc = MergeOps.changelog(spark, dir, 1L, 2L, "k", "p", "v")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change"))
+      .toMap
+    assert(cdc == Map(2L -> "delete", 4L -> "delete", 5L -> "delete",
+      6L -> "delete"), s"changelog must be exactly the deletes: $cdc")
     // deleting a key that is already gone publishes nothing
     MergeOps.mergeDelete(spark, dir, Seq(2L).toDF("k"), "k", "p")
     assert(graft.engine.Versioned.currentVersion(spark, dir).contains(2L),
