@@ -115,6 +115,30 @@ object StreamOps {
         }
       }
 
+  /** Streaming TOMBSTONE sink (round 11): each micro-batch of doomed
+    * keys row-level-deletes from a versioned corpus via
+    * [[graft.ops.MergeOps.mergeDelete]] — the CDC-ingestion-with-
+    * deletes pattern (upstream emits deletions, the corpus applies
+    * them copy-on-write per trigger). Exactly-once needs NO ledger
+    * here: deletes are idempotent by construction — a replayed batch's
+    * keys are already gone, the touched-partition semi-join finds
+    * nothing, and the sink publishes nothing. Runs inside
+    * [[graft.engine.Versioned.withCommitRetry]] so losing a commit
+    * race to a concurrent merge/compactor re-derives instead of
+    * killing the streaming query (same contract as
+    * [[rollupMaintenance]]). */
+  def deleteMaintenance(tombstones: DataFrame, corpusDir: String,
+                        keyCol: String,
+                        partCol: String): DataStreamWriter[Row] =
+    tombstones.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Versioned.withCommitRetry() {
+          graft.ops.MergeOps.mergeDelete(
+            batch.sparkSession, corpusDir, batch, keyCol, partCol)
+        }
+      }
+
   /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,
     * embedding float[]) into a streamed embedding index: quantized
     * vectors and LSH signatures land in per-batch `batch_id=<id>` dirs

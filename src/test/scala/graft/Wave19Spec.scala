@@ -388,6 +388,37 @@ class Wave19Spec extends SparkTestBase {
       "copy-on-write: the deleted rows remain time-travelable")
   }
 
+  test("streaming tombstone sink: per-trigger deletes land copy-on-" +
+       "write; a replayed batch is idempotent with no ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("graft_tombstones")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")          // v1
+    val in = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.deleteMaintenance(
+        in.toDF().toDF("k"), dir, "k", "p")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_tomb_ck").toString)
+      .start()
+    try {
+      in.addData(2L, 4L)
+      q.processAllAvailable()
+      in.addData(6L, 99L)   // 99 misses — partial-hit batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 3L, 5L, 7L, 8L, 9L, 10L), s"got $rows")
+    // two publishing triggers: v2 and v3
+    assert(graft.engine.Versioned.currentVersion(spark, dir).contains(3L))
+    // replaying a batch's keys is exactly-once WITHOUT a ledger:
+    // all keys already gone → nothing touched → nothing published
+    MergeOps.mergeDelete(spark, dir, Seq(2L, 4L).toDF("k"), "k", "p")
+    assert(graft.engine.Versioned.currentVersion(spark, dir).contains(3L),
+      "a replayed tombstone batch must publish nothing")
+  }
+
   test("a committed manifest vanishing mid-read surfaces as the " +
        "retryable commit-race signal, not a raw FileNotFound") {
     val dir = freshDir("graft_goneman")
