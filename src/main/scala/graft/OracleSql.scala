@@ -1142,6 +1142,21 @@ object OracleSql {
         |WHERE d.n_chars >= 200
         |ORDER BY d.doc_id""".stripMargin,
 
+    // merge_apply_cdc: the atomically-applied changelog must equal the
+    // fold-rule restatement — updates re-priced, deletes gone, inserts
+    // present — and the double-apply must be content-invisible.
+    "merge_apply_cdc" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN bucket BETWEEN 80 AND 84 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |WHERE bucket < 85 OR bucket BETWEEN 90 AND 94
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_delete: the copy-on-write delete must equal the plain
     // complement filter — removed exactly the doomed keys, nothing else.
     "merge_delete" ->

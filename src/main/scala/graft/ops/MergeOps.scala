@@ -32,6 +32,60 @@ import graft.engine.Versioned
   * rows it would re-insert. */
 object MergeOps {
 
+  /** Per-partition zone-map stats of a staged write: one partition-
+    * pruned aggregate over what was just written (ALL stats columns in
+    * the single job), collected as a bounded (#partitions) driver
+    * list — the same metadata class as the manifest itself. Stats
+    * columns must be integral: validated up front with a clear error
+    * rather than a ClassCastException at collect time (r8 advice), and
+    * read back through Number so parquet re-inference to a narrower
+    * integral type (int day keys and the like) still lands in the Long
+    * bounds. `statsKey` emits the legacy single-key 3-field sidecar;
+    * `statsKeys` emits the multi-column 4-field form (see
+    * [[Versioned.writeStatsMulti]]) — the two are mutually exclusive
+    * because one write-once sidecar holds one format. Shared by every
+    * stats-writing stage ([[mergeUpsert]], [[mergeApplyChangelog]]). */
+  private def freshStatsLines(df: DataFrame, partCol: String,
+                              statsKey: Option[String],
+                              statsKeys: Seq[String]): Seq[String] = {
+    def checkIntegral(k: String): Unit = {
+      val dt = df.schema(k).dataType
+      // No DATE here: Spark disallows DateType→LongType casts, so a date
+      // key would pass this check and then die at analysis with exactly
+      // the confusing cast error the check exists to prevent (r9 advice).
+      require(Seq("long", "integer", "short", "byte")
+                .contains(dt.typeName),
+        s"statsKey column '$k' must be integral for zone-map bounds, " +
+          s"got ${dt.typeName}")
+    }
+    def boundsOf(ks: Seq[String])
+        : Seq[(String, Seq[(String, (Long, Long))])] = {
+      ks.foreach(checkIntegral)
+      val aggs = ks.flatMap(k => Seq(min(col(k).cast("long")),
+                                     max(col(k).cast("long"))))
+      df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          Versioned.partDirName(partCol, r.get(0)) ->
+            ks.zipWithIndex.flatMap { case (k, i) =>
+              // an all-NULL column in a partition has no bounds (min/max
+              // return null): emit NO line for it — a missing bound
+              // always reads, so correctness never rides on the stats
+              if (r.isNullAt(1 + 2 * i)) None
+              else Some(k -> (r.getAs[Number](1 + 2 * i).longValue,
+                              r.getAs[Number](2 + 2 * i).longValue))
+            }
+        }.toSeq
+    }
+    if (statsKey.isDefined)
+      boundsOf(statsKey.toSeq).flatMap { case (part, cols) =>
+        cols.headOption.map { case (_, (lo, hi)) => s"$part\t$lo\t$hi" }
+      }
+    else boundsOf(statsKeys).flatMap { case (part, cols) =>
+      cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
+    }
+  }
+
   /** Merge `batch` into the versioned parquet corpus at `corpusDir`:
     * rows with a `keyCol` already present replace the old row, others
     * append; only partitions present in `batch` are restaged. Creates
@@ -51,59 +105,11 @@ object MergeOps {
                   keyCol: String, partCol: String,
                   statsKey: Option[String] = None,
                   statsKeys: Seq[String] = Nil): Unit = {
-    // Per-partition zone-map stats of a staged write: one partition-
-    // pruned aggregate over what was just written (ALL stats columns in
-    // the single job), collected as a bounded (#partitions) driver
-    // list — the same metadata class as the manifest itself. Stats
-    // columns must be integral: validated up front with a clear error
-    // rather than a ClassCastException at collect time (r8 advice), and
-    // read back through Number so parquet re-inference to a narrower
-    // integral type (int day keys and the like) still lands in the Long
-    // bounds. `statsKey` emits the legacy single-key 3-field sidecar;
-    // `statsKeys` emits the multi-column 4-field form (see
-    // [[Versioned.writeStatsMulti]]) — the two are mutually exclusive
-    // because one write-once sidecar holds one format.
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
-    def checkIntegral(df: DataFrame, k: String): Unit = {
-      val dt = df.schema(k).dataType
-      // No DATE here: Spark disallows DateType→LongType casts, so a date
-      // key would pass this check and then die at analysis with exactly
-      // the confusing cast error the check exists to prevent (r9 advice).
-      require(Seq("long", "integer", "short", "byte")
-                .contains(dt.typeName),
-        s"statsKey column '$k' must be integral for zone-map bounds, " +
-          s"got ${dt.typeName}")
-    }
-    def boundsOf(df: DataFrame, ks: Seq[String])
-        : Seq[(String, Seq[(String, (Long, Long))])] = {
-      ks.foreach(checkIntegral(df, _))
-      val aggs = ks.flatMap(k => Seq(min(col(k).cast("long")),
-                                     max(col(k).cast("long"))))
-      df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          Versioned.partDirName(partCol, r.get(0)) ->
-            ks.zipWithIndex.flatMap { case (k, i) =>
-              // an all-NULL column in a partition has no bounds (min/max
-              // return null): emit NO line for it — a missing bound
-              // always reads, so correctness never rides on the stats
-              if (r.isNullAt(1 + 2 * i)) None
-              else Some(k -> (r.getAs[Number](1 + 2 * i).longValue,
-                              r.getAs[Number](2 + 2 * i).longValue))
-            }
-        }.toSeq
-    }
-    // fresh stats lines of a staged write, in the requested format
-    def freshStatsLines(df: DataFrame): Seq[String] =
-      if (statsKey.isDefined)
-        boundsOf(df, statsKey.toSeq).flatMap { case (part, cols) =>
-          cols.headOption.map { case (_, (lo, hi)) => s"$part\t$lo\t$hi" }
-        }
-      else boundsOf(df, statsKeys).flatMap { case (part, cols) =>
-        cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
-      }
+    def freshStats(df: DataFrame): Seq[String] =
+      freshStatsLines(df, partCol, statsKey, statsKeys)
     val wantStats = statsKey.isDefined || statsKeys.nonEmpty
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
@@ -128,7 +134,7 @@ object MergeOps {
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
         if (wantStats) Versioned.writeStatsLines(s, corpusDir, nv, tok,
-          freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel")).sorted)
+          freshStats(s.read.parquet(s"$corpusDir/$stageRel")).sorted)
         Versioned.publish(s, corpusDir, nv, tok,
           Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
       case Some(v) =>
@@ -184,7 +190,7 @@ object MergeOps {
           // from re-evaluating the merged plan a second time
           val carried = Versioned.readStatsLines(s, corpusDir, v)
             .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
-          val fresh = freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"))
+          val fresh = freshStats(s.read.parquet(s"$corpusDir/$stageRel"))
           Versioned.writeStatsLines(s, corpusDir, nv, tok,
             (carried ++ fresh).sorted)
         }
@@ -279,6 +285,92 @@ object MergeOps {
     }
     else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** Apply ONE changelog batch ATOMICALLY — the full MERGE INTO form:
+    * upserts (op `i`/`u`) and deletes (op `d`) from a single CDC batch
+    * land in ONE committed version, where separate mergeUpsert +
+    * mergeDelete calls would expose a half-applied intermediate
+    * version to every reader (and to time travel forever). `changes`
+    * carries the full row schema plus `opCol`; delete rows need only
+    * their key (other columns ignored). Touched partitions = the
+    * upsert rows' own `partCol` values ∪ the partitions the deleted
+    * keys live in (one semi-join, as [[mergeDelete]]); those restage
+    * key-sorted as survivors (old rows minus ALL changed keys) plus
+    * the upsert rows. Same cost model as every write here:
+    * ∝ touched-partition bytes + batch bytes. Stats: carried for
+    * untouched partitions; `statsKey`/`statsKeys` recompute fresh
+    * bounds for the restaged ones (without a stats request, restaged
+    * partitions' lines are DROPPED — upserts can widen bounds, so the
+    * old lines are not a valid superset the way [[mergeDelete]]'s
+    * are). Idempotent: re-applying replaces keys with the same values
+    * and re-deletes misses. */
+  def mergeApplyChangelog(s: SparkSession, corpusDir: String,
+                          changes: DataFrame, keyCol: String,
+                          partCol: String, opCol: String = "op",
+                          statsKey: Option[String] = None,
+                          statsKeys: Seq[String] = Nil): Unit = {
+    require(statsKey.isEmpty || statsKeys.isEmpty,
+      "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
+        "not both")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir — create the corpus " +
+          "with mergeUpsert before applying changelogs"))
+    val upserts = changes.where(col(opCol) =!= "d").drop(opCol)
+    val deleteKeys = changes.where(col(opCol) === "d")
+      .select(keyCol).distinct()
+    val man = Versioned.manifest(s, corpusDir, v)
+    val upsertParts = upserts.select(partCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val corpus = Versioned.readEntries(s, corpusDir, man, Some(partCol))
+    val deleteParts = corpus.join(deleteKeys, Seq(keyCol), "left_semi")
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    val touchedNames = (upsertParts ++ deleteParts)
+      .map(Versioned.partDirName(partCol, _)).toSet
+    if (touchedNames.isEmpty) return
+    val oldEntries = man.filter(e => touchedNames.contains(e._1))
+    val cols = upserts.columns.toSeq
+    val changedKeys = changes.select(keyCol).distinct()
+    val merged =
+      if (oldEntries.isEmpty) upserts
+      else {
+        // survivors align to the batch schema (null-filling columns old
+        // rows predate) exactly as mergeUpsert's evolution rule does
+        val old = Versioned.readEntries(s, corpusDir, oldEntries,
+                                        Some(partCol))
+        val aligned = cols.map { c =>
+          if (old.columns.contains(c)) col(c)
+          else lit(null).cast(upserts.schema(c).dataType).as(c)
+        }
+        old.select(aligned: _*)
+          .join(changedKeys, Seq(keyCol), "left_anti")
+          .selectExpr(cols: _*)
+          .unionByName(upserts)
+      }
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    merged.sortWithinPartitions(col(partCol), col(keyCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    val stagedNames = staged.map(_._1).toSet
+    val newMan = man.filterNot(e => touchedNames.contains(e._1)) ++ staged
+    require(newMan.nonEmpty,
+      s"changelog would remove every row of $corpusDir — an empty " +
+        "table cannot be read back; delete the table instead")
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    val fresh =
+      if (statsKey.isEmpty && statsKeys.isEmpty) Seq.empty
+      else freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"),
+                           partCol, statsKey, statsKeys)
+    if ((carried ++ fresh).nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok,
+                                (carried ++ fresh).sorted)
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
   /** INTERSECTION zone-map pruning over multi-column bounds
@@ -800,6 +892,38 @@ object MergeOps {
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"),
               col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_apply_cdc query: one CDC batch — updates (fold
+    * 80-84, re-priced ×2), deletes (85-89), inserts (90-94) — applied
+    * ATOMICALLY to the fold<90 corpus snapshot in a single committed
+    * version, then applied AGAIN (the replay must converge to the same
+    * content). The oracle restates the end state from the source table
+    * and the fold rule, so equality proves all three op kinds landed
+    * together and exactly once. */
+  def mergeApplyCdcQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_applycdc_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val b = fold(col("o_orderkey"))
+    val changes = base.where(b >= 80 && b <= 94)
+      .withColumn("op",
+        when(b <= 84, lit("u")).when(b <= 89, lit("d")).otherwise(lit("i")))
+      .withColumn("o_totalprice",
+        when(col("op") === "u", col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
+    mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 

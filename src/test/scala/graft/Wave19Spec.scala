@@ -388,6 +388,45 @@ class Wave19Spec extends SparkTestBase {
       "copy-on-write: the deleted rows remain time-travelable")
   }
 
+  test("mergeApplyChangelog: inserts, updates, and deletes from one " +
+       "CDC batch land in ONE committed version with fresh bounds") {
+    import spark.implicits._
+    val dir = freshDir("graft_applycdc")
+    MergeOps.mergeUpsert(spark, dir,
+      (1 to 6).map(i => (i.toLong, i * 1.0, s"d${(i - 1) / 3 + 1}"))
+        .toDF("k", "v", "p"),
+      "k", "p", statsKeys = Seq("k"))                               // v1
+    val changes = Seq(
+      (2L, 20.0, "d1", "u"),   // update in place
+      (4L, 0.0, "d2", "d"),    // delete (value ignored)
+      (7L, 7.0, "d3", "i")     // insert into a NEW partition
+    ).toDF("k", "v", "p", "op")
+    MergeOps.mergeApplyChangelog(spark, dir, changes, "k", "p",
+      statsKeys = Seq("k"))                                         // v2
+    assert(graft.engine.Versioned.currentVersion(spark, dir).contains(2L),
+      "all three op kinds must land in exactly one version")
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0,
+      5L -> 5.0, 6L -> 6.0, 7L -> 7.0), s"got $rows")
+    // bounds: every touched partition recomputed, new partition added
+    val st = graft.engine.Versioned.readStatsMulti(spark, dir, 2L)
+    assert(st("p=d1")("k") == (1L, 3L) && st("p=d2")("k") == (5L, 6L) &&
+      st("p=d3")("k") == (7L, 7L), s"fresh bounds, got $st")
+    // CDC of the apply reports all three op kinds
+    val cdc = MergeOps.changelog(spark, dir, 1L, 2L, "k", "p", "v")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change"))
+      .toMap
+    assert(cdc == Map(2L -> "update", 4L -> "delete", 7L -> "insert"),
+      s"got $cdc")
+    // replay converges: same content, one more version
+    MergeOps.mergeApplyChangelog(spark, dir, changes, "k", "p",
+      statsKeys = Seq("k"))                                         // v3
+    val rows3 = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows3 == rows, "the replay must converge to the same content")
+  }
+
   test("streaming tombstone sink: per-trigger deletes land copy-on-" +
        "write; a replayed batch is idempotent with no ledger") {
     implicit val sqlCtx = spark.sqlContext
