@@ -1167,6 +1167,17 @@ object OracleSql {
         |           AS BIGINT) % 100 < 70
         |ORDER BY o_orderkey""".stripMargin,
 
+    // merge_delete_mor: the merge-on-read delete lifecycle (tombstone →
+    // anti-join read → materialize → vacuum) must equal the same plain
+    // complement filter the copy-on-write delete does.
+    "merge_delete_mor" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 70
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_zonemap_multi: intersection pruning over per-column bounds
     // must be invisible in the data — the oracle is the plain
     // conjunctive filter.

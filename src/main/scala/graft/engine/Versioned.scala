@@ -647,6 +647,53 @@ object Versioned {
   private[graft] def statsLinePart(line: String): String =
     line.takeWhile(_ != '\t')
 
+  /** Merge-on-read DELETION VECTORS (Delta's DV idea, at this store's
+    * partition granularity): the `dv/<v>_<token>.txt` sidecar maps each
+    * partition dir name to the relative paths of tombstone-key parquet
+    * dirs (under `dvdata/`) that must be ANTI-JOINED out of that
+    * partition's rows on read. A MOR delete publishes only this sidecar
+    * plus one small tombstone dir — the manifest and data dirs carry
+    * verbatim, so delete cost is ∝ deleted keys, never partition bytes
+    * (the write-amplification escape hatch a 100 TB GDPR sweep needs).
+    * Unlike stats, DV refs are CORRECTNESS state: every publisher that
+    * restages a partition must first read it LIVE ([[readEntriesLive]],
+    * which applies the refs) and then DROP that partition's lines; a
+    * manifest-only publisher carries lines for kept partitions; rollback
+    * byte-copies the target version's sidecar (refs describe exactly one
+    * manifest, the stats rule). Same write-once / commit-with-the-
+    * manifest token contract as every sidecar. */
+  private[graft] def writeDvLines(s: SparkSession, dir: String, v: Long,
+                                  token: String,
+                                  lines: Seq[String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "dv"), "dv")
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Raw committed DV lines of version `v` (`partition-dir-name \t
+    * dvdata-relpath`, empty if none) — the carry surface, filtered by
+    * partition name exactly as stats lines are. */
+  private[graft] def readDvLines(s: SparkSession, dir: String,
+                                 v: Long): Seq[String] = {
+    val fs = fsOf(s, dir)
+    committedSidecar(s, dir, v, "dv") match {
+      case None => Seq.empty
+      case Some(p) => readLines(fs, p)
+    }
+  }
+
+  /** Committed DV refs of version `v`: partition dir name → tombstone
+    * dirs to anti-join out. Empty map for tables with no MOR deletes —
+    * the fast path every non-DV read takes. */
+  def readDvRefs(s: SparkSession, dir: String,
+                 v: Long): Map[String, Seq[String]] =
+    readDvLines(s, dir, v).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
+
   /** The COMMITTED zone-map sidecar of version `v` (resolved through the
     * marker token), empty if the winning attempt wrote none. Reads the
     * single-key (3-field) form; multi-column lines are skipped — a
@@ -694,7 +741,46 @@ object Versioned {
         man.filter(e => want.contains(e._1))
       case _ => man
     }
-    readEntries(s, dir, kept, partCol)
+    readEntriesLive(s, dir, v, kept, partCol)
+  }
+
+  /** [[readEntries]] with version `v`'s deletion vectors APPLIED — the
+    * read every consumer of committed state must use on a table that may
+    * carry MOR deletes (readCurrent/readVersion route through here, as
+    * do the restage readers in [[graft.ops.MergeOps]]). Entries are
+    * grouped by their DV-ref set: a no-ref group reads exactly as
+    * [[readEntries]] (tables with no DV sidecar pay one metadata probe
+    * and nothing else), a ref-bearing group anti-joins the union of its
+    * tombstone dirs on the tombstone key column. Applying a ref only to
+    * the partitions that carry it is what keeps re-inserts correct: a
+    * restage drops its partition's lines, so a key later upserted back
+    * is never shadowed by a stale tombstone. Under the store's stable
+    * key→partition precondition a tombstone can never match a row in a
+    * partition that merely shares a ref, so the per-group union is
+    * exact. */
+  def readEntriesLive(s: SparkSession, dir: String, v: Long,
+                      entries: Seq[(String, String)],
+                      partCol: Option[String]): DataFrame = {
+    require(entries.nonEmpty, "readEntries needs at least one entry")
+    val refs = readDvRefs(s, dir, v)
+    if (refs.isEmpty) return readEntries(s, dir, entries, partCol)
+    entries.groupBy(e => refs.getOrElse(e._1, Nil))
+      .toSeq.sortBy(_._2.head._1)
+      .map { case (rs, es) =>
+        val base = readEntries(s, dir, es, partCol)
+        if (rs.isEmpty) base
+        else {
+          val dv = rs.map(r => s.read.parquet(s"$dir/$r"))
+            .reduce(_.unionByName(_))
+          // tombstone dirs are partitioned by the table's partCol, so
+          // the key column is the one data column that is not it
+          val kc = partCol match {
+            case Some(pc) => dv.columns.filter(_ != pc).head
+            case None => dv.columns.head
+          }
+          base.join(dv.select(kc).distinct(), Seq(kc), "left_anti")
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Union-read a set of manifest entries (see [[readCurrent]]). An empty
@@ -776,7 +862,7 @@ object Versioned {
       s"version $v is below the retention floor $f under $dir — " +
         "its data dirs may have been vacuumed; raise keepVersions " +
         "before vacuuming if you need deeper time travel"))
-    readEntries(s, dir, manifest(s, dir, v), partCol)
+    readEntriesLive(s, dir, v, manifest(s, dir, v), partCol)
   }
 
   /** Time travel by TIMESTAMP (AS OF TIMESTAMP): the newest committed
@@ -853,6 +939,12 @@ object Versioned {
     // prune a partition whose data differs; missing stats merely skip
     // pruning — safe).
     committedSidecar(s, dir, toVersion, "stats").foreach(copyTo(_, "stats"))
+    // DV refs are correctness state bound to exactly one manifest (the
+    // stats rule, but load-bearing): the rollback target's own sidecar
+    // rolls forward whole, so deleted rows stay deleted — and a target
+    // that PRE-dates a MOR delete carries no sidecar, resurrecting the
+    // rows exactly as the restored manifest implies.
+    committedSidecar(s, dir, toVersion, "dv").foreach(copyTo(_, "dv"))
     // The ledger is cumulative history and its READER
     // (IncrementalOps.appliedIds) walks back past ledgerless versions —
     // so the rollback must restore the same ledger that walk would have
@@ -997,6 +1089,20 @@ object Versioned {
         n > cur || referenced.contains(s"data/$name"))
       if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
+    // Tombstone-dir sweep, same keep rule keyed on the RETAINED versions'
+    // DV sidecars: a dvdata dir some retained version still anti-joins by
+    // must survive; one a compaction materialized away (no retained ref)
+    // is reclaimable storage like any unreferenced stage dir.
+    val referencedDv = retained
+      .flatMap(rv => readDvLines(s, dir, rv))
+      .map(l => l.substring(l.indexOf('\t') + 1)).toSet
+    val dvRoot = new Path(dir, "dvdata")
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      val keep = stageDirVersion(name).forall(n =>
+        n > cur || referencedDv.contains(s"dvdata/$name"))
+      if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
+    }
     // Metadata sweep below the floor: versions under the floor already
     // refuse to time-travel (their data may be gone), so their markers,
     // manifests, and sidecars are pure growth — at a streaming fold
@@ -1018,7 +1124,7 @@ object Versioned {
     val swept = committed
       .filter(v => v < floor && !ledgerKeep.contains(v)).toSet
     swept.foreach { v =>
-      Seq("manifest", "stats", "ledger").foreach(side =>
+      Seq("manifest", "stats", "ledger", "dv").foreach(side =>
         fs.delete(new Path(dir, s"$side/$v.txt"), false))
       // marker FIRST: a crash between the two deletes then leaves a
       // harmless orphaned winner file (invisible to committedVersions)
@@ -1038,7 +1144,7 @@ object Versioned {
     // torn marker keeps its version's files in place.
     val tokenOf = survivors.map(cv => cv ->
       scala.util.Try(committedToken(s, dir, cv)).toOption.flatten).toMap
-    Seq("manifest", "stats", "ledger").foreach { side =>
+    Seq("manifest", "stats", "ledger", "dv").foreach { side =>
       val root = new Path(dir, side)
       if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
         val name = st.getPath.getName.stripSuffix(".txt")

@@ -159,9 +159,13 @@ object MergeOps {
             // columns the old rows predate null-filled at the batch's
             // type (the write-side twin of scan_evolved's union read).
             // Key and partition columns must exist on both sides by
-            // construction of the join and the partitionBy below.
-            val old = Versioned.readEntries(s, corpusDir, oldEntries,
-                                            Some(partCol))
+            // construction of the join and the partitionBy below. LIVE
+            // read: deletion vectors on the touched partitions apply
+            // here and their lines drop below — the restage is the
+            // materialization point, and a batch re-inserting a
+            // previously-DV'd key must win.
+            val old = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
+                                                Some(partCol))
             val aligned = cols.map { c =>
               if (old.columns.contains(c)) col(c)
               else lit(null).cast(batch.schema(c).dataType).as(c)
@@ -194,6 +198,16 @@ object MergeOps {
           Versioned.writeStatsLines(s, corpusDir, nv, tok,
             (carried ++ fresh).sorted)
         }
+        // DV refs: restaged partitions were read LIVE above, so their
+        // tombstones are materialized — drop their lines; untouched
+        // partitions carry theirs verbatim (correctness, not pruning).
+        val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+          .filterNot { l =>
+            val n = Versioned.statsLinePart(l)
+            touchedNames(n) || stagedNames(n)
+          }
+        if (dvCarried.nonEmpty)
+          Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
         Versioned.publish(s, corpusDir, nv, tok,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
@@ -220,14 +234,18 @@ object MergeOps {
                   keyCol: String, partCol: String): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
-    val corpus = Versioned.readEntries(s, corpusDir, man, Some(partCol))
+    // LIVE reads throughout: a key already tombstoned by a MOR delete is
+    // not present, so re-deleting it is the no-op idempotence promises,
+    // and the restage below materializes the touched partitions' DVs.
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
     val touched = corpus.join(keys.select(keyCol).distinct(),
         Seq(keyCol), "left_semi")
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
     val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
-    val survivors = Versioned.readEntries(s, corpusDir, oldEntries,
+    val survivors = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
         Some(partCol))
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
@@ -250,6 +268,109 @@ object MergeOps {
       }
     if (carried.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, carried)
+    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    if (dvCarried.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
+  }
+
+  /** MERGE-ON-READ row-level DELETE (Delta/Iceberg deletion vectors, at
+    * this store's partition granularity): instead of restaging every
+    * touched partition ([[mergeDelete]]'s copy-on-write), publish ONE
+    * small tombstone-key dir plus a `dv` sidecar line per touched
+    * partition — the manifest, data dirs, and zone-map stats all carry
+    * VERBATIM (bounds stay valid supersets after row removal). Write
+    * cost ∝ deleted keys; the read-side tax is one anti-join on the
+    * tombstone set ([[graft.engine.Versioned.readEntriesLive]]), paid
+    * until [[compactDeletes]] or any restaging write materializes it.
+    * At 100 TB this is the difference between a GDPR sweep that
+    * rewrites a terabyte-scale partition set and one that writes
+    * kilobytes: CoW when deletes are dense (reclaim space now, keep
+    * reads clean), MOR when they are sparse and latency-critical.
+    *
+    * One live-corpus pass finds the keys actually present (all-miss
+    * keys publish NOTHING — idempotent like CoW, since re-deleting a
+    * tombstoned key reads as absent); the tombstone dir is partitioned
+    * by `partCol`, so touched-partition detection is a directory
+    * listing of what was just written, not a second scan. A MOR delete
+    * MAY logically empty the table — the manifest still carries the
+    * schema, so the committed read is an empty frame, not an error
+    * (materializing that state is what fails fast). */
+  def mergeDeleteMor(s: SparkSession, corpusDir: String, keys: DataFrame,
+                     keyCol: String, partCol: String): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val dvRel = s"dvdata/${nv}_$tok"
+    corpus.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+      .select(col(keyCol), col(partCol)).distinct()
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$dvRel")
+    val touched = Versioned.listStagedPartDirs(s, corpusDir, dvRel, partCol)
+      .map(_._1)
+    if (touched.isEmpty) {
+      new org.apache.hadoop.fs.Path(s"$corpusDir/$dvRel")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$dvRel"), true)
+      return
+    }
+    val lines = Versioned.readDvLines(s, corpusDir, v) ++
+      touched.map(p => s"$p\t$dvRel")
+    Versioned.writeDvLines(s, corpusDir, nv, tok, lines.sorted)
+    val stats = Versioned.readStatsLines(s, corpusDir, v)
+    if (stats.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+    Versioned.publish(s, corpusDir, nv, tok, man)
+  }
+
+  /** Materialize every outstanding deletion vector (Delta's
+    * REORG TABLE … APPLY (PURGE)): restage ONLY the DV-bearing
+    * partitions through the live read (tombstones fold into the
+    * rewrite), drop every dv line, and let a partition whose every row
+    * was tombstoned leave the manifest. After this the read-side
+    * anti-join tax is gone and [[graft.engine.Versioned.vacuum]] can
+    * reclaim the tombstone dirs. Stats carry verbatim (row removal
+    * keeps old bounds valid supersets; the next merge or sorted
+    * compaction re-tightens them). `sortCol` restores key clustering
+    * in the rewritten partitions, as [[compactPartitions]] does.
+    * No-op when no DVs are outstanding. Fails fast rather than
+    * materializing a logically empty table. */
+  def compactDeletes(s: SparkSession, corpusDir: String, partCol: String,
+                     sortCol: Option[String] = None): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val refs = Versioned.readDvRefs(s, corpusDir, v)
+    if (refs.isEmpty) return
+    val man = Versioned.manifest(s, corpusDir, v)
+    val bearing = man.filter(e => refs.contains(e._1))
+    val bearingNames = bearing.map(_._1).toSet
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    val live = Versioned.readEntriesLive(s, corpusDir, v, bearing,
+        Some(partCol))
+      .repartition(col(partCol))
+    sortCol.fold(live)(c => live.sortWithinPartitions(col(partCol), col(c)))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    val stagedNames = staged.map(_._1).toSet
+    val newMan = man.filterNot(e => bearingNames.contains(e._1)) ++ staged
+    require(newMan.nonEmpty,
+      s"materializing the deletion vectors of $corpusDir would leave no " +
+        "partition — a logically empty table cannot be materialized; " +
+        "delete the table instead")
+    val stats = Versioned.readStatsLines(s, corpusDir, v)
+      .filter { l =>
+        val n = Versioned.statsLinePart(l)
+        !bearingNames(n) || stagedNames(n)
+      }
+    if (stats.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -283,7 +404,7 @@ object MergeOps {
         .limit(0)
         .where(col(keyCol) >= lo && col(keyCol) <= hi)
     }
-    else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
+    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -323,7 +444,8 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val upsertParts = upserts.select(partCol).distinct().collect()
       .map(_.get(0)).toSeq
-    val corpus = Versioned.readEntries(s, corpusDir, man, Some(partCol))
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
     val deleteParts = corpus.join(deleteKeys, Seq(keyCol), "left_semi")
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     val touchedNames = (upsertParts ++ deleteParts)
@@ -336,9 +458,10 @@ object MergeOps {
       if (oldEntries.isEmpty) upserts
       else {
         // survivors align to the batch schema (null-filling columns old
-        // rows predate) exactly as mergeUpsert's evolution rule does
-        val old = Versioned.readEntries(s, corpusDir, oldEntries,
-                                        Some(partCol))
+        // rows predate) exactly as mergeUpsert's evolution rule does;
+        // LIVE: touched partitions' DVs materialize in this restage
+        val old = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
+                                            Some(partCol))
         val aligned = cols.map { c =>
           if (old.columns.contains(c)) col(c)
           else lit(null).cast(upserts.schema(c).dataType).as(c)
@@ -370,6 +493,10 @@ object MergeOps {
     if ((carried ++ fresh).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
                                 (carried ++ fresh).sorted)
+    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    if (dvCarried.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -409,7 +536,7 @@ object MergeOps {
       Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
         .limit(0).where(residual)
     }
-    else Versioned.readEntries(s, corpusDir, entries, Some(partCol))
+    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
       .where(residual)
   }
 
@@ -445,7 +572,12 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    val clustered = Versioned.readEntries(s, corpusDir, frag, Some(partCol))
+    // LIVE read: compaction is the natural materialization point for any
+    // deletion vectors on the fragmented partitions (Delta's OPTIMIZE
+    // does the same) — their tombstones fold into the rewrite and their
+    // dv lines drop below.
+    val clustered = Versioned.readEntriesLive(s, corpusDir, v, frag,
+        Some(partCol))
       .repartition(col(partCol))
     sortCol.fold(clustered)(c =>
         clustered.sortWithinPartitions(col(partCol), col(c)))
@@ -453,6 +585,7 @@ object MergeOps {
       .parquet(s"$corpusDir/$stageRel")
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)
     val stagedNames = staged.map(_._1).toSet
+    val fragNames = frag.map(_._1).toSet
     // Compaction preserves each partition's multiset, so the previous
     // version's zone-map bounds stay exact — carry the lines forward
     // VERBATIM (format-preserving: single-key and multi-column sidecars
@@ -463,8 +596,19 @@ object MergeOps {
     val old = Versioned.readStatsLines(s, corpusDir, v)
     if (old.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, old)
-    Versioned.publish(s, corpusDir, nv, tok,
-      man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
+    // A restaged partition's DVs just materialized — drop its lines (a
+    // fragmented partition whose every live row was tombstoned restages
+    // to nothing and leaves the manifest too); others carry verbatim.
+    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => fragNames(Versioned.statsLinePart(l)))
+    if (dvCarried.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    val newMan = man.filterNot(e => fragNames.contains(e._1)) ++ staged
+    require(newMan.nonEmpty,
+      s"compacting $corpusDir would leave no partition (every live row " +
+        "was tombstoned) — a logically empty table cannot be " +
+        "materialized; delete the table instead")
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
   private def fold(c: Column): Column =
@@ -754,6 +898,12 @@ object MergeOps {
     val keptStats = old.filter(l => keptNames(Versioned.statsLinePart(l)))
     if (keptStats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, keptStats)
+    // DV refs of kept partitions carry (correctness, not pruning);
+    // dropped partitions take their tombstones with them.
+    val keptDv = Versioned.readDvLines(s, corpusDir, v)
+      .filter(l => keptNames(Versioned.statsLinePart(l)))
+    if (keptDv.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, keptDv)
     Versioned.publish(s, corpusDir, nv, tok, kept)
   }
 
@@ -924,6 +1074,44 @@ object MergeOps {
     mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_delete_mor query: the MERGE-ON-READ twin of
+    * [[mergeDeleteQuery]] — same corpus, same doomed keys (fold ≥ 70),
+    * but deleted via [[mergeDeleteMor]] (one tombstone dir + a sidecar;
+    * no partition restages), re-deleted (idempotence: the all-miss
+    * replay must publish NOTHING — tombstoned keys read as absent),
+    * then MATERIALIZED by [[compactDeletes]] and read back after a
+    * vacuum reclaims the tombstone dirs. The oracle is the same plain
+    * complement filter, so equality proves the whole MOR lifecycle —
+    * tombstone write, anti-join read (compactDeletes' own restage read
+    * is that anti-join), materialization, and sweep — is invisible in
+    * the data. */
+  def mergeDeleteMorQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mergemor_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus")
+    val doomed = base.where(fold(col("o_orderkey")) >= 70)
+      .select("o_orderkey")
+    mergeDeleteMor(s, dir, doomed, "o_orderkey", "o_orderstatus")
+    mergeDeleteMor(s, dir, doomed, "o_orderkey", "o_orderstatus")
+    val vAfter = Versioned.currentVersion(s, dir).get
+    require(vAfter == 2L,
+      s"idempotent MOR re-delete must publish nothing, at v$vAfter")
+    compactDeletes(s, dir, "o_orderstatus", sortCol = Some("o_orderkey"))
+    require(Versioned.readDvRefs(s, dir, 3L).isEmpty,
+      "compactDeletes must clear every dv ref")
+    Versioned.vacuum(s, dir)
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 

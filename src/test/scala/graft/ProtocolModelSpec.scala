@@ -76,7 +76,31 @@ class ProtocolModelSpec extends SparkTestBase {
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
 
     for (step <- 1 to steps) {
-      rnd.nextInt(12) match {
+      rnd.nextInt(14) match {
+        case 12 =>                                           // MOR delete
+          // merge-on-read deletion vectors (round 11): same model rule
+          // as the copy-on-write delete — content-wise the two must be
+          // indistinguishable, while every later op (merge/compact/
+          // retention/rollback/vacuum/pruned read) composes with the
+          // outstanding tombstones
+          val ks = (1 to (1 + rnd.nextInt(4)))
+            .map(_ => rnd.nextInt(30).toLong).distinct
+          val hit = model.rows.keySet.intersect(ks.toSet)
+          val remaining = model.rows -- ks
+          if (remaining.nonEmpty) {
+            import spark.implicits._
+            MergeOps.mergeDeleteMor(spark, dir, ks.toDF("k"), "k", "p")
+            if (hit.nonEmpty)
+              model = model.copy(rows = remaining,
+                snapshots = model.snapshots :+ remaining)
+          }
+        case 13 =>                                           // materialize
+          // publishes a version ONLY if tombstones are outstanding;
+          // content-invisible like compaction
+          val before = Versioned.currentVersion(spark, dir).get
+          MergeOps.compactDeletes(spark, dir, "p", sortCol = Some("k"))
+          if (Versioned.currentVersion(spark, dir).get > before)
+            model = model.copy(snapshots = model.snapshots :+ model.rows)
         case 11 =>                                           // row delete
           // copy-on-write mergeDelete (round 11): random key set, some
           // hitting, some missing; an all-miss call must publish
@@ -127,13 +151,19 @@ class ProtocolModelSpec extends SparkTestBase {
         case 6 =>                                            // retention
           val drop = Parts(rnd.nextInt(Parts.size))
           val dropName = Versioned.partDirName("p", drop)
-          val had = model.rows.values.exists(_._2 == drop)
-          // dropping the LAST populated partition is table deletion and
-          // the engine refuses it (fail-fast require) — skip that draw
-          val others = model.rows.values.exists(_._2 != drop)
-          if (!had || others)
+          // PHYSICAL presence decides whether retention publishes: with
+          // MOR tombstones a partition can be logically empty yet still
+          // hold a manifest entry, and dropping it is a real (content-
+          // invisible) commit. Dropping the last physical partition is
+          // table deletion and the engine refuses it — skip that draw.
+          val cur = Versioned.currentVersion(spark, dir).get
+          val man = Versioned.manifest(spark, dir, cur)
+          val present = man.exists(_._1 == dropName)
+          val othersPhys = man.exists(_._1 != dropName)
+          if (!present)
             MergeOps.applyRetention(spark, dir, name => name != dropName)
-          if (had && others) {
+          else if (othersPhys) {
+            MergeOps.applyRetention(spark, dir, name => name != dropName)
             val next = model.rows.filter { case (_, (_, p)) => p != drop }
             model = model.copy(rows = next,
               snapshots = model.snapshots :+ next)
