@@ -33,7 +33,11 @@ object OracleSql {
     // the bloom prefilter is exact by construction (false positives die
     // in the confirm join), so the screening path must reproduce
     // text_decontaminate's result verbatim
-    "text_decontaminate_bloom" -> "text_decontaminate")
+    "text_decontaminate_bloom" -> "text_decontaminate",
+    // a bootstrapped-then-incrementally-synced mirror must equal the
+    // atomically-applied CDC end state — the feed was complete and the
+    // replay guard held
+    "pipeline_cdc_mirror" -> "merge_apply_cdc")
 
   lazy val sql: Map[String, String] =
     base ++ aliased.map { case (k, src) => k -> base(src) }
@@ -1165,6 +1169,24 @@ object OracleSql {
         |FROM orders
         |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 100 < 70
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge_change_feed: the computed CDC read must equal the change
+    // set restated from the source and the fold rule — every changed
+    // key, correctly classified, right image, and nothing else.
+    "merge_change_feed" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN bucket BETWEEN 80 AND 84 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus,
+        |  CASE WHEN bucket <= 84 THEN 'update'
+        |       WHEN bucket <= 89 THEN 'delete'
+        |       ELSE 'insert' END AS change_type
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |WHERE bucket BETWEEN 80 AND 94
         |ORDER BY o_orderkey""".stripMargin,
 
     // merge_delete_mor: the merge-on-read delete lifecycle (tombstone →

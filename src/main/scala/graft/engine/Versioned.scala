@@ -694,6 +694,50 @@ object Versioned {
       (line.substring(0, i), line.substring(i + 1))
     }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
 
+  /** The cumulative APPLIED-ID ledger as of version `v` — the newest
+    * COMMITTED `ledger/` sidecar at or below `v` (walk-back bounded by
+    * version count, two existence probes per step), resolved through
+    * each version's marker token so a crashed writer's orphan and a
+    * losing racer's ghost are both invisible (trusting either would
+    * mark a never-committed write as applied — silent loss on retry).
+    * Shared exactly-once surface: incremental rollup folds record batch
+    * ids here ([[graft.ops.IncrementalOps]]), mirror syncs record
+    * applied source versions as `src:<v>`
+    * ([[graft.ops.MergeOps.syncMirror]]) — one id set per store,
+    * committed atomically with the data it covers. Rollback copies the
+    * newest ledger at or below the target forward (see [[rollback]]),
+    * so the set rolls back with the data. */
+  private[graft] def appliedLedgerIds(s: SparkSession, dir: String,
+                                      v: Long): Set[String] = {
+    val fs = fsOf(s, dir)
+    committedVersions(s, dir).filter(_ <= v).sorted.reverse
+      .iterator
+      .map(w => committedSidecar(s, dir, w, "ledger"))
+      .collectFirst { case Some(p) =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+      .getOrElse(Set.empty)
+  }
+
+  /** WRITE-ONCE ledger sidecar at the attempt's own tokenized name,
+    * like the manifest: concurrent attempts never collide on the file
+    * (each has its own token); the single-winner fight happens at the
+    * commit marker inside [[publish]]. [[createExclusive]] translates
+    * only a REAL already-exists into the commit-race signal. The write
+    * must land BEFORE publish so ledger and data commit together. */
+  private[graft] def writeLedgerIds(s: SparkSession, dir: String, v: Long,
+                                    token: String,
+                                    ids: Set[String]): Unit = {
+    val p = new Path(dir, s"ledger/${v}_$token.txt")
+    val fs = fsOf(s, dir)
+    val out = createExclusive(fs, p, "ledger")
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The COMMITTED zone-map sidecar of version `v` (resolved through the
     * marker token), empty if the winning attempt wrote none. Reads the
     * single-key (3-field) form; multi-column lines are skipped — a

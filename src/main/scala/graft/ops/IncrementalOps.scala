@@ -47,25 +47,14 @@ object IncrementalOps {
     * back to the newest COMMITTED version with a ledger file (bounded
     * by version count, two existence probes per step); the write lands
     * BEFORE publish, so ledger and data still commit together. */
-  private def appliedIds(s: SparkSession, dir: String, v: Long): Set[String] = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  private def appliedIds(s: SparkSession, dir: String, v: Long): Set[String] =
     // COMMITTED ledgers only, resolved through each version's marker
     // token: a crashed fold's orphaned ledger (tokenized, never bound
     // to a marker) and a losing racer's ghost are both invisible here —
     // trusting either would mark a never-committed batch as applied,
-    // silent data loss on the retry.
-    Versioned.committedVersions(s, dir).filter(_ <= v).sorted.reverse
-      .iterator
-      .map(w => Versioned.committedSidecar(s, dir, w, "ledger"))
-      .collectFirst { case Some(p) =>
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSet
-        finally in.close()
-      }
-      .getOrElse(Set.empty)
-  }
+    // silent data loss on the retry. Shared with the mirror syncs —
+    // see [[Versioned.appliedLedgerIds]].
+    Versioned.appliedLedgerIds(s, dir, v)
 
   /** WRITE-ONCE at the attempt's own tokenized name, like the manifest:
     * concurrent attempts can never collide on the file (each has its
@@ -75,13 +64,8 @@ object IncrementalOps {
     * transient IO failure propagates as itself instead of masquerading
     * as a race (r9 advice). */
   private def writeApplied(s: SparkSession, dir: String, v: Long,
-                           token: String, ids: Set[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, s"ledger/${v}_$token.txt")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = Versioned.createExclusive(fs, p, "ledger")
-    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+                           token: String, ids: Set[String]): Unit =
+    Versioned.writeLedgerIds(s, dir, v, token, ids)
 
   /** Partial day-level rollup of a batch of event rows. The measures are
     * the mergeable four; the sum is DECIMAL(18,2) of the 2-dp-rounded

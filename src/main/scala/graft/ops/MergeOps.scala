@@ -104,7 +104,8 @@ object MergeOps {
   def mergeUpsert(s: SparkSession, corpusDir: String, batch: DataFrame,
                   keyCol: String, partCol: String,
                   statsKey: Option[String] = None,
-                  statsKeys: Seq[String] = Nil): Unit = {
+                  statsKeys: Seq[String] = Nil,
+                  ledgerId: Option[String] = None): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
@@ -135,9 +136,18 @@ object MergeOps {
           .parquet(s"$corpusDir/$stageRel")
         if (wantStats) Versioned.writeStatsLines(s, corpusDir, nv, tok,
           freshStats(s.read.parquet(s"$corpusDir/$stageRel")).sorted)
+        // exactly-once id (mirror bootstrap and friends): the ledger
+        // lands tokenized BEFORE publish, so id and data commit together
+        ledgerId.foreach(id =>
+          Versioned.writeLedgerIds(s, corpusDir, nv, tok, Set(id)))
         Versioned.publish(s, corpusDir, nv, tok,
           Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
       case Some(v) =>
+        // a replayed identified write no-ops: its id is already in the
+        // committed ledger, so the work (and the version) must not repeat
+        if (ledgerId.exists(id =>
+              Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
+          return
         // Bounded driver-side list: distinct PARTITION VALUES of the batch
         // (#partitions, not #rows) — it becomes the manifest-pruning
         // predicate on the corpus read below.
@@ -208,6 +218,8 @@ object MergeOps {
           }
         if (dvCarried.nonEmpty)
           Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+        ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir, nv,
+          tok, Versioned.appliedLedgerIds(s, corpusDir, v) + id))
         Versioned.publish(s, corpusDir, nv, tok,
           man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
     }
@@ -430,7 +442,8 @@ object MergeOps {
                           changes: DataFrame, keyCol: String,
                           partCol: String, opCol: String = "op",
                           statsKey: Option[String] = None,
-                          statsKeys: Seq[String] = Nil): Unit = {
+                          statsKeys: Seq[String] = Nil,
+                          ledgerId: Option[String] = None): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
@@ -438,6 +451,10 @@ object MergeOps {
       throw new IllegalStateException(
         s"no committed version under $corpusDir — create the corpus " +
           "with mergeUpsert before applying changelogs"))
+    // a replayed identified apply no-ops (exactly-once, see syncMirror)
+    if (ledgerId.exists(id =>
+          Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
+      return
     val upserts = changes.where(col(opCol) =!= "d").drop(opCol)
     val deleteKeys = changes.where(col(opCol) === "d")
       .select(keyCol).distinct()
@@ -450,7 +467,27 @@ object MergeOps {
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     val touchedNames = (upsertParts ++ deleteParts)
       .map(Versioned.partDirName(partCol, _)).toSet
-    if (touchedNames.isEmpty) return
+    if (touchedNames.isEmpty) {
+      // No rows to move. An UNidentified apply publishes nothing; an
+      // identified one still must RECORD the id — a ledger tick: one
+      // manifest-carry commit (stats/dv verbatim) whose only content is
+      // the applied id, so an empty feed (source advanced by maintenance
+      // only) still advances the mirror's high-water mark instead of
+      // being re-diffed on every future sync.
+      ledgerId.foreach { id =>
+        val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+        val tok = Versioned.newToken()
+        val stats = Versioned.readStatsLines(s, corpusDir, v)
+        if (stats.nonEmpty)
+          Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+        val dv = Versioned.readDvLines(s, corpusDir, v)
+        if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
+        Versioned.writeLedgerIds(s, corpusDir, nv, tok,
+          Versioned.appliedLedgerIds(s, corpusDir, v) + id)
+        Versioned.publish(s, corpusDir, nv, tok, man)
+      }
+      return
+    }
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
     val cols = upserts.columns.toSeq
     val changedKeys = changes.select(keyCol).distinct()
@@ -497,7 +534,148 @@ object MergeOps {
       .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
     if (dvCarried.nonEmpty)
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir, nv, tok,
+      Versioned.appliedLedgerIds(s, corpusDir, v) + id))
     Versioned.publish(s, corpusDir, nv, tok, newMan)
+  }
+
+  /** CHANGE FEED between two committed versions — the READ side of CDC
+    * (Delta's `table_changes`, computed from the version metadata
+    * rather than logged at write time): the NET content difference from
+    * `fromV` to `toV`, one row per changed key with `change_type` ∈
+    * `insert` | `update` | `delete` (insert and update rows carry the
+    * `toV` image, delete rows the `fromV` image). Metadata does the
+    * heavy lifting: a partition whose manifest entry AND deletion-
+    * vector refs are identical across the two versions cannot differ
+    * and is NEVER read, so the diff costs ∝ changed-partition bytes on
+    * both sides plus one key-shuffled full-outer join — never corpus
+    * bytes. At 100 TB a CDC batch that touched 1% of partitions diffs
+    * 2×1% of the data.
+    *
+    * Because the feed is a CONTENT diff, a rewrite that moved bytes
+    * without changing rows (compaction, sorted rewrite, DV
+    * materialization, a rollback to identical content) contributes
+    * NOTHING, and an upsert that rewrote a key with identical values is
+    * invisible — the feed answers "what changed", not "what did writers
+    * do", which is the question downstream sync needs ([[syncMirror]]
+    * builds on exactly this). Schema evolution: both sides align to the
+    * union of their columns (missing columns null-fill), so a key whose
+    * only difference is a later-added column's value classifies as
+    * update. `fromV` must be at or above the retention floor (its data
+    * dirs must still exist); a diff spanning N versions is ONE call —
+    * intermediate versions are never materialized. */
+  def changeFeed(s: SparkSession, corpusDir: String, fromV: Long,
+                 toV: Long, keyCol: String, partCol: String): DataFrame = {
+    require(fromV < toV,
+      s"changeFeed needs fromV < toV, got $fromV -> $toV under $corpusDir")
+    Versioned.retentionFloor(s, corpusDir).foreach(f => require(fromV >= f,
+      s"version $fromV is below the retention floor $f under $corpusDir " +
+        "— its data dirs may have been vacuumed; sync mirrors before " +
+        "vacuuming past their high-water mark"))
+    val manFrom = Versioned.manifest(s, corpusDir, fromV)
+    val manTo = Versioned.manifest(s, corpusDir, toV)
+    val dvFrom = Versioned.readDvRefs(s, corpusDir, fromV)
+    val dvTo = Versioned.readDvRefs(s, corpusDir, toV)
+    val fm = manFrom.toMap
+    val tm = manTo.toMap
+    // The pruning heart: same staged dir + same tombstone refs ⇒ the
+    // partition's LIVE content is byte-identical; only the rest is read.
+    val changed = (fm.keySet ++ tm.keySet).filter { n =>
+      fm.get(n) != tm.get(n) ||
+        dvFrom.getOrElse(n, Nil) != dvTo.getOrElse(n, Nil)
+    }
+    def side(v: Long, man: Seq[(String, String)]): DataFrame = {
+      val es = man.filter(e => changed(e._1))
+      if (es.nonEmpty)
+        Versioned.readEntriesLive(s, corpusDir, v, es, Some(partCol))
+      else {
+        // no changed entries on this side (all-new or all-dropped
+        // partitions live on the other) — an empty frame at this side's
+        // schema, from its newest staged dir (the readCorpusPruned
+        // all-pruned recovery idiom)
+        val newest = man.maxBy(e =>
+          Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+        Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+          .limit(0)
+      }
+    }
+    val o = side(fromV, manFrom)
+    val n = side(toV, manTo)
+    val cols = (o.columns ++ n.columns).distinct.toSeq
+    def alignTo(df: DataFrame, other: DataFrame) = cols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(other.schema(c).dataType).as(c)
+    }
+    val os = o.select(alignTo(o, n): _*)
+      .select(col(keyCol).as("__cf_k"),
+              struct(cols.map(col): _*).as("__cf_old"))
+    val ns = n.select(alignTo(n, o): _*)
+      .select(col(keyCol).as("__cf_k"),
+              struct(cols.map(col): _*).as("__cf_new"))
+    // full-outer on the key: a side's struct is null exactly when the
+    // key is absent from that version; <=> (null-safe struct equality)
+    // kills the unchanged survivors a restage rewrote verbatim
+    val ct = when(col("__cf_old").isNull, lit("insert"))
+      .when(col("__cf_new").isNull, lit("delete"))
+      .when(!(col("__cf_old") <=> col("__cf_new")), lit("update"))
+    val img = when(col("__cf_new").isNull, col("__cf_old"))
+      .otherwise(col("__cf_new"))
+    os.join(ns, Seq("__cf_k"), "full_outer")
+      .select(img.as("__cf_img"), ct.as("change_type"))
+      .where(col("change_type").isNotNull)
+      .select(cols.map(c => col("__cf_img").getField(c).as(c)) :+
+        col("change_type"): _*)
+  }
+
+  /** Incremental REPLICATION of one versioned store into another — the
+    * composition CDC exists for (Delta's `table_changes` + MERGE INTO,
+    * as one idempotent call): advance `dstDir` to `srcDir`'s CURRENT
+    * content by applying ONE net [[changeFeed]] from the last synced
+    * source version, recording that source version in the destination's
+    * applied-id ledger (`src:<v>`) inside the SAME committed version as
+    * the data. Exactly-once by the incremental-rollup argument: the id
+    * commits with the marker or not at all, a replayed sync finds the
+    * id and no-ops, and a crash between feed and publish leaves only
+    * orphaned (distrusted) sidecars. The first call bootstraps the
+    * mirror as a full snapshot of the source's current version; later
+    * calls collapse N source commits into ONE feed — the mirror's
+    * history is sync-granular, not source-commit-granular (at 100 TB
+    * you ship the NET change, not the churn), and a source that only
+    * ran maintenance (compaction, retention ticks with equal content)
+    * yields an empty feed that still advances the high-water mark via a
+    * ledger-tick commit. Source rollbacks are safe by construction:
+    * rollback publishes a HIGHER version restoring old content, so the
+    * next feed diffs into it like any other change. Returns the source
+    * version the mirror now reflects. */
+  def syncMirror(s: SparkSession, srcDir: String, dstDir: String,
+                 keyCol: String, partCol: String): Long = {
+    val srcV = Versioned.currentVersion(s, srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under source $srcDir — nothing to mirror"))
+    Versioned.currentVersion(s, dstDir) match {
+      case None =>
+        mergeUpsert(s, dstDir,
+          Versioned.readVersion(s, srcDir, srcV, Some(partCol)),
+          keyCol, partCol, ledgerId = Some(s"src:$srcV"))
+        srcV
+      case Some(dv) =>
+        val last = Versioned.appliedLedgerIds(s, dstDir, dv)
+          .collect { case id if id.startsWith("src:") => id.drop(4).toLong }
+        require(last.nonEmpty,
+          s"$dstDir has no src:<version> ledger id — it is not a mirror " +
+            "(bootstrap by calling syncMirror against an empty dstDir)")
+        val from = last.max
+        if (from >= srcV) return from  // up to date; nothing to commit
+        val feed = changeFeed(s, srcDir, from, srcV, keyCol, partCol)
+        val changes = feed.withColumn("op",
+            when(col("change_type") === "delete", lit("d"))
+              .when(col("change_type") === "insert", lit("i"))
+              .otherwise(lit("u")))
+          .drop("change_type")
+        mergeApplyChangelog(s, dstDir, changes, keyCol, partCol,
+          ledgerId = Some(s"src:$srcV"))
+        srcV
+    }
   }
 
   /** INTERSECTION zone-map pruning over multi-column bounds
@@ -1074,6 +1252,87 @@ object MergeOps {
     mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_change_feed query: build the fold<90 corpus (v1),
+    * apply one CDC batch — updates 80-84 re-priced ×2, deletes 85-89,
+    * inserts 90-94 — atomically (v2), then read `changeFeed(1, 2)`. The
+    * oracle restates the change set straight from the source table and
+    * the fold rule, so equality proves the computed feed returns
+    * exactly the net content difference — every changed key, correctly
+    * classified, with the right image (post for insert/update, pre for
+    * delete) — and NOTHING for the restaged-but-identical survivor rows
+    * that shared partitions with the changes. */
+  def mergeChangeFeedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_changefeed_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    val b = fold(col("o_orderkey"))
+    val changes = base.where(b >= 80 && b <= 94)
+      .withColumn("op",
+        when(b <= 84, lit("u")).when(b <= 89, lit("d")).otherwise(lit("i")))
+      .withColumn("o_totalprice",
+        when(col("op") === "u", col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
+    changeFeed(s, dir, 1L, 2L, "o_orderkey", "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"),
+              col("change_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared pipeline_cdc_mirror query: the REPLICATION composition —
+    * source corpus at v1 (fold<90), first [[syncMirror]] bootstraps the
+    * mirror as a snapshot, the CDC batch (same shape as merge_apply_cdc)
+    * advances the source to v2, a second sync ships the net feed, and a
+    * THIRD sync must no-op (exactly-once: the `src:2` ledger id is
+    * already committed). The mirror's content is then read back; the
+    * oracle is merge_apply_cdc's end-state restatement, so equality
+    * proves the feed was complete (every insert/update/delete crossed)
+    * and the replay guard held. */
+  def pipelineCdcMirrorQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tmp = sys.props("java.io.tmpdir")
+    val src = new java.io.File(tmp, s"graft_cdcmirror_src_$key")
+      .getAbsolutePath
+    val dst = new java.io.File(tmp, s"graft_cdcmirror_dst_$key")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(src, dst).foreach { dd =>
+      val pp = new org.apache.hadoop.fs.Path(dd)
+      if (fs.exists(pp)) fs.delete(pp, true)
+    }
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, src, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")
+    require(syncMirror(s, src, dst, "o_orderkey", "o_orderstatus") == 1L)
+    val b = fold(col("o_orderkey"))
+    val changes = base.where(b >= 80 && b <= 94)
+      .withColumn("op",
+        when(b <= 84, lit("u")).when(b <= 89, lit("d")).otherwise(lit("i")))
+      .withColumn("o_totalprice",
+        when(col("op") === "u", col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    mergeApplyChangelog(s, src, changes, "o_orderkey", "o_orderstatus")
+    require(syncMirror(s, src, dst, "o_orderkey", "o_orderstatus") == 2L)
+    val dstV = Versioned.currentVersion(s, dst).get
+    syncMirror(s, src, dst, "o_orderkey", "o_orderstatus")
+    require(Versioned.currentVersion(s, dst).contains(dstV),
+      "an up-to-date sync must publish nothing")
+    readCorpus(s, dst, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 
