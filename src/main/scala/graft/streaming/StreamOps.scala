@@ -139,6 +139,51 @@ object StreamOps {
         }
       }
 
+  /** MERGE-ON-READ twin of [[deleteMaintenance]]: each micro-batch of
+    * doomed keys lands as ONE tombstone dir + dv sidecar
+    * ([[graft.ops.MergeOps.mergeDeleteMor]]) — per-trigger write cost
+    * ∝ the batch's keys, never partition bytes, which is what a
+    * latency-critical deletion stream (GDPR requests as they arrive)
+    * wants; the read-side anti-join tax accrues until the next
+    * compaction/restage materializes it. Exactly-once by the same
+    * argument as the CoW sink: a replayed batch's keys are already
+    * tombstoned, read as absent, and the all-miss delete publishes
+    * NOTHING. Same commit-retry contract. */
+  def deleteMaintenanceMor(tombstones: DataFrame, corpusDir: String,
+                           keyCol: String,
+                           partCol: String): DataStreamWriter[Row] =
+    tombstones.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Versioned.withCommitRetry() {
+          graft.ops.MergeOps.mergeDeleteMor(
+            batch.sparkSession, corpusDir, batch, keyCol, partCol)
+        }
+      }
+
+  /** Streaming REPLICATION: per trigger, advance the mirror to the
+    * source's current content with ONE net change feed
+    * ([[graft.ops.MergeOps.syncMirror]]). The stream's rows are only
+    * the trigger clock (their content is ignored) — the data flows
+    * source→mirror through the feed, so this composes with ANY
+    * ingest writing the source (batch merges, the delete sinks above,
+    * another stream). Exactly-once is the mirror ledger's: a replayed
+    * trigger finds `src:<v>` applied and no-ops; an up-to-date source
+    * publishes nothing at all; commit races against the mirror's own
+    * maintenance re-derive under the retry contract. */
+  def mirrorMaintenance(ticks: DataFrame, srcDir: String, dstDir: String,
+                        keyCol: String,
+                        partCol: String): DataStreamWriter[Row] =
+    ticks.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Versioned.withCommitRetry() {
+          graft.ops.MergeOps.syncMirror(
+            batch.sparkSession, srcDir, dstDir, keyCol, partCol)
+        }
+        ()  // foreachBatch wants Unit; the synced version is diagnostics
+      }
+
   /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,
     * embedding float[]) into a streamed embedding index: quantized
     * vectors and LSH signatures land in per-batch `batch_id=<id>` dirs

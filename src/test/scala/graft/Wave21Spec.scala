@@ -149,6 +149,74 @@ class Wave21Spec extends SparkTestBase {
       "the tick must advance the high-water mark durably")
   }
 
+  test("streaming MOR tombstone sink: per-trigger tombstone commits, " +
+       "no data dir ever restaged, replayed batches publish nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir("graft_mortomb")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")          // v1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBefore = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    val in = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.deleteMaintenanceMor(
+        in.toDF().toDF("k"), dir, "k", "p")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_mortomb_ck").toString)
+      .start()
+    try {
+      in.addData(2L, 4L)
+      q.processAllAvailable()
+      in.addData(5L, 99L)   // 99 misses — partial-hit batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MergeOps.readCorpus(spark, dir, "p")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 3L, 6L, 7L, 8L, 9L, 10L), s"got $rows")
+    assert(Versioned.currentVersion(spark, dir).contains(3L))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet == dataBefore,
+      "a MOR tombstone stream must never restage a data dir")
+    // replay: tombstoned keys read as absent → all-miss → no publish
+    MergeOps.mergeDeleteMor(spark, dir, Seq(2L, 5L).toDF("k"), "k", "p")
+    assert(Versioned.currentVersion(spark, dir).contains(3L),
+      "a replayed MOR tombstone batch must publish nothing")
+  }
+
+  test("streaming mirror maintenance: each trigger ships the net feed, " +
+       "an up-to-date trigger publishes nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = freshDir("graft_mirstream")
+    val dst = freshDir("graft_mirstreamdst")
+    MergeOps.mergeUpsert(spark, src, corpus(6), "k", "p")           // src v1
+    val ticks = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.mirrorMaintenance(
+        ticks.toDF().toDF("tick"), src, dst, "k", "p")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_mirstream_ck").toString)
+      .start()
+    try {
+      ticks.addData(1L)                 // bootstrap
+      q.processAllAvailable()
+      assert(mirrorKeys(dst) == mirrorKeys(src))
+      MergeOps.mergeUpsert(spark, src,
+        Seq((2L, 222.0, "E")).toDF("k", "v", "p"), "k", "p")        // src v2
+      ticks.addData(2L)                 // ships the feed
+      q.processAllAvailable()
+      assert(mirrorKeys(dst) == mirrorKeys(src) &&
+        mirrorKeys(dst)(2L) == 222.0)
+      val dstV = Versioned.currentVersion(spark, dst).get
+      ticks.addData(3L)                 // up to date — must not commit
+      q.processAllAvailable()
+      assert(Versioned.currentVersion(spark, dst).contains(dstV),
+        "an up-to-date trigger must publish nothing")
+    } finally q.stop()
+  }
+
   test("mirror survives a source rollback (a higher version restoring " +
        "old content) and a MOR-deleting source") {
     import spark.implicits._
