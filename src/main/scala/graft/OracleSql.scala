@@ -1200,6 +1200,16 @@ object OracleSql {
         |           AS BIGINT) % 100 < 70
         |ORDER BY o_orderkey""".stripMargin,
 
+    // scan_dictmap_pruned: dictionary (distinct-set) pruning on a
+    // categorical column correlated with the partitioning must be
+    // invisible in the data — the oracle is the plain equality filter.
+    "scan_dictmap_pruned" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders
+        |WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+
     // scan_zonemap_multi: intersection pruning over per-column bounds
     // must be invisible in the data — the oracle is the plain
     // conjunctive filter.

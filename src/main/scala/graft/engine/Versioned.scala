@@ -754,15 +754,46 @@ object Versioned {
   /** Per-partition, per-column committed bounds of version `v` —
     * partition dir name → column → (lo, hi). Legacy 3-field lines
     * surface under the column name `__key__` so a single-key table is
-    * readable through the multi API too. */
+    * readable through the multi API too. Dictionary lines (see
+    * [[readStatsDict]]) ride the same sidecar and are skipped here —
+    * each reader takes the line forms it understands (stats are an
+    * optimization, never a correctness gate). */
   def readStatsMulti(s: SparkSession, dir: String,
                      v: Long): Map[String, Map[String, (Long, Long)]] =
-    readStatsLines(s, dir, v).map { line =>
+    readStatsLines(s, dir, v).flatMap { line =>
       val parts = line.split('\t')
-      if (parts.length == 4)
-        (parts(0), parts(1), (parts(2).toLong, parts(3).toLong))
-      else
-        (parts(0), "__key__", (parts(1).toLong, parts(2).toLong))
+      if (parts.length == 4 && parts(2) != "dict")
+        Some((parts(0), parts(1), (parts(2).toLong, parts(3).toLong)))
+      else if (parts.length == 3)
+        Some((parts(0), "__key__", (parts(1).toLong, parts(2).toLong)))
+      else None
+    }.groupBy(_._1).map { case (part, rows) =>
+      part -> rows.map(r => r._2 -> r._3).toMap
+    }
+
+  /** Per-partition categorical DICTIONARIES of version `v` — partition
+    * dir name → column → the partition's complete distinct value set,
+    * recorded only when it fit the writer's cap (a high-cardinality
+    * column simply has no line and always reads). Lines are
+    * `part \t col \t dict \t v1,v2,...` with URL-encoded values, riding
+    * the SAME stats sidecar as the range bounds — so every carry rule
+    * holds for free: maintenance carries verbatim, deletes keep a
+    * recorded set a valid SUPERSET (equality pruning stays exact), and
+    * restaging writers drop the touched partitions' lines. This is the
+    * low-cardinality complement to range zone maps: min/max on a
+    * categorical column is meaningless, but "which of the 5 statuses
+    * appear in this partition" prunes an equality/IN predicate on a
+    * column CORRELATED with the clustering (status vs ingest year) even
+    * though it is not the partition key — tiny metadata (≤ cap values
+    * per partition per column), real skipping at 100 TB. */
+  def readStatsDict(s: SparkSession, dir: String,
+                    v: Long): Map[String, Map[String, Set[String]]] =
+    readStatsLines(s, dir, v).flatMap { line =>
+      val parts = line.split('\t')
+      if (parts.length == 4 && parts(2) == "dict")
+        Some((parts(0), parts(1), parts(3).split(',').iterator
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet))
+      else None
     }.groupBy(_._1).map { case (part, rows) =>
       part -> rows.map(r => r._2 -> r._3).toMap
     }

@@ -45,9 +45,40 @@ object MergeOps {
     * [[Versioned.writeStatsMulti]]) — the two are mutually exclusive
     * because one write-once sidecar holds one format. Shared by every
     * stats-writing stage ([[mergeUpsert]], [[mergeApplyChangelog]]). */
+  /** Cap on a recorded per-partition dictionary: a column whose
+    * distinct set inside some partition exceeds this gets NO line there
+    * (unprunable, always read) — the cap is what keeps the sidecar
+    * metadata-sized at any scale. 32 covers the categorical columns
+    * dictionaries exist for (status, lang, source, tier). */
+  private val DictCap = 32
+
   private def freshStatsLines(df: DataFrame, partCol: String,
                               statsKey: Option[String],
-                              statsKeys: Seq[String]): Seq[String] = {
+                              statsKeys: Seq[String],
+                              dictKeys: Seq[String] = Nil): Seq[String] = {
+    val dictLines: Seq[String] =
+      if (dictKeys.isEmpty) Seq.empty
+      else {
+        // collect_set drops NULLs — correct for the dictionary's one
+        // use (equality/IN pruning): NULL never satisfies an equality,
+        // so a set without it stays a complete answer key. slice to
+        // cap+1 so an over-cap partition is detectable without ever
+        // shipping an unbounded set to the driver.
+        val aggs = dictKeys.map(k =>
+          slice(sort_array(collect_set(col(k).cast("string"))),
+                1, DictCap + 1).as(s"__dict_$k"))
+        df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq.flatMap { r =>
+            val part = Versioned.partDirName(partCol, r.get(0))
+            dictKeys.zipWithIndex.flatMap { case (k, i) =>
+              val vs = r.getSeq[String](1 + i)
+              if (vs.isEmpty || vs.length > DictCap) None
+              else Some(s"$part\t$k\tdict\t" + vs
+                .map(java.net.URLEncoder.encode(_, "UTF-8"))
+                .mkString(","))
+            }
+          }
+      }
     def checkIntegral(k: String): Unit = {
       val dt = df.schema(k).dataType
       // No DATE here: Spark disallows DateType→LongType casts, so a date
@@ -77,13 +108,17 @@ object MergeOps {
             }
         }.toSeq
     }
-    if (statsKey.isDefined)
-      boundsOf(statsKey.toSeq).flatMap { case (part, cols) =>
-        cols.headOption.map { case (_, (lo, hi)) => s"$part\t$lo\t$hi" }
-      }
-    else boundsOf(statsKeys).flatMap { case (part, cols) =>
-      cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
-    }
+    val rangeLines =
+      if (statsKey.isDefined)
+        boundsOf(statsKey.toSeq).flatMap { case (part, cols) =>
+          cols.headOption.map { case (_, (lo, hi)) => s"$part\t$lo\t$hi" }
+        }
+      else if (statsKeys.nonEmpty)
+        boundsOf(statsKeys).flatMap { case (part, cols) =>
+          cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
+        }
+      else Seq.empty
+    rangeLines ++ dictLines
   }
 
   /** Merge `batch` into the versioned parquet corpus at `corpusDir`:
@@ -105,13 +140,15 @@ object MergeOps {
                   keyCol: String, partCol: String,
                   statsKey: Option[String] = None,
                   statsKeys: Seq[String] = Nil,
-                  ledgerId: Option[String] = None): Unit = {
+                  ledgerId: Option[String] = None,
+                  dictKeys: Seq[String] = Nil): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
     def freshStats(df: DataFrame): Seq[String] =
-      freshStatsLines(df, partCol, statsKey, statsKeys)
-    val wantStats = statsKey.isDefined || statsKeys.nonEmpty
+      freshStatsLines(df, partCol, statsKey, statsKeys, dictKeys)
+    val wantStats =
+      statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
         // OCC rule: allocate from the snapshot this write DERIVES from
@@ -197,17 +234,21 @@ object MergeOps {
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                                   partCol)
         val stagedNames = staged.map(_._1).toSet
-        if (wantStats) {
-          // untouched partitions' lines carry VERBATIM (format-
-          // preserving, see Versioned.readStatsLines); fresh stats come
-          // from the STAGED files (read-back, partition-local) — not
-          // from re-evaluating the merged plan a second time
-          val carried = Versioned.readStatsLines(s, corpusDir, v)
-            .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
-          val fresh = freshStats(s.read.parquet(s"$corpusDir/$stageRel"))
+        // untouched partitions' lines carry VERBATIM regardless of
+        // whether THIS write requested stats (format-preserving, see
+        // Versioned.readStatsLines) — a stats-less upsert must not
+        // strip the whole table's pruning, only shed the restaged
+        // partitions' now-possibly-stale lines (the mergeApplyChangelog
+        // rule). Fresh stats come from the STAGED files (read-back,
+        // partition-local) — not from re-evaluating the merged plan.
+        val carried = Versioned.readStatsLines(s, corpusDir, v)
+          .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
+        val fresh =
+          if (wantStats) freshStats(s.read.parquet(s"$corpusDir/$stageRel"))
+          else Seq.empty
+        if ((carried ++ fresh).nonEmpty)
           Versioned.writeStatsLines(s, corpusDir, nv, tok,
             (carried ++ fresh).sorted)
-        }
         // DV refs: restaged partitions were read LIVE above, so their
         // tombstones are materialized — drop their lines; untouched
         // partitions carry theirs verbatim (correctness, not pruning).
@@ -708,6 +749,51 @@ object MergeOps {
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
     // every partition pruned: recover the schema from the newest-staged
     // entry (same rationale as readCorpusKeyPruned's all-pruned case)
+    if (entries.isEmpty) {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+        .limit(0).where(residual)
+    }
+    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
+      .where(residual)
+  }
+
+  /** DICTIONARY pruning over per-partition distinct sets
+    * ([[graft.engine.Versioned.readStatsDict]]): keep a manifest entry
+    * only if, for EVERY predicate, some wanted value appears in that
+    * partition's recorded dictionary for the column — the equality/IN
+    * complement to [[readCorpusPruned]]'s range overlap. A partition
+    * with no dictionary for some column is kept (over-cap or never
+    * recorded — stats are an optimization, never a correctness gate),
+    * and the residual IN-conjunction runs on the survivors, so the
+    * result is exactly the filtered corpus however much pruning bit.
+    * What it buys at 100 TB: the writer clusters by ONE dimension
+    * (ingest year, hash bucket), and an equality predicate on a
+    * correlated categorical column (status, lang, source) skips the
+    * partitions that never saw the value — the case range bounds
+    * cannot express because min ≤ v ≤ max is true for almost any
+    * categorical once two distinct values exist. */
+  def readCorpusDictPruned(s: SparkSession, corpusDir: String,
+                           partCol: String,
+                           preds: Seq[(String, Seq[String])]): DataFrame = {
+    require(preds.nonEmpty, "readCorpusDictPruned needs at least one " +
+      "(column, wanted-values) predicate")
+    val v = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    val dicts = Versioned.readStatsDict(s, corpusDir, v)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val entries = man.filter { case (n, _) =>
+      dicts.get(n).forall { cols =>
+        preds.forall { case (c, vals) =>
+          cols.get(c).forall(set => vals.exists(set.contains))
+        }
+      }
+    }
+    val residual = preds.map { case (c, vals) =>
+      col(c).cast("string").isin(vals: _*) }.reduce(_ && _)
+    // every partition pruned: recover the schema from the newest-staged
+    // entry (the shared all-pruned idiom)
     if (entries.isEmpty) {
       val newest = man.maxBy(e =>
         Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
@@ -1434,6 +1520,35 @@ object MergeOps {
         Seq(("o_custkey", 40L, 139L), ("o_orderkey", 0L, 1200L)))
       .select(col("o_orderkey"), col("o_custkey"),
               round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared scan_dictmap_pruned query: orders land partitioned by
+    * ORDER YEAR with a dictionary recorded on o_orderstatus — the
+    * correlated-categorical case dictionaries exist for: early years
+    * are all-'F' (fulfilled), late years all-'O' (open), only the
+    * transition year holds 'P' (pending), so the equality read
+    * `o_orderstatus = 'P'` skips most year partitions even though
+    * status is NOT the partition key and range bounds could never
+    * express it. The oracle is the plain equality filter over the
+    * source, so equality proves pruning is invisible in the data. */
+  def scanDictmapPrunedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_dictmap_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              year(col("o_orderdate")).cast("long").as("o_year"))
+    mergeUpsert(s, dir, o, "o_orderkey", "o_year",
+                dictKeys = Seq("o_orderstatus"))
+    readCorpusDictPruned(s, dir, "o_year",
+        Seq(("o_orderstatus", Seq("P"))))
+      .select(col("o_orderkey"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"),
+              col("o_year").cast("long").as("o_year"))
       .orderBy("o_orderkey")
   }
 
