@@ -1200,15 +1200,28 @@ object OracleSql {
         |           AS BIGINT) % 100 < 70
         |ORDER BY o_orderkey""".stripMargin,
 
-    // scan_dictmap_pruned: dictionary (distinct-set) pruning on a
-    // categorical column correlated with the partitioning must be
-    // invisible in the data — the oracle is the plain equality filter.
+    // scan_dictmap_pruned: dictionary (distinct-set) point-lookup
+    // pruning — a fine-grained source inside a coarse source-group
+    // partitioning — must be invisible in the data; the oracle is the
+    // plain equality filter.
     "scan_dictmap_pruned" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  CAST(year(o_orderdate) AS BIGINT) AS o_year
-        |FROM orders
-        |WHERE o_orderstatus = 'P'
-        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE source = 'src13'
+        |ORDER BY doc_id""".stripMargin,
+
+    // merge_refresh_stats: after a dictionary shed and a one-scan
+    // re-analyze, dict pruning must see exactly the current content —
+    // the src13 rows plus the doc the query flipped to src13.
+    "merge_refresh_stats" ->
+      """WITH m AS (SELECT min(doc_id) AS mk FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id = (SELECT mk FROM m) THEN 'src13'
+        |       ELSE source END AS source,
+        |  n_chars
+        |FROM documents
+        |WHERE source = 'src13' OR doc_id = (SELECT mk FROM m)
+        |ORDER BY doc_id""".stripMargin,
 
     // scan_zonemap_multi: intersection pruning over per-column bounds
     // must be invisible in the data — the oracle is the plain

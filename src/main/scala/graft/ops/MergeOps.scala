@@ -1171,6 +1171,56 @@ object MergeOps {
     Versioned.publish(s, corpusDir, nv, tok, kept)
   }
 
+  /** ANALYZE TABLE for the versioned store: recompute the stats sidecar
+    * (range bounds and/or dictionaries) for EVERY current partition in
+    * one LIVE scan and publish it as a MANIFEST-CARRY commit — no data
+    * file is rewritten, so re-arming pruning costs one read pass plus
+    * one metadata write, never a 100 TB rewrite. Two situations call
+    * for it: (a) stats-shedding writes (a stats-less upsert restage, an
+    * inherited store that never recorded a sidecar) left partitions
+    * unprunable; (b) deletes left carried SUPERSETS that still read
+    * partitions whose matching rows are gone — the live scan (tombstones
+    * applied) tightens bounds and sets to the exact current content.
+    * DV refs carry verbatim (content-invariant commit); a partition
+    * logically emptied by tombstones yields no line and simply always
+    * reads. No-op when no stats were requested (fail fast instead). */
+  def refreshStats(s: SparkSession, corpusDir: String, partCol: String,
+                   statsKey: Option[String] = None,
+                   statsKeys: Seq[String] = Nil,
+                   dictKeys: Seq[String] = Nil): Unit = {
+    require(statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty,
+      "refreshStats needs at least one of statsKey/statsKeys/dictKeys")
+    require(statsKey.isEmpty || statsKeys.isEmpty,
+      "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
+        "not both")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val live = Versioned.readEntriesLive(s, corpusDir, v, man,
+                                         Some(partCol))
+    val lines = freshStatsLines(live, partCol, statsKey, statsKeys,
+                                dictKeys)
+    // Refresh REPLACES only what it recomputed (the requested columns'
+    // lines, in their form); everything else carries verbatim — an
+    // ANALYZE of the dictionary must not cost the table its range
+    // bounds (the same no-silent-stripping rule the upsert carry has).
+    val replaced: String => Boolean = { line =>
+      val parts = line.split('\t')
+      if (parts.length == 3) statsKey.isDefined
+      else if (parts(2) == "dict") dictKeys.contains(parts(1))
+      else statsKeys.contains(parts(1))
+    }
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filterNot(replaced)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    if ((carried ++ lines).nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok,
+        (carried ++ lines).sorted)
+    val dv = Versioned.readDvLines(s, corpusDir, v)
+    if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
+    Versioned.publish(s, corpusDir, nv, tok, man)
+  }
+
   /** Declared merge_schema_evolve query: a batch carrying a column the
     * corpus predates (`urgent`) merges into ONE partition (status F) —
     * the F partition restages under the widened schema, the other
@@ -1523,15 +1573,18 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
-  /** Declared scan_dictmap_pruned query: orders land partitioned by
-    * ORDER YEAR with a dictionary recorded on o_orderstatus — the
-    * correlated-categorical case dictionaries exist for: early years
-    * are all-'F' (fulfilled), late years all-'O' (open), only the
-    * transition year holds 'P' (pending), so the equality read
-    * `o_orderstatus = 'P'` skips most year partitions even though
-    * status is NOT the partition key and range bounds could never
-    * express it. The oracle is the plain equality filter over the
-    * source, so equality proves pruning is invisible in the data. */
+  /** Declared scan_dictmap_pruned query: documents land partitioned by
+    * coarse SOURCE GROUP (5 sources per partition — the cluster-coarse
+    * shape a 100 TB corpus needs, since one partition per fine-grained
+    * source is unmanageable at scale) with a dictionary recorded on the
+    * fine SOURCE itself. The point lookup `source = 'src13'` then reads
+    * ONE group instead of all of them — the dictionary recovers
+    * entity-level pruning the coarse clustering gave up, which range
+    * bounds cannot express on a string column. The query REQUIRES that
+    * exactly one partition's recorded set contains the value (pruning
+    * really bites, on every SF — 20 sources / 4 groups in the
+    * testdata); the oracle is the plain equality filter, so equality
+    * proves pruning is invisible in the data. */
   def scanDictmapPrunedQuery(s: SparkSession, d: String): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
     val dir = new java.io.File(
@@ -1539,17 +1592,66 @@ object MergeOps {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val o = orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-              year(col("o_orderdate")).cast("long").as("o_year"))
-    mergeUpsert(s, dir, o, "o_orderkey", "o_year",
-                dictKeys = Seq("o_orderstatus"))
-    readCorpusDictPruned(s, dir, "o_year",
-        Seq(("o_orderstatus", Seq("P"))))
-      .select(col("o_orderkey"),
-              col("o_orderstatus").cast("string").as("o_orderstatus"),
-              col("o_year").cast("long").as("o_year"))
-      .orderBy("o_orderkey")
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs, "doc_id", "src_grp",
+                dictKeys = Seq("source"))
+    require(Versioned.readStatsDict(s, dir, 1L)
+        .count(_._2("source").contains("src13")) == 1,
+      "exactly one source group's dictionary must hold src13 — " +
+        "the point lookup must actually prune")
+    readCorpusDictPruned(s, dir, "src_grp",
+        Seq(("source", Seq("src13"))))
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+              col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Declared merge_refresh_stats query: the shed-then-re-arm
+    * lifecycle. The source-group corpus of [[scanDictmapPrunedQuery]]
+    * records a source dictionary; a dict-less upsert flips the LOWEST
+    * doc_id's source to 'src13' in place (same key, same partition —
+    * the stable key→partition rule — so a group whose NAME never saw
+    * src13 now holds one), shedding that group's dictionary;
+    * [[refreshStats]] recomputes the sidecar in one live scan and a
+    * manifest-carry commit. The dictionary-pruned read for 'src13'
+    * must equal the oracle's restatement (source rows plus the flipped
+    * doc), proving the refreshed sidecar is exact for the CURRENT
+    * content — dictionaries index what partitions HOLD, not what their
+    * names suggest. */
+  def mergeRefreshStatsQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_refstats_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs, "doc_id", "src_grp",
+                dictKeys = Seq("source"))                           // v1
+    val flipped = readCorpus(s, dir, "src_grp").orderBy("doc_id")
+      .limit(1)
+      .select(col("doc_id"), lit("src13").as("source"), col("n_chars"),
+              col("src_grp").cast("long").as("src_grp"))
+      .localCheckpoint() // pin the pre-merge snapshot the batch derives from
+    val shedGrp = "src_grp=" + flipped.collect()(0).getAs[Long]("src_grp")
+    mergeUpsert(s, dir, flipped, "doc_id", "src_grp")               // v2
+    require(!Versioned.readStatsDict(s, dir, 2L).contains(shedGrp),
+      s"the dict-less restage must shed $shedGrp's dictionary")
+    refreshStats(s, dir, "src_grp", dictKeys = Seq("source"))      // v3
+    require(Versioned.readStatsDict(s, dir, 3L)
+        .get(shedGrp).exists(_("source").contains("src13")),
+      s"the refresh must re-arm $shedGrp's dictionary with src13")
+    readCorpusDictPruned(s, dir, "src_grp",
+        Seq(("source", Seq("src13"))))
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+              col("n_chars"))
+      .orderBy("doc_id")
   }
 
   /** Declared merge_retention query: events land in a day-partitioned

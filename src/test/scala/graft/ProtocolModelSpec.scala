@@ -75,6 +75,16 @@ class ProtocolModelSpec extends SparkTestBase {
       MergeOps.readCorpus(spark, dir, "p").collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
 
+    // a REPLICA synced at random points (round 11): the change feed
+    // must compose with whatever op sequence produced the source
+    def freshMirror(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_model_mirror_$seed").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    var mirrorDir = freshMirror()
+    var mirrorLast = 0L
+
     for (step <- 1 to steps) {
       rnd.nextInt(14) match {
         case 12 =>                                           // MOR delete
@@ -205,6 +215,32 @@ class ProtocolModelSpec extends SparkTestBase {
         s"seed=$seed step=$step: pruned read [$lo,$hi] diverged\n" +
           s"  store: ${prunedGot.toSeq.sortBy(_._1)}\n" +
           s"  model: ${prunedWant.toSeq.sortBy(_._1)}")
+      // MIRROR composition: a replica synced at random points must
+      // equal the model — the net change feed has to cross whatever op
+      // (or repair commit) just ran: CoW/MOR deletes, rollbacks,
+      // retention drops, compactions, torn-claim repairs. A mirror
+      // whose high-water mark fell below the retention floor pins the
+      // documented fail-fast and re-bootstraps on a fresh dir.
+      if (rnd.nextInt(3) == 0) {
+        val curV = Versioned.currentVersion(spark, dir).get
+        val flr = Versioned.retentionFloor(spark, dir).getOrElse(1L)
+        if (mirrorLast > 0 && mirrorLast < curV && mirrorLast < flr) {
+          val e = intercept[IllegalArgumentException] {
+            MergeOps.syncMirror(spark, dir, mirrorDir, "k", "p")
+          }
+          assert(e.getMessage.contains("retention floor"),
+            s"seed=$seed step=$step: wrong floor signal: ${e.getMessage}")
+          mirrorDir = freshMirror()
+          mirrorLast = 0L
+        }
+        mirrorLast = MergeOps.syncMirror(spark, dir, mirrorDir, "k", "p")
+        val mGot = MergeOps.readCorpus(spark, mirrorDir, "p").collect()
+          .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+        assert(mGot == model.current,
+          s"seed=$seed step=$step: mirror diverged from model\n" +
+            s"  mirror: ${mGot.toSeq.sortBy(_._1)}\n" +
+            s"  model: ${model.current.toSeq.sortBy(_._1)}")
+      }
     }
 
     // end state: every retained version time-travels to its model

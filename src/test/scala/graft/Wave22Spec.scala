@@ -120,6 +120,50 @@ class Wave22Spec extends SparkTestBase {
     assert(prunedKeys(dir, Seq("Q")) == Set(15L))
   }
 
+  test("refreshStats re-arms shed pruning and tightens carried " +
+       "supersets in one manifest-carry commit, without touching data " +
+       "dirs or other stats forms") {
+    import spark.implicits._
+    val dir = freshDir("graft_dictrefresh")
+    MergeOps.mergeUpsert(spark, dir, corpus(), "k", "y",
+      statsKeys = Seq("k"), dictKeys = Seq("status"))               // v1
+    // MOR-delete every 'C' row: y=4's {B,C} dict is now a loose superset
+    MergeOps.mergeDeleteMor(spark, dir,
+      (31L to 40L by 2).toDF("k"), "k", "y")                        // v2
+    // dict-less upsert sheds y=2's lines (dict AND range)
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((15L, "Q", 2L)).toDF("k", "status", "y"), "k", "y")       // v3
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBefore = fs.listStatus(new org.apache.hadoop.fs.Path(dir,
+      "data")).map(_.getPath.getName).toSet
+    MergeOps.refreshStats(spark, dir, "y",
+      dictKeys = Seq("status"))                                     // v4
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet == dataBefore,
+      "a refresh must not restage any data dir")
+    val d4 = Versioned.readStatsDict(spark, dir, 4L)
+    assert(d4("y=2")("status") == Set("A", "B", "Q"),
+      s"the shed partition re-arms with its CURRENT set: ${d4.get("y=2")}")
+    assert(d4("y=4")("status") == Set("B"),
+      "the live scan must tighten the post-delete superset")
+    // dv refs carried: tombstoned rows stay hidden after the refresh
+    assert(Versioned.readDvRefs(spark, dir, 4L).nonEmpty)
+    assert(prunedKeys(dir, Seq("C")).isEmpty)
+    // a dict-only refresh must NOT strip the surviving range bounds
+    // (y=2's were shed by the restage; the others carry)
+    val m4 = Versioned.readStatsMulti(spark, dir, 4L)
+    assert(m4.get("y=3").exists(_.get("k").contains((21L, 30L))),
+      s"range bounds must survive a dict-only refresh: ${m4.get("y=3")}")
+    // and a range refresh re-arms them everywhere from the live read
+    MergeOps.refreshStats(spark, dir, "y", statsKeys = Seq("k"))    // v5
+    val m5 = Versioned.readStatsMulti(spark, dir, 5L)
+    assert(m5("y=2")("k") == (11L, 20L) && m5("y=4")("k") == (32L, 40L),
+      s"refreshed bounds must be exact for live content: $m5")
+    assert(Versioned.readStatsDict(spark, dir, 5L)("y=2")("status") ==
+      Set("A", "B", "Q"), "a range-only refresh must carry dictionaries")
+  }
+
   test("NULLs in a dictionary column: the set records the non-null " +
        "values and equality pruning stays exact (NULL never matches)") {
     import spark.implicits._
