@@ -1210,6 +1210,18 @@ object OracleSql {
         |WHERE source = 'src13'
         |ORDER BY doc_id""".stripMargin,
 
+    // merge_zorder_compact: the Morton rewrite + tombstone fold-in +
+    // stats refresh + two-range pruned read must equal the plain
+    // conjunctive filter over the undeleted complement.
+    "merge_zorder_compact" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price_r
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 90
+        |  AND o_custkey BETWEEN 40 AND 139
+        |  AND o_orderkey BETWEEN 0 AND 1200
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_refresh_stats: after a dictionary shed and a one-scan
     // re-analyze, dict pruning must see exactly the current content —
     // the src13 rows plus the doc the query flipped to src13.

@@ -122,18 +122,8 @@ final case class Pipeline(df: DataFrame) {
       plain.write.mode("overwrite").parquet(path)
       return
     }
-    def scaled(c: String, lo: Double, hi: Double): Column = {
-      val span = if (hi > lo) hi - lo else 1.0
-      least(lit(65535),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536))
-        .cast("int")
-    }
-    val a = scaled(ca, mm.getDouble(0), mm.getDouble(1))
-    val b = scaled(cb, mm.getDouble(2), mm.getDouble(3))
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val z = Pipeline.mortonKey(col(ca), col(cb),
+      mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
     val keyed = df.withColumn("__z", z)
     val parts = if (files > 0) files else df.sparkSession
       .conf.get("spark.sql.shuffle.partitions").toInt
@@ -154,6 +144,30 @@ final case class Pipeline(df: DataFrame) {
 object Pipeline {
   def source(s: SparkSession, path: String): Pipeline =
     Pipeline(s.read.parquet(path))
+
+  /** The 32-bit Morton (Z-order) key of two columns, each scaled to a
+    * 16-bit rank by its given GLOBAL bounds, interleaved with a pure
+    * codegen'd shift/or chain — the layout key [[Pipeline!.sinkZOrder]]
+    * sorts by, exposed so other writers (the versioned store's z-order
+    * compaction) share the exact interleave. Callers supply the bounds
+    * from their own one-row pre-aggregate; a degenerate span (hi ≤ lo)
+    * collapses that column's rank to a constant, which is correct — a
+    * single-valued column contributes nothing to clustering. */
+  def mortonKey(a: Column, b: Column, aLo: Double, aHi: Double,
+                bLo: Double, bHi: Double): Column = {
+    def scaled(c: Column, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(65535),
+        floor((c.cast("double") - lit(lo)) / lit(span) * 65536))
+        .cast("int")
+    }
+    val ra = scaled(a, aLo, aHi)
+    val rb = scaled(b, bLo, bHi)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(ra, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(rb, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
 
   /** Compact a parquet directory: rewrite `path` into `outPath` with
     * ~`targetRecordsPerFile` rows per file. Long-running ingest leaves

@@ -875,6 +875,85 @@ object MergeOps {
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
+  /** OPTIMIZE ZORDER for the versioned store: restage every partition
+    * with rows MORTON-ORDERED on two columns inside each partition
+    * ([[graft.engine.Pipeline.mortonKey]] — global-bounds 16-bit ranks,
+    * bit-interleaved), so parquet row-group min/max stats stay tight on
+    * BOTH columns at once where a single-column sort keeps only its
+    * leading column clustered. This completes the two-tier skipping
+    * story the multi-column zone maps start: manifest pruning drops
+    * whole partitions by per-partition bounds, and inside the surviving
+    * partitions z-ordered row groups let EITHER column's residual
+    * predicate skip at the row-group tier — at 100 TB the second tier
+    * is what keeps a narrow two-column range from reading a whole
+    * partition. One maintenance pass, three outcomes: layout restored,
+    * outstanding deletion vectors materialized (live read, all dv lines
+    * drop — it IS a full restage), and the requested stats forms
+    * recomputed fresh from the staged files in the same commit (forms
+    * not requested carry verbatim — multiset preservation keeps them
+    * exact, the compaction rule). Content-invisible: the change feed
+    * across a z-order compaction is empty. A fully-tombstoned partition
+    * restages to nothing and leaves the manifest; emptying the table
+    * fails fast as ever. */
+  def compactZOrder(s: SparkSession, corpusDir: String, partCol: String,
+                    zCols: (String, String),
+                    statsKey: Option[String] = None,
+                    statsKeys: Seq[String] = Nil,
+                    dictKeys: Seq[String] = Nil): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val live = Versioned.readEntriesLive(s, corpusDir, v, man,
+                                         Some(partCol))
+    val (ca, cb) = zCols
+    val mm = live.agg(min(col(ca)).cast("double"),
+                      max(col(ca)).cast("double"),
+                      min(col(cb)).cast("double"),
+                      max(col(cb)).cast("double")).head()
+    // all-null z-columns: nothing to cluster — keep the plain
+    // partition-clustered rewrite (the sinkZOrder degenerate rule)
+    val clustered = live.repartition(col(partCol))
+    val sorted =
+      if (mm.isNullAt(0) || mm.isNullAt(2))
+        clustered.sortWithinPartitions(col(partCol))
+      else clustered
+        .withColumn("__z", graft.engine.Pipeline.mortonKey(col(ca), col(cb),
+          mm.getDouble(0), mm.getDouble(1), mm.getDouble(2),
+          mm.getDouble(3)))
+        .sortWithinPartitions(col(partCol), col("__z"))
+        .drop("__z")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    sorted.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    require(staged.nonEmpty,
+      s"z-ordering $corpusDir would leave no partition (every live row " +
+        "was tombstoned) — a logically empty table cannot be " +
+        "materialized; delete the table instead")
+    val wantStats =
+      statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty
+    val fresh =
+      if (wantStats)
+        freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"), partCol,
+                        statsKey, statsKeys, dictKeys)
+      else Seq.empty
+    val replaced: String => Boolean = { line =>
+      val parts = line.split('\t')
+      if (parts.length == 3) statsKey.isDefined
+      else if (parts(2) == "dict") dictKeys.contains(parts(1))
+      else statsKeys.contains(parts(1))
+    }
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filterNot(replaced)
+    if ((carried ++ fresh).nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok,
+        (carried ++ fresh).sorted)
+    // no dv lines: the full live restage materialized every tombstone
+    Versioned.publish(s, corpusDir, nv, tok, staged)
+  }
+
   private def fold(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
       .cast("long").mod(100)
@@ -1607,6 +1686,42 @@ object MergeOps {
       .select(col("doc_id"), col("source").cast("string").as("source"),
               col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Declared merge_zorder_compact query: the full OPTIMIZE ZORDER
+    * lifecycle on the customer-bucketed corpus of
+    * [[scanZonemapMultiQuery]] — build with two-column bounds, MOR-
+    * delete a key band (tombstones outstanding), z-order compact on
+    * (o_custkey, o_orderkey) with fresh bounds in the same commit
+    * (REQUIRED: every dv ref materialized), then read back through the
+    * two-range intersection pruner. The oracle is the plain conjunctive
+    * filter over the source complement, so equality proves the whole
+    * pass — Morton rewrite, tombstone fold-in, stats refresh, pruned
+    * read — is invisible in the data. */
+  def mergeZorderCompactQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_zocompact_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              (col("o_custkey") / 512).cast("long").as("cb"))
+    mergeUpsert(s, dir, o, "o_orderkey", "cb",
+                statsKeys = Seq("o_custkey", "o_orderkey"))         // v1
+    mergeDeleteMor(s, dir,                                          // v2
+      o.where(fold(col("o_orderkey")) >= 90).select("o_orderkey"),
+      "o_orderkey", "cb")
+    compactZOrder(s, dir, "cb", ("o_custkey", "o_orderkey"),        // v3
+      statsKeys = Seq("o_custkey", "o_orderkey"))
+    require(Versioned.readDvRefs(s, dir, 3L).isEmpty,
+      "the z-order restage must materialize every deletion vector")
+    readCorpusPruned(s, dir, "cb",
+        Seq(("o_custkey", 40L, 139L), ("o_orderkey", 0L, 1200L)))
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
   }
 
   /** Declared merge_refresh_stats query: the shed-then-re-arm

@@ -164,6 +164,65 @@ class Wave22Spec extends SparkTestBase {
       Set("A", "B", "Q"), "a range-only refresh must carry dictionaries")
   }
 
+  test("compactZOrder: content-invisible (empty feed), tombstones " +
+       "materialize, refreshed bounds land, and files are tight on " +
+       "BOTH z-columns where a plain key sort spans the trailing one") {
+    import spark.implicits._
+    val dir = freshDir("graft_zo")
+    // two correlated dims inside one partition: k and j = bit-reversed k
+    def rev(k: Long): Long =
+      java.lang.Long.reverse(k) >>> (64 - 10)
+    val rows = (0L until 1024L).map(k => (k, rev(k), k * 1.0, "P"))
+      .toDF("k", "j", "v", "p")
+    MergeOps.mergeUpsert(spark, dir, rows, "k", "p",
+      statsKeys = Seq("k"))                                         // v1
+    MergeOps.mergeDeleteMor(spark, dir,
+      Seq(5L, 17L).toDF("k"), "k", "p")                             // v2
+    val want = MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(_.getLong(0)).toSet
+    // plain single-column sorted compaction baseline in a twin store
+    val base = freshDir("graft_zobase")
+    MergeOps.mergeUpsert(spark, base, rows, "k", "p")
+    MergeOps.compactPartitions(spark, base, "p", maxFilesPerPart = 0,
+      sortCol = Some("k"))
+    MergeOps.compactZOrder(spark, dir, "p", ("k", "j"),
+      statsKeys = Seq("k", "j"))                                    // v3
+    // content: exactly the pre-compaction live set; feed: empty
+    assert(MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(_.getLong(0)).toSet == want)
+    assert(MergeOps.changeFeed(spark, dir, 2L, 3L, "k", "p").count() == 0L,
+      "a z-order compaction must be invisible in the change feed")
+    assert(Versioned.readDvRefs(spark, dir, 3L).isEmpty)
+    val m = Versioned.readStatsMulti(spark, dir, 3L)("p=P")
+    assert(m("k") == (0L, 1023L) && m("j")._1 == 0L,
+      s"refreshed two-column bounds must land: $m")
+    // row-group tightness: mean per-row-group span of the TRAILING
+    // dimension, z-ordered store vs key-sorted baseline. Row groups are
+    // approximated by parquet files here (one file per partition), so
+    // compare 8-quantile slices of each file's physical row order via
+    // monotonically_increasing_id — a layout probe, not an API claim.
+    def trailSpan(d: String): Double = {
+      val df = spark.read
+        .parquet(s"$d")
+      val withPos = df.withColumn("pos",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      val slices = withPos
+        .withColumn("slice", org.apache.spark.sql.functions
+          .floor(col("pos") / 128))
+        .groupBy("slice").agg((max("j") - min("j")).as("span"))
+        .collect().map(_.getLong(1))
+      slices.sum.toDouble / slices.length / 1023.0
+    }
+    val zDir = Versioned.manifest(spark, dir, 3L).head._2
+    val bDir = Versioned.manifest(spark, base,
+      Versioned.currentVersion(spark, base).get).head._2
+    val zs = trailSpan(s"$dir/$zDir")
+    val bs = trailSpan(s"$base/$bDir")
+    assert(bs > 0.7, s"key-sorted baseline spans the trailing dim: $bs")
+    assert(zs < bs * 0.6,
+      s"z-order must beat the key sort on the trailing dim: $zs vs $bs")
+  }
+
   test("NULLs in a dictionary column: the set records the non-null " +
        "values and equality pruning stays exact (NULL never matches)") {
     import spark.implicits._
