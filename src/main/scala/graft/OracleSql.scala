@@ -1171,6 +1171,26 @@ object OracleSql {
         |           AS BIGINT) % 100 < 70
         |ORDER BY o_orderkey""".stripMargin,
 
+    // merge_delete_where: the predicate delete must equal the plain
+    // complement filter (NULL-predicate rows survive per SQL).
+    "merge_delete_where" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_totalprice > 250000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge_update_where: the in-place UPDATE must equal the CASE
+    // restatement — exactly the matching rows, exactly the SET.
+    "merge_update_where" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |                  1, 8)) AS BIGINT) % 100 < 10
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_change_feed: the computed CDC read must equal the change
     // set restated from the source and the fold rule — every changed
     // key, correctly classified, right image, and nothing else.

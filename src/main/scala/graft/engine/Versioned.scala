@@ -318,6 +318,24 @@ object Versioned {
         val tok = newToken()
         writeManifestFile(fs,
           sidecarPathFor(dir, v, Some(tok), "manifest"), entries)
+        // DV refs are CORRECTNESS state bound to the manifest being
+        // duplicated: a repaired no-op version without the previous
+        // version's dv sidecar would RESURRECT every MOR-deleted row
+        // the moment it becomes current (the protocol fuzz found
+        // exactly this: MOR delete → torn claim → repair → ghosts).
+        // Stats stay dropped (pruning is optional, never correctness);
+        // the ledger reader walks back past ledgerless versions.
+        committedSidecar(s, dir, pv, "dv").foreach { from =>
+          val in = fs.open(from)
+          val bytes = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+            bos.toByteArray
+          } finally in.close()
+          val out = createExclusive(
+            fs, sidecarPathFor(dir, v, Some(tok), "dv"), "dv")
+          try out.write(bytes) finally out.close()
+        }
         if (emptyWinner) {
           // overwrite (see the scaladoc): last-write-wins between this
           // repair token and a resuming writer's leaves a valid binding

@@ -328,6 +328,130 @@ object MergeOps {
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
+  /** SQL DELETE WHERE — the PREDICATE form of [[mergeDelete]]: remove
+    * every corpus row satisfying `pred`, restaging only the partitions
+    * that hold one (found with one live filtered pass — the same
+    * find-touched discipline as the key form, cost ∝ touched-partition
+    * bytes). Three-valued logic is SQL's: a row where the predicate
+    * evaluates NULL survives (DELETE removes TRUE rows only — the
+    * coalesce makes that explicit). A fully-emptied partition leaves
+    * the manifest; emptying the table fails fast; a no-match delete
+    * publishes nothing (idempotent replay for stable predicates).
+    * `sortCol` restores clustering in the restaged partitions. Stats
+    * carry for every surviving partition (row removal keeps old bounds
+    * and dictionaries valid supersets); touched partitions' deletion
+    * vectors materialize in the restage. */
+  def mergeDeleteWhere(s: SparkSession, corpusDir: String, pred: Column,
+                       partCol: String,
+                       sortCol: Option[String] = None): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
+    val hit = coalesce(pred, lit(false))
+    val touched = corpus.where(hit)
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    val oldEntries = man.filter(e => touchedNames.contains(e._1))
+    val survivors = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
+        Some(partCol))
+      .where(!hit)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    sortCol.fold(survivors.sortWithinPartitions(col(partCol)))(c =>
+        survivors.sortWithinPartitions(col(partCol), col(c)))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    val stagedNames = staged.map(_._1).toSet
+    val newMan = man.filterNot(e => touchedNames.contains(e._1)) ++ staged
+    require(newMan.nonEmpty,
+      s"DELETE WHERE would remove every row of $corpusDir — an empty " +
+        "table cannot be read back; delete the table instead")
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filter { l =>
+        val n = Versioned.statsLinePart(l)
+        !touchedNames(n) || stagedNames(n)
+      }
+    if (carried.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, carried)
+    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    if (dvCarried.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
+  }
+
+  /** SQL UPDATE WHERE: apply the `set` column transforms to every
+    * corpus row satisfying `pred`, restaging only the partitions that
+    * hold one (the [[mergeDeleteWhere]] cost model). NULL-predicate
+    * rows are untouched (three-valued logic); rows are rewritten
+    * in place, so neither the key nor the partition column may be a
+    * set target — an identity or location change is a delete+insert,
+    * not an update (the stable key→partition rule). Stats: untouched
+    * partitions carry; an update can WIDEN a restaged partition's
+    * bounds or grow its dictionary, so their lines are dropped unless
+    * this call requests fresh ones (the changelog rule). */
+  def mergeUpdateWhere(s: SparkSession, corpusDir: String, pred: Column,
+                       set: Seq[(String, Column)], keyCol: String,
+                       partCol: String,
+                       statsKey: Option[String] = None,
+                       statsKeys: Seq[String] = Nil,
+                       dictKeys: Seq[String] = Nil): Unit = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val setMap = set.toMap
+    require(!setMap.contains(keyCol) && !setMap.contains(partCol),
+      "UPDATE cannot SET the key or partition column — a row's identity " +
+        "and location are fixed (stable key→partition); route moves " +
+        "through an explicit delete+insert")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
+    val hit = coalesce(pred, lit(false))
+    val touched = corpus.where(hit)
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    val oldEntries = man.filter(e => touchedNames.contains(e._1))
+    val old = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
+        Some(partCol))
+    val updated = old.select(old.columns.toSeq.map { c =>
+      setMap.get(c) match {
+        case Some(expr) => when(hit, expr).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    updated.sortWithinPartitions(col(partCol), col(keyCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    val stagedNames = staged.map(_._1).toSet
+    val carried = Versioned.readStatsLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    val fresh =
+      if (statsKey.isEmpty && statsKeys.isEmpty && dictKeys.isEmpty)
+        Seq.empty
+      else freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"),
+                           partCol, statsKey, statsKeys, dictKeys)
+    if ((carried ++ fresh).nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok,
+                                (carried ++ fresh).sorted)
+    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
+    if (dvCarried.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.publish(s, corpusDir, nv, tok,
+      man.filterNot(e => touchedNames.contains(e._1)) ++ staged)
+  }
+
   /** MERGE-ON-READ row-level DELETE (Delta/Iceberg deletion vectors, at
     * this store's partition granularity): instead of restaging every
     * touched partition ([[mergeDelete]]'s copy-on-write), publish ONE
@@ -1467,6 +1591,58 @@ object MergeOps {
     mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_delete_where query: the PREDICATE delete — doom
+    * every order above a price threshold across the status-partitioned
+    * corpus, replay the identical DELETE (all matching rows are gone,
+    * so the replay must publish NOTHING), read back. The oracle is the
+    * plain complement filter. */
+  def mergeDeleteWhereQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_delwhere_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus")        // v1
+    mergeDeleteWhere(s, dir, col("o_totalprice") > 250000,
+      "o_orderstatus", sortCol = Some("o_orderkey"))                // v2
+    mergeDeleteWhere(s, dir, col("o_totalprice") > 250000,
+      "o_orderstatus", sortCol = Some("o_orderkey"))
+    require(Versioned.currentVersion(s, dir).contains(2L),
+      "a no-match DELETE WHERE replay must publish nothing")
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+        .as("price_r"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_update_where query: SQL UPDATE — double the price
+    * of every fold<10 order in place (key and partition fixed), read
+    * back. The oracle restates the transform as a CASE over the
+    * source, so equality proves exactly the matching rows changed,
+    * by exactly the SET expression, and nothing else moved. */
+  def mergeUpdateWhereQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_updwhere_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus")        // v1
+    mergeUpdateWhere(s, dir, fold(col("o_orderkey")) < 10,
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)),
+      "o_orderkey", "o_orderstatus")                                // v2
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 

@@ -86,7 +86,40 @@ class ProtocolModelSpec extends SparkTestBase {
     var mirrorLast = 0L
 
     for (step <- 1 to steps) {
-      rnd.nextInt(14) match {
+      val opDraw = rnd.nextInt(16)
+      if (sys.env.contains("GRAFT_FUZZ_TRACE"))
+        println(s"TRACE seed=$seed step=$step op=$opDraw")
+      opDraw match {
+        case 14 =>                                           // DELETE WHERE
+          // predicate delete (round 11): value-range predicate, model
+          // filters by the same doubles; emptying draws are skipped
+          val t = math.floor(rnd.nextDouble() * 1e4) / 1e2
+          val hit = model.rows.filter { case (_, (v, _)) => v > t }
+          val remaining = model.rows -- hit.keys
+          if (remaining.nonEmpty) {
+            MergeOps.mergeDeleteWhere(spark, dir, col("v") > t, "p",
+              sortCol = Some("k"))
+            if (hit.nonEmpty)
+              model = model.copy(rows = remaining,
+                snapshots = model.snapshots :+ remaining)
+          }
+        case 15 =>                                           // UPDATE WHERE
+          // in-place SET on a key range; key and partition stay fixed,
+          // so the model transform is per-row value doubling
+          val lo = rnd.nextInt(30).toLong
+          val hi = lo + rnd.nextInt(10).toLong
+          val hit = model.rows.exists { case (k, _) => k >= lo && k <= hi }
+          MergeOps.mergeUpdateWhere(spark, dir,
+            col("k") >= lo && col("k") <= hi,
+            Seq("v" -> (col("v") * 2)), "k", "p")
+          if (hit) {
+            val next = model.rows.map {
+              case (k, (v, p)) if k >= lo && k <= hi => k -> (v * 2, p)
+              case other => other
+            }
+            model = model.copy(rows = next,
+              snapshots = model.snapshots :+ next)
+          }
         case 12 =>                                           // MOR delete
           // merge-on-read deletion vectors (round 11): same model rule
           // as the copy-on-write delete — content-wise the two must be
@@ -197,6 +230,10 @@ class ProtocolModelSpec extends SparkTestBase {
           val newFloor = math.max(model.floor, math.max(1L, cur - keep + 1))
           model = model.copy(floor = newFloor)
       }
+      val curVer = Versioned.currentVersion(spark, dir).get
+      assert(curVer == model.snapshots.size.toLong,
+        s"seed=$seed step=$step: version $curVer != " +
+          s"model snapshot count ${model.snapshots.size}")
       val got = readBack()
       assert(got == model.current,
         s"seed=$seed step=$step: committed read diverged from model\n" +

@@ -144,6 +144,24 @@ class Wave20Spec extends SparkTestBase {
       "rolling forward to the delete re-applies its sidecar")
   }
 
+  test("a torn-claim repair on a DV-bearing table carries the previous " +
+       "version's dv sidecar — deleted rows must NOT resurrect") {
+    import spark.implicits._
+    val dir = freshDir("graft_morrepair")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p")          // v1
+    MergeOps.mergeDeleteMor(spark, dir, Seq(2L, 5L).toDF("k"),
+      "k", "p")                                                     // v2
+    // a writer dies mid-claim at v3: bare marker, no binding
+    val fs = fsOf(dir)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "commits/3"))
+    assert(Versioned.repairTornCommit(spark, dir, 3L, graceMs = 0L))
+    assert(Versioned.currentVersion(spark, dir).contains(3L))
+    assert(keysOf(dir) == (1L to 10L).toSet -- Set(2L, 5L),
+      "the repaired no-op version must keep the tombstones applied")
+    assert(Versioned.readDvRefs(spark, dir, 3L).nonEmpty,
+      "the repair must byte-copy the dv sidecar it duplicates")
+  }
+
   test("a MOR delete may logically empty the table (schema-preserving " +
        "empty read); materializing that state fails fast; retention " +
        "carries refs for kept partitions only") {
