@@ -161,6 +161,31 @@ object StreamOps {
         }
       }
 
+  /** Streaming MERGE INTO — the CDC-INGESTION sink: each micro-batch of
+    * changelog rows (full row schema + `op` ∈ i/u/d) applies ATOMICALLY
+    * to the versioned corpus via
+    * [[graft.ops.MergeOps.mergeApplyChangelog]], one committed version
+    * per publishing trigger. Unlike the delete sinks, a changelog
+    * replay is NOT naturally idempotent (a replayed update batch would
+    * re-commit a version even at the same content), so exactly-once is
+    * the LEDGER's: the batch id lands in the store's applied-id set
+    * inside the same committed version, and the replay the at-least-
+    * once foreachBatch contract allows finds `stream-cdc-<id>` applied
+    * and no-ops. Same commit-retry contract as the other maintenance
+    * sinks. */
+  def cdcApplyMaintenance(changes: DataFrame, corpusDir: String,
+                          keyCol: String,
+                          partCol: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.Versioned.withCommitRetry() {
+          graft.ops.MergeOps.mergeApplyChangelog(
+            batch.sparkSession, corpusDir, batch, keyCol, partCol,
+            ledgerId = Some(s"stream-cdc-$batchId"))
+        }
+      }
+
   /** Streaming REPLICATION: per trigger, advance the mirror to the
     * source's current content with ONE net change feed
     * ([[graft.ops.MergeOps.syncMirror]]). The stream's rows are only

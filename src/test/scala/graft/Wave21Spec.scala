@@ -217,6 +217,40 @@ class Wave21Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: each trigger is one atomic MERGE INTO " +
+       "version, and a replayed batch id is refused by the ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir("graft_cdcsink")
+    MergeOps.mergeUpsert(spark, dir, corpus(6), "k", "p")           // v1
+    val in = MemoryStream[(Long, Double, String, String)]
+    val q = graft.streaming.StreamOps.cdcApplyMaintenance(
+        in.toDF().toDF("k", "v", "p", "op"), dir, "k", "p")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_cdcsink_ck").toString)
+      .start()
+    try {
+      in.addData((2L, 222.0, "E", "u"), (12L, 120.0, "E", "i"))
+      q.processAllAvailable()
+      in.addData((3L, 0.0, "O", "d"), (5L, 555.0, "O", "u"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = mirrorKeys(dir)
+    assert(got(2L) == 222.0 && got(12L) == 120.0 && got(5L) == 555.0 &&
+      !got.contains(3L), s"got $got")
+    assert(Versioned.currentVersion(spark, dir).contains(3L),
+      "two publishing triggers: v2 and v3")
+    // the at-least-once replay: same batch id → ledger no-op, even
+    // though the changelog content itself is not idempotent
+    MergeOps.mergeApplyChangelog(spark, dir,
+      Seq((2L, 999.0, "E", "u")).toDF("k", "v", "p", "op"), "k", "p",
+      ledgerId = Some("stream-cdc-0"))
+    assert(Versioned.currentVersion(spark, dir).contains(3L) &&
+      mirrorKeys(dir)(2L) == 222.0,
+      "a replayed stream-cdc-0 batch must be refused by the ledger")
+  }
+
   test("mirror survives a source rollback (a higher version restoring " +
        "old content) and a MOR-deleting source") {
     import spark.implicits._
