@@ -297,6 +297,11 @@ class ProtocolModelSpec extends SparkTestBase {
   test("30-step randomized op sequences match the in-memory model at " +
        "every step and on all retained time-travel reads (3 seeds)") {
     Seq(11L, 42L, 77L).foreach(run(_, steps = 30))
+    // deep mode for ad-hoc bug hunts: GRAFT_FUZZ_DEEP=seedLo:seedHi:steps
+    sys.env.get("GRAFT_FUZZ_DEEP").foreach { spec =>
+      val Array(lo, hi, st) = spec.split(':').map(_.toLong)
+      (lo to hi).foreach(run(_, steps = st.toInt))
+    }
   }
 
   // ---- the rollup/ledger family: exactly-once under random
