@@ -37,7 +37,10 @@ object OracleSql {
     // a bootstrapped-then-incrementally-synced mirror must equal the
     // atomically-applied CDC end state — the feed was complete and the
     // replay guard held
-    "pipeline_cdc_mirror" -> "merge_apply_cdc")
+    "pipeline_cdc_mirror" -> "merge_apply_cdc",
+    // a tagged version read back after a floor-raising vacuum must be
+    // the exact pre-advance snapshot — the pin held through retention
+    "merge_tag_read" -> "merge_upsert_timetravel")
 
   lazy val sql: Map[String, String] =
     base ++ aliased.map { case (k, src) => k -> base(src) }

@@ -951,12 +951,69 @@ object Versioned {
     val fs = fsOf(s, dir)
     require(fs.exists(new Path(dir, s"commits/$v")),
       s"version $v was never committed under $dir")
-    retentionFloor(s, dir).foreach(f => require(v >= f,
+    retentionFloor(s, dir).foreach(f => require(
+      v >= f || tags(s, dir).values.exists(_ == v),
       s"version $v is below the retention floor $f under $dir — " +
         "its data dirs may have been vacuumed; raise keepVersions " +
-        "before vacuuming if you need deeper time travel"))
+        "before vacuuming (or tag the version) if you need deeper " +
+        "time travel"))
     readEntriesLive(s, dir, v, manifest(s, dir, v), partCol)
   }
+
+  /** Named version TAGS (Iceberg's tags / a pinned snapshot): bind a
+    * committed version to a stable name — the PROVENANCE handle a
+    * training-data pipeline needs ("exactly the corpus run X trained
+    * on"), durable against retention. `tags/<name>.txt` holds the
+    * version number, written rename-replace (re-tagging is atomic
+    * last-write-wins; a racing reader sees old-or-new, never a torn
+    * file). A tagged version is EXEMPT from the retention sweep:
+    * [[vacuum]] keeps its referenced data/tombstone dirs and its
+    * metadata whole even below the floor, and [[readVersion]] /
+    * [[rollback]] accept it below the floor — so a tag costs exactly
+    * the tagged version's unique bytes for as long as it lives.
+    * [[deleteTag]] releases the pin; the next vacuum reclaims.
+    * Tagging below the current floor is refused (the data may already
+    * be gone — a pin must be placed while the thing it pins exists). */
+  def tagVersion(s: SparkSession, dir: String, name: String,
+                 v: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    val fs = fsOf(s, dir)
+    require(fs.exists(new Path(dir, s"commits/$v")),
+      s"cannot tag version $v under $dir — it was never committed")
+    retentionFloor(s, dir).foreach(f => require(v >= f,
+      s"cannot tag version $v: below the retention floor $f under " +
+        s"$dir — its data dirs may already be vacuumed"))
+    atomicWriteSmallFile(fs, new Path(dir, s"tags/$name.txt"), s"$v\n")
+  }
+
+  /** All live tags: name → pinned version. Unparseable files (a torn
+    * legacy write, a foreign file) are skipped, never fatal. */
+  def tags(s: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsOf(s, dir)
+    val root = new Path(dir, "tags")
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".txt") || n.startsWith(".")) None
+      else scala.util.Try(
+        readSmallFile(fs, st.getPath).trim.toLong).toOption
+        .map(n.stripSuffix(".txt") -> _)
+    }.toMap
+  }
+
+  /** Read the snapshot a tag pins (time travel by name). */
+  def readTag(s: SparkSession, dir: String, name: String,
+              partCol: Option[String]): DataFrame = {
+    val v = tags(s, dir).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' under $dir — live tags: ${tags(s, dir).keys.toSeq.sorted.mkString(", ")}"))
+    readVersion(s, dir, v, partCol)
+  }
+
+  /** Release a tag's pin; the next [[vacuum]] may reclaim the version. */
+  def deleteTag(s: SparkSession, dir: String, name: String): Unit =
+    fsOf(s, dir).delete(new Path(dir, s"tags/$name.txt"), false)
 
   /** Time travel by TIMESTAMP (AS OF TIMESTAMP): the newest committed
     * version whose commit instant — the marker's STORE mtime, the same
@@ -1011,9 +1068,11 @@ object Versioned {
     val fs = fsOf(s, dir)
     require(fs.exists(new Path(dir, s"commits/$toVersion")),
       s"version $toVersion was never committed under $dir")
-    retentionFloor(s, dir).foreach(f => require(toVersion >= f,
+    retentionFloor(s, dir).foreach(f => require(
+      toVersion >= f || tags(s, dir).values.exists(_ == toVersion),
       s"cannot roll back to version $toVersion: below the retention " +
-        s"floor $f under $dir (its data dirs may have been vacuumed)"))
+        s"floor $f under $dir (its data dirs may have been vacuumed; " +
+        "tagged versions are exempt)"))
     val nv = v + 1  // OCC: the rollback derives from current = v
     val tok = newToken()
     def copyTo(from: Path, side: String): Unit = {
@@ -1126,8 +1185,15 @@ object Versioned {
     val cur = committed.last
     var dataDeleted = 0
     var ghostsDeleted = 0
-    val retained = committed.takeRight(keepVersions)
-    val floor = math.max(retained.min, retentionFloor(s, dir).getOrElse(1L))
+    // TAGGED versions are pinned: they join the retained set (their
+    // referenced data/tombstone dirs survive, their metadata is never
+    // swept) but do NOT hold the floor down — untagged versions between
+    // an old tag and the window still sweep, and reads below the floor
+    // stay fail-fast for everything except the tags themselves.
+    val kept = committed.takeRight(keepVersions)
+    val tagged = tags(s, dir).values.toSet.intersect(committed.toSet)
+    val retained = (kept ++ tagged).distinct.sorted
+    val floor = math.max(kept.min, retentionFloor(s, dir).getOrElse(1L))
     val referenced = retained.flatMap(rv => manifest(s, dir, rv))
       .map(_._2.split("/").take(2).mkString("/")).toSet
     // Record the floor BEFORE anything is deleted: a crash mid-sweep
@@ -1215,7 +1281,8 @@ object Versioned {
           .flatten.isDefined)                        // marker-read walk
     val ledgerKeep = newestLedgerV.filter(_ < floor)
     val swept = committed
-      .filter(v => v < floor && !ledgerKeep.contains(v)).toSet
+      .filter(v => v < floor && !ledgerKeep.contains(v) && !tagged(v))
+      .toSet
     swept.foreach { v =>
       Seq("manifest", "stats", "ledger", "dv").foreach(side =>
         fs.delete(new Path(dir, s"$side/$v.txt"), false))

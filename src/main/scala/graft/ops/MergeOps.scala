@@ -1594,6 +1594,47 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Declared merge_tag_read query: version TAGS as provenance pins —
+    * tag the fold<90 snapshot `baseline` (the corpus a model trained
+    * on), advance the corpus with a CDC batch, then VACUUM with
+    * keepVersions=1 so the floor rises PAST the tagged version — and
+    * read the tag back. The oracle restates the pre-advance snapshot,
+    * so equality proves the pin held end-to-end: the vacuum kept the
+    * tagged version's dirs and metadata below the floor, and time
+    * travel by name still reproduces the exact training corpus. The
+    * query also REQUIRES that an untagged below-floor read still fails
+    * fast (the exemption is the tag's, not the floor's). */
+  def mergeTagReadQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_tagread_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")                      // v1
+    Versioned.tagVersion(s, dir, "baseline", 1L)
+    val b = fold(col("o_orderkey"))
+    val changes = base.where(b >= 80 && b <= 94)
+      .withColumn("op",
+        when(b <= 84, lit("u")).when(b <= 89, lit("d")).otherwise(lit("i")))
+    mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus") // v2
+    mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus") // v3
+    Versioned.vacuum(s, dir, keepVersions = 1)  // floor = 3 > tag's 1
+    require(Versioned.retentionFloor(s, dir).exists(_ > 1L),
+      "the vacuum must raise the floor past the tagged version")
+    val e = scala.util.Try(
+      Versioned.readVersion(s, dir, 2L, Some("o_orderstatus")).count())
+    require(e.isFailure,
+      "an untagged below-floor version must still fail fast")
+    Versioned.readTag(s, dir, "baseline", Some("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Declared merge_delete_where query: the PREDICATE delete — doom
     * every order above a price threshold across the status-partitioned
     * corpus, replay the identical DELETE (all matching rows are gone,
