@@ -84,12 +84,23 @@ class ProtocolModelSpec extends SparkTestBase {
     }
     var mirrorDir = freshMirror()
     var mirrorLast = 0L
+    // TAGS (round 11): pin random versions as the run proceeds; every
+    // pin must read back as its model snapshot at the END, across
+    // whatever vacuums/rollbacks/retention happened after it
+    var pins = Map.empty[String, Int]  // tag name -> snapshot index
 
     for (step <- 1 to steps) {
-      val opDraw = rnd.nextInt(16)
+      val opDraw = rnd.nextInt(17)
       if (sys.env.contains("GRAFT_FUZZ_TRACE"))
         println(s"TRACE seed=$seed step=$step op=$opDraw")
       opDraw match {
+        case 16 =>                                           // tag
+          // pin the CURRENT version; publishes nothing (version count
+          // must not move); the end-state check reads every pin back
+          val name = s"pin$step"
+          Versioned.tagVersion(spark, dir,
+            name, model.snapshots.size.toLong)
+          pins += (name -> (model.snapshots.size - 1))
         case 14 =>                                           // DELETE WHERE
           // predicate delete (round 11): value-range predicate, model
           // filters by the same doubles; emptying draws are skipped
@@ -280,7 +291,15 @@ class ProtocolModelSpec extends SparkTestBase {
       }
     }
 
-    // end state: every retained version time-travels to its model
+    // end state: every PIN reads back as the model snapshot it froze,
+    // no matter what retention/vacuum/rollback churn followed
+    pins.foreach { case (name, idx) =>
+      val got = Versioned.readTag(spark, dir, name, Some("p")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      assert(got == model.snapshots(idx),
+        s"seed=$seed: tag $name diverged from its pinned snapshot")
+    }
+    // ... and every retained version time-travels to its model
     // snapshot; the commit log's version numbering matches the model's
     val committed = Versioned.committedVersions(spark, dir)
     assert(committed.last == model.snapshots.size.toLong,
