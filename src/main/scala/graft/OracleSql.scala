@@ -1174,6 +1174,14 @@ object OracleSql {
         |           AS BIGINT) % 100 < 70
         |ORDER BY o_orderkey""".stripMargin,
 
+    // merge_constrained: the constraint gate must admit exactly the
+    // clean writes — the read-back (minus the null-price probe row) is
+    // the plain source.
+    "merge_constrained" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_delete_where: the predicate delete must equal the plain
     // complement filter (NULL-predicate rows survive per SQL).
     "merge_delete_where" ->

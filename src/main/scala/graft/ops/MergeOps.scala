@@ -52,6 +52,31 @@ object MergeOps {
     * dictionaries exist for (status, lang, source, tier). */
   private val DictCap = 32
 
+  /** Write-side CHECK constraints (Delta's `ADD CONSTRAINT` at merge
+    * time): ONE aggregate pass over the batch counts violations of
+    * every named predicate, and any violation fails the write loudly —
+    * per-constraint counts in the message — BEFORE a byte stages, so a
+    * bad batch can never become a committed version some reader then
+    * trusts. SQL CHECK semantics: a row where the predicate evaluates
+    * NULL passes (violation = definitively FALSE), matching every SQL
+    * engine's three-valued CHECK rule. Cost: one codegen'd conditional
+    * aggregate over the batch only — never the corpus. */
+  def checkConstraints(batch: DataFrame,
+                       constraints: Seq[(String, Column)]): Unit = {
+    if (constraints.isEmpty) return
+    val aggs = constraints.map { case (n, c) =>
+      sum(when(coalesce(c, lit(true)) === false, 1L).otherwise(0L)).as(n)
+    }
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    val bad = constraints.zipWithIndex.flatMap { case ((n, _), i) =>
+      val cnt = if (r.isNullAt(i)) 0L else r.getLong(i)
+      if (cnt > 0) Some(s"'$n' ($cnt rows)") else None
+    }
+    require(bad.isEmpty,
+      s"batch rejected — CHECK constraint violations: " +
+        bad.mkString(", ") + "; nothing was staged or committed")
+  }
+
   private def freshStatsLines(df: DataFrame, partCol: String,
                               statsKey: Option[String],
                               statsKeys: Seq[String],
@@ -141,10 +166,12 @@ object MergeOps {
                   statsKey: Option[String] = None,
                   statsKeys: Seq[String] = Nil,
                   ledgerId: Option[String] = None,
-                  dictKeys: Seq[String] = Nil): Unit = {
+                  dictKeys: Seq[String] = Nil,
+                  constraints: Seq[(String, Column)] = Nil): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
+    checkConstraints(batch, constraints)
     def freshStats(df: DataFrame): Seq[String] =
       freshStatsLines(df, partCol, statsKey, statsKeys, dictKeys)
     val wantStats =
@@ -608,10 +635,15 @@ object MergeOps {
                           partCol: String, opCol: String = "op",
                           statsKey: Option[String] = None,
                           statsKeys: Seq[String] = Nil,
-                          ledgerId: Option[String] = None): Unit = {
+                          ledgerId: Option[String] = None,
+                          constraints: Seq[(String, Column)] = Nil): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
+    // constraints gate the rows that will LAND (upserts); delete rows
+    // carry only a key and are exempt, as in every SQL engine
+    if (constraints.nonEmpty)
+      checkConstraints(changes.where(col(opCol) =!= "d"), constraints)
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $corpusDir — create the corpus " +
@@ -1591,6 +1623,60 @@ object MergeOps {
     mergeApplyChangelog(s, dir, changes, "o_orderkey", "o_orderstatus")
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_constrained query: write-side CHECK constraints —
+    * the full corpus lands under two constraints that hold (positive
+    * price, non-null key), then a VIOLATING batch (a negative price
+    * among valid rows) must be rejected whole with nothing staged and
+    * the version unmoved, and a NULL-predicate row must pass (SQL
+    * three-valued CHECK). The read-back equals the plain source
+    * restatement, proving the gate let exactly the clean write
+    * through and stopped the dirty one cold. */
+  def mergeConstrainedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_constr_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val checks = Seq(
+      "positive_price" -> (col("o_totalprice") > 0),
+      "key_present" -> col("o_orderkey").isNotNull)
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus",
+                constraints = checks)                               // v1
+    // the dirty batch: one violating row hidden among valid ones —
+    // rejected WHOLE, version unmoved. Deterministic slice (ordered
+    // limit, the FitBpe rule): a bare limit could pick rows that miss
+    // the flipped key on a different file layout.
+    val k0 = base.orderBy("o_orderkey").limit(1)
+      .collect()(0).getLong(0)
+    val dirty = base.orderBy("o_orderkey").limit(3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === k0, lit(-5.0))
+          .otherwise(col("o_totalprice")))
+    val rejected = scala.util.Try(
+      mergeUpsert(s, dir, dirty, "o_orderkey", "o_orderstatus",
+                  constraints = checks))
+    require(rejected.isFailure &&
+      rejected.failed.get.getMessage.contains("positive_price"),
+      "the violating batch must be rejected with the constraint named")
+    require(Versioned.currentVersion(s, dir).contains(1L),
+      "a rejected batch must not publish")
+    // NULL predicate passes (SQL CHECK): a null price row is admitted
+    mergeUpsert(s, dir,
+      base.orderBy("o_orderkey").limit(1)
+        .select(lit(-1L).as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit("F").as("o_orderstatus")),
+      "o_orderkey", "o_orderstatus", constraints = checks)          // v2
+    readCorpus(s, dir, "o_orderstatus")
+      .where(col("o_orderkey") >= 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 

@@ -96,6 +96,40 @@ class Wave23Spec extends SparkTestBase {
     assert(Versioned.currentVersion(spark, dir).contains(2L))
   }
 
+  test("CHECK constraints gate the changelog's landing rows only: " +
+       "delete rows are exempt, a dirty upsert rejects the whole batch " +
+       "before anything stages") {
+    import spark.implicits._
+    val dir = freshDir("graft_cdcconstr")
+    val data = (1 to 6).map(i =>
+      (i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "p")
+    val checks = Seq("v_positive" -> (col("v") > 0))
+    MergeOps.mergeUpsert(spark, dir, data, "k", "p",
+      constraints = checks)                                         // v1
+    // delete rows carry junk values — exempt from the gate
+    MergeOps.mergeApplyChangelog(spark, dir,
+      Seq((2L, -99.0, "E", "d"), (7L, 70.0, "O", "i"))
+        .toDF("k", "v", "p", "op"), "k", "p",
+      constraints = checks)                                         // v2
+    val got = MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 5L, 6L, 7L), s"got $got")
+    // a dirty UPSERT row rejects the whole batch, version unmoved
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.mergeApplyChangelog(spark, dir,
+        Seq((8L, -1.0, "E", "i"), (9L, 90.0, "O", "i"))
+          .toDF("k", "v", "p", "op"), "k", "p",
+        constraints = checks)
+    }
+    assert(e.getMessage.contains("v_positive") &&
+      e.getMessage.contains("1 rows"))
+    assert(Versioned.currentVersion(spark, dir).contains(2L) &&
+      !MergeOps.readCorpus(spark, dir, "p").collect()
+        .map(_.getLong(0)).toSet.contains(9L),
+      "a rejected changelog must land NOTHING, not even its clean rows")
+  }
+
   test("predicate DML composes with MOR tombstones and crosses the " +
        "change feed correctly") {
     import spark.implicits._
