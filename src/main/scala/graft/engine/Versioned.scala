@@ -1015,6 +1015,55 @@ object Versioned {
   def deleteTag(s: SparkSession, dir: String, name: String): Unit =
     fsOf(s, dir).delete(new Path(dir, s"tags/$name.txt"), false)
 
+  /** DROP TABLE: delete the whole store — data, tombstones, metadata,
+    * tags, floor — in one recursive remove. This is the operation every
+    * empty-table fail-fast in the engine routes to ("a logically empty
+    * table cannot be materialized; delete the table instead"): emptying
+    * a table is not a state the commit protocol can represent, dropping
+    * it is. Refuses while tags pin versions unless `force` — a
+    * provenance pin exists precisely so history does not vanish
+    * silently. Idempotent on a missing dir. */
+  def dropTable(s: SparkSession, dir: String,
+                force: Boolean = false): Unit = {
+    val fs = fsOf(s, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return
+    val pinned = tags(s, dir)
+    require(force || pinned.isEmpty,
+      s"refusing to drop $dir: tags still pin versions " +
+        s"(${pinned.toSeq.sortBy(_._1).map { case (n, v) => s"$n->v$v" }
+          .mkString(", ")}) — delete the tags first or pass force=true")
+    fs.delete(p, true)
+  }
+
+  /** DESCRIBE DETAIL: one snapshot row of the store's operational
+    * state — the observability surface a maintainer polls before
+    * choosing a maintenance pass (compact? materialize DVs? vacuum?).
+    * All fields come from metadata reads (manifest, sidecars, listings
+    * bounded by partition/version counts); no data file is opened. */
+  def storeDetail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = currentVersion(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val man = manifest(s, dir, v)
+    val fs = fsOf(s, dir)
+    val files = man.map { case (_, rel) =>
+      val st = fs.listStatus(new Path(dir, rel))
+      st.count(f => f.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val dvRefs = readDvRefs(s, dir, v)
+    val committed = committedVersions(s, dir)
+    Seq((v, committed.size.toLong, man.size.toLong, files.toLong,
+         dvRefs.size.toLong, dvRefs.values.map(_.size).sum.toLong,
+         retentionFloor(s, dir).getOrElse(1L),
+         tags(s, dir).size.toLong,
+         readStatsLines(s, dir, v).size.toLong,
+         appliedLedgerIds(s, dir, v).size.toLong))
+      .toDF("version", "committed_versions", "partitions", "data_files",
+            "dv_partitions", "dv_refs", "retention_floor", "tags",
+            "stats_lines", "applied_ids")
+  }
+
   /** Time travel by TIMESTAMP (AS OF TIMESTAMP): the newest committed
     * version whose commit instant — the marker's STORE mtime, the same
     * clock [[repairTornCommit]]'s grace uses — is ≤ `tsMillis`. One

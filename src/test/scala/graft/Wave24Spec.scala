@@ -87,6 +87,33 @@ class Wave24Spec extends SparkTestBase {
     assert(e.getMessage.contains("no tag"))
   }
 
+  test("dropTable removes the whole store (refusing while tags pin, " +
+       "unless forced); storeDetail reports the operational snapshot " +
+       "from metadata only") {
+    import spark.implicits._
+    val dir = freshDir("graft_drop")
+    MergeOps.mergeUpsert(spark, dir, corpus(10), "k", "p",
+      statsKeys = Seq("k"))                                         // v1
+    MergeOps.mergeDeleteMor(spark, dir, Seq(2L, 5L).toDF("k"),
+      "k", "p")                                                     // v2
+    Versioned.tagVersion(spark, dir, "keep", 1L)
+    val d = Versioned.storeDetail(spark, dir).collect()(0)
+    assert(d.getAs[Long]("version") == 2L &&
+      d.getAs[Long]("committed_versions") == 2L &&
+      d.getAs[Long]("partitions") == 2L &&
+      d.getAs[Long]("dv_partitions") == 2L &&
+      d.getAs[Long]("tags") == 1L &&
+      d.getAs[Long]("stats_lines") == 2L, s"detail: $d")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dropTable(spark, dir)
+    }
+    assert(e.getMessage.contains("keep->v1"),
+      "the refusal must name the pinning tags")
+    Versioned.dropTable(spark, dir, force = true)
+    assert(Versioned.currentVersion(spark, dir).isEmpty)
+    Versioned.dropTable(spark, dir)  // idempotent on a missing dir
+  }
+
   test("guard rails: bad names, uncommitted versions, and below-floor " +
        "tagging are refused; foreign files in tags/ are skipped") {
     import spark.implicits._
