@@ -510,11 +510,17 @@ object Versioned {
     * On `file://` the move is `rename(2)` via NIO ATOMIC_MOVE (and any
     * stale Hadoop checksum sidecar from an older writer is dropped so
     * the raw replace cannot trip ChecksumFileSystem verification); on
-    * HDFS-class stores an overwriting `rename` is used, falling back to
-    * an in-place overwrite only where the store refuses it — there the
-    * caller's read path must absorb the store's own create window
-    * ([[committedToken]]'s retry / [[retentionFloor]]'s tolerant
-    * parse both do). */
+    * HDFS-class stores the replace is `FileContext.rename(..,
+    * Options.Rename.OVERWRITE)` — namenode-atomic, and unlike
+    * `FileSystem.rename` it DOES replace an existing destination (the
+    * round-11 advice hole: every rewrite here has an existing target —
+    * the winner file is pre-created by the claim, floor/tags exist on
+    * re-record — so the plain rename returned false every time and the
+    * path fell to a non-atomic in-place overwrite). Only a store whose
+    * FileContext binding is unavailable falls back to the in-place
+    * overwrite; there the caller's read path must absorb the store's
+    * own create window ([[committedToken]]'s retry /
+    * [[retentionFloor]]'s tolerant parse both do). */
   private def atomicWriteSmallFile(fs: FileSystem, p: Path,
                                    content: String): Unit = {
     val q = fs.makeQualified(p)
@@ -547,10 +553,22 @@ object Versioned {
       val tmp = new Path(q.getParent, s".${q.getName}.tmp_${newToken()}")
       val o = fs.create(tmp, true)
       try o.write(bytes) finally o.close()
-      if (!fs.rename(tmp, q)) {
-        val o2 = fs.create(q, true)
-        try o2.write(bytes) finally o2.close()
-        fs.delete(tmp, false)
+      try {
+        // FileContext.rename with OVERWRITE is the HDFS-class atomic
+        // replace; FileSystem.rename would refuse the existing target.
+        org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, fs.getConf)
+          .rename(tmp, q, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException
+            if !fs.exists(tmp) && fs.exists(q) =>
+          // the rename actually landed (some stores throw after effect)
+          ()
+        case _: UnsupportedOperationException =>
+          // no FileContext binding for this store: last-resort in-place
+          // overwrite — the documented non-atomic fallback
+          val o2 = fs.create(q, true)
+          try o2.write(bytes) finally o2.close()
+          fs.delete(tmp, false)
       }
     }
   }
@@ -866,10 +884,24 @@ object Versioned {
           val dv = rs.map(r => s.read.parquet(s"$dir/$r"))
             .reduce(_.unionByName(_))
           // tombstone dirs are partitioned by the table's partCol, so
-          // the key column is the one data column that is not it
+          // the key column is the one data column that is not it — a
+          // LOUD contract: a future tombstone writer adding a column
+          // would silently anti-join on an arbitrary pick otherwise
           val kc = partCol match {
-            case Some(pc) => dv.columns.filter(_ != pc).head
-            case None => dv.columns.head
+            case Some(pc) =>
+              val dataCols = dv.columns.filterNot(_ == pc)
+              require(dataCols.length == 1,
+                s"tombstone dirs ${rs.mkString(", ")} must carry exactly " +
+                  s"(key, $pc) — got columns [${dv.columns.mkString(", ")}]; " +
+                  "the dv writer contract changed without updating the " +
+                  "read-side key inference")
+              dataCols.head
+            case None =>
+              require(dv.columns.length == 1,
+                s"unpartitioned tombstone dirs ${rs.mkString(", ")} must " +
+                  s"carry exactly the key column — got " +
+                  s"[${dv.columns.mkString(", ")}]")
+              dv.columns.head
           }
           base.join(dv.select(kc).distinct(), Seq(kc), "left_anti")
         }
@@ -878,14 +910,34 @@ object Versioned {
 
   /** Union-read a set of manifest entries (see [[readCurrent]]). An empty
     * entry set is the caller's "partition absent" case — callers handle it
-    * before calling (we cannot conjure a schema from nothing). */
+    * before calling (we cannot conjure a schema from nothing).
+    *
+    * A referenced data dir that VANISHED between the manifest resolve and
+    * this read (a racing vacuum swept the version below its floor) is a
+    * commit-state change, not corruption: it surfaces as the retryable
+    * race signal — the same translation the manifest read does — so a
+    * reader racing a vacuum fails loudly with the protocol's own error
+    * instead of a raw missing-path exception. (The window AFTER frame
+    * creation — a scan task opening a file a vacuum deleted mid-job —
+    * remains the documented reader-vs-vacuum contract every table format
+    * has: schedule retention from one maintainer, or retry the read.) */
   def readEntries(s: SparkSession, dir: String,
                   entries: Seq[(String, String)],
                   partCol: Option[String]): DataFrame = {
     require(entries.nonEmpty, "readEntries needs at least one entry")
+    def translate[T](body: => T): T =
+      try body catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          throw new ConcurrentCommitException(
+            s"a manifest-referenced data dir under $dir vanished " +
+              "mid-read — a concurrent vacuum swept this version below " +
+              "its retention floor; re-derive from the current commit log",
+            e)
+      }
     partCol match {
       case None =>
-        s.read.parquet(entries.map(e => s"$dir/${e._2}"): _*)
+        translate(s.read.parquet(entries.map(e => s"$dir/${e._2}"): _*))
       case Some(_) =>
         // allowMissingColumns: version groups may disagree on schema
         // after a schema-evolving merge (a later version's partitions
@@ -894,8 +946,8 @@ object Versioned {
         entries.groupBy(_._2.split("/").take(2).mkString("/"))
           .toSeq.sortBy(_._1)
           .map { case (verDir, es) =>
-            s.read.option("basePath", s"$dir/$verDir")
-              .parquet(es.map(e => s"$dir/${e._2}"): _*)
+            translate(s.read.option("basePath", s"$dir/$verDir")
+              .parquet(es.map(e => s"$dir/${e._2}"): _*))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }

@@ -765,10 +765,16 @@ object MergeOps {
                  toV: Long, keyCol: String, partCol: String): DataFrame = {
     require(fromV < toV,
       s"changeFeed needs fromV < toV, got $fromV -> $toV under $corpusDir")
-    Versioned.retentionFloor(s, corpusDir).foreach(f => require(fromV >= f,
+    // tagged versions are exempt, as in readVersion/rollback: a mirror
+    // whose high-water version is PINNED (data retained by vacuum) must
+    // stay syncable below the floor — that retention-exempt pin is the
+    // replication use case tags exist for (r11 advice)
+    Versioned.retentionFloor(s, corpusDir).foreach(f => require(
+      fromV >= f || Versioned.tags(s, corpusDir).values.exists(_ == fromV),
       s"version $fromV is below the retention floor $f under $corpusDir " +
-        "— its data dirs may have been vacuumed; sync mirrors before " +
-        "vacuuming past their high-water mark"))
+        "— its data dirs may have been vacuumed (tagged versions are " +
+        "exempt); sync mirrors or tag their high-water version before " +
+        "vacuuming past it"))
     val manFrom = Versioned.manifest(s, corpusDir, fromV)
     val manTo = Versioned.manifest(s, corpusDir, toV)
     val dvFrom = Versioned.readDvRefs(s, corpusDir, fromV)
@@ -789,7 +795,14 @@ object MergeOps {
         // no changed entries on this side (all-new or all-dropped
         // partitions live on the other) — an empty frame at this side's
         // schema, from its newest staged dir (the readCorpusPruned
-        // all-pruned recovery idiom)
+        // all-pruned recovery idiom). A fully EMPTY manifest cannot
+        // supply a schema: unreachable today (emptying a table fails
+        // fast everywhere), guarded loudly for the day a MOR-emptied
+        // table meets the feed (r11 verdict nit).
+        require(man.nonEmpty,
+          s"changeFeed: a side of the $fromV->$toV diff under $corpusDir " +
+            "has an empty manifest — its schema cannot be recovered; an " +
+            "emptied table cannot feed a diff")
         val newest = man.maxBy(e =>
           Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
         Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
