@@ -774,6 +774,44 @@ object Versioned {
     finally out.close()
   }
 
+  /** PERSISTED table-level CHECK constraints as of version `v` — the
+    * newest committed `constraints/` sidecar at or below `v`, the
+    * applied-id-ledger walk-back rule: constraints are TABLE METADATA
+    * riding the commit log (Delta's `ADD CONSTRAINT` model), so every
+    * writer deriving from `v` sees exactly the constraint set committed
+    * at or before its snapshot, a torn add is invisible, and a racing
+    * add loses the version claim like any writer. Lines are
+    * `name \t sql-expr`; an EMPTY sidecar masks older ones (that is how
+    * dropping the last constraint releases the table —
+    * [[graft.ops.MergeOps.dropConstraint]]). Unlike the ledger these do
+    * NOT roll back with data ([[rollback]] copies no constraints
+    * sidecar; the walk-back finds the newest one regardless): a
+    * rollback restores CONTENT, not the table's contract — the Delta
+    * RESTORE rule. */
+  private[graft] def readConstraintLines(s: SparkSession, dir: String,
+                                         v: Long): Seq[String] = {
+    val fs = fsOf(s, dir)
+    if (!fs.exists(new Path(dir, "constraints"))) return Seq.empty
+    committedVersions(s, dir).filter(_ <= v).sorted.reverse
+      .iterator
+      .map(w => committedSidecar(s, dir, w, "constraints"))
+      .collectFirst { case Some(p) => readLines(fs, p) }
+      .getOrElse(Seq.empty)
+  }
+
+  /** Write-once constraints sidecar at the attempt's tokenized name —
+    * the ledger contract: lands BEFORE publish so the constraint set
+    * and the version commit atomically. */
+  private[graft] def writeConstraintLines(s: SparkSession, dir: String,
+                                          v: Long, token: String,
+                                          lines: Seq[String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "constraints"), "constraints")
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The COMMITTED zone-map sidecar of version `v` (resolved through the
     * marker token), empty if the winning attempt wrote none. Reads the
     * single-key (3-field) form; multi-column lines are skipped — a
@@ -1381,12 +1419,24 @@ object Versioned {
         scala.util.Try(committedSidecar(s, dir, w, "ledger")).toOption
           .flatten.isDefined)                        // marker-read walk
     val ledgerKeep = newestLedgerV.filter(_ < floor)
+    // same cumulative-metadata guard for the constraints sidecar: if the
+    // newest committed constraint set sits below the floor (every later
+    // commit was a plain write), sweeping it would silently UNCONSTRAIN
+    // the table — that version is retained whole until a newer
+    // add/dropConstraint commits above the floor
+    val newestConstraintsV =
+      if (!fs.exists(new Path(dir, "constraints"))) None
+      else committed.sorted.reverse.find(w =>
+        scala.util.Try(committedSidecar(s, dir, w, "constraints")).toOption
+          .flatten.isDefined)
+    val constraintsKeep = newestConstraintsV.filter(_ < floor)
     val swept = committed
-      .filter(v => v < floor && !ledgerKeep.contains(v) && !tagged(v))
+      .filter(v => v < floor && !ledgerKeep.contains(v) &&
+        !constraintsKeep.contains(v) && !tagged(v))
       .toSet
     swept.foreach { v =>
-      Seq("manifest", "stats", "ledger", "dv").foreach(side =>
-        fs.delete(new Path(dir, s"$side/$v.txt"), false))
+      Seq("manifest", "stats", "ledger", "dv", "constraints", "touch")
+        .foreach(side => fs.delete(new Path(dir, s"$side/$v.txt"), false))
       // marker FIRST: a crash between the two deletes then leaves a
       // harmless orphaned winner file (invisible to committedVersions)
       // instead of a committed-but-unresolvable torn state
@@ -1405,7 +1455,8 @@ object Versioned {
     // torn marker keeps its version's files in place.
     val tokenOf = survivors.map(cv => cv ->
       scala.util.Try(committedToken(s, dir, cv)).toOption.flatten).toMap
-    Seq("manifest", "stats", "ledger", "dv").foreach { side =>
+    Seq("manifest", "stats", "ledger", "dv", "constraints", "touch")
+      .foreach { side =>
       val root = new Path(dir, side)
       if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
         val name = st.getPath.getName.stripSuffix(".txt")

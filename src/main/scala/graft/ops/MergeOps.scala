@@ -60,9 +60,19 @@ object MergeOps {
     * trusts. SQL CHECK semantics: a row where the predicate evaluates
     * NULL passes (violation = definitively FALSE), matching every SQL
     * engine's three-valued CHECK rule. Cost: one codegen'd conditional
-    * aggregate over the batch only — never the corpus. */
+    * aggregate over the batch only — never the corpus.
+    *
+    * PRECONDITION (per-call constraints): the check runs on the batch
+    * PLAN, and the stage re-evaluates that plan — a non-deterministic
+    * batch (rand(), current_timestamp, a re-read of mutable input) can
+    * stage rows the check never saw. Per-call constraints are therefore
+    * batch-scoped fast-fail sugar for deterministic batches; the
+    * airtight table-level contract is [[addConstraint]], whose
+    * persisted set is ALSO validated on the staged files' read-back
+    * ([[validateStaged]]) — the rows that actually land. */
   def checkConstraints(batch: DataFrame,
-                       constraints: Seq[(String, Column)]): Unit = {
+                       constraints: Seq[(String, Column)],
+                       what: String = "batch"): Unit = {
     if (constraints.isEmpty) return
     val aggs = constraints.map { case (n, c) =>
       sum(when(coalesce(c, lit(true)) === false, 1L).otherwise(0L)).as(n)
@@ -73,8 +83,143 @@ object MergeOps {
       if (cnt > 0) Some(s"'$n' ($cnt rows)") else None
     }
     require(bad.isEmpty,
-      s"batch rejected — CHECK constraint violations: " +
-        bad.mkString(", ") + "; nothing was staged or committed")
+      s"$what rejected — CHECK constraint violations: " +
+        bad.mkString(", ") + "; nothing was committed")
+  }
+
+  /** The PERSISTED constraint set in force at version `v` — (name,
+    * sql-expr) pairs from the newest committed `constraints` sidecar at
+    * or below `v` ([[Versioned.readConstraintLines]]). Empty for tables
+    * that never ran [[addConstraint]] — the zero-cost fast path every
+    * unconstrained write takes (one directory-existence probe). */
+  def tableConstraints(s: SparkSession, corpusDir: String,
+                       v: Long): Seq[(String, String)] =
+    Versioned.readConstraintLines(s, corpusDir, v).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+
+  /** Parse the persisted set into enforceable columns, first requiring
+    * every referenced column to exist in the write's schema — a LOUD
+    * schema/contract mismatch beats Spark's generic unresolved-column
+    * error deep inside an aggregate (and beats the silent alternative:
+    * a batch-authoritative restage DROPS columns the batch lacks, so a
+    * write missing a constrained column would destroy the evidence the
+    * constraint checks). */
+  private def persistedConstraintCols(cs: Seq[(String, String)],
+                                      writeCols: Seq[String])
+      : Seq[(String, Column)] =
+    cs.map { case (n, e) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.distinct
+      val missing = refs.filterNot(writeCols.contains)
+      require(missing.isEmpty,
+        s"persisted CHECK constraint '$n' ($e) references " +
+          s"[${missing.mkString(", ")}] absent from the write's schema " +
+          s"[${writeCols.mkString(", ")}] — a batch-authoritative merge " +
+          "would drop the constrained column; evolve the constraint " +
+          "(dropConstraint) or carry the column")
+      (n, expr(e))
+    }
+
+  /** ADD CONSTRAINT (Delta's table-level CHECK, on this store's commit
+    * log): validate the EXISTING corpus against the new predicate (a
+    * constraint must be true of the data it starts guarding — the Delta
+    * rule), then commit the grown constraint set as a manifest-carry
+    * version. From that version on EVERY writer — plain upserts,
+    * changelog applies, predicate updates, writers passed no
+    * per-call constraints at all — loads and enforces the set
+    * automatically: the contract lives with the table, not with
+    * whichever caller remembered to pass it (the round-11 advice hole).
+    * Publishes through the same OCC claim as every writer, so a racing
+    * write either sees the constraint (it derived from the new version)
+    * or makes this add lose and retry. */
+  def addConstraint(s: SparkSession, corpusDir: String, name: String,
+                    exprSql: String, partCol: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"constraint name '$name' must be [A-Za-z0-9._-]+")
+    require(!exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint expression must be a single line without tabs")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir — create the corpus " +
+          "before constraining it"))
+    val existing = tableConstraints(s, corpusDir, v)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists on $corpusDir — drop it first " +
+        "to redefine")
+    checkConstraints(
+      Versioned.readVersion(s, corpusDir, v, Some(partCol)),
+      Seq((name, expr(exprSql))), what = s"ADD CONSTRAINT on existing data")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    carrySidecars(s, corpusDir, v, nv, tok)
+    Versioned.writeConstraintLines(s, corpusDir, nv, tok,
+      (existing :+ (name, exprSql)).map { case (n, e) => s"$n\t$e" })
+    Versioned.publish(s, corpusDir, nv, tok,
+      Versioned.manifest(s, corpusDir, v))
+  }
+
+  /** DROP CONSTRAINT: commit the shrunken set (possibly EMPTY — an
+    * empty sidecar masks every older one, releasing the table). Same
+    * manifest-carry commit shape as [[addConstraint]]. */
+  def dropConstraint(s: SparkSession, corpusDir: String,
+                     name: String): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir"))
+    val existing = tableConstraints(s, corpusDir, v)
+    require(existing.exists(_._1 == name),
+      s"no constraint '$name' on $corpusDir — live constraints: " +
+        existing.map(_._1).sorted.mkString(", "))
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    carrySidecars(s, corpusDir, v, nv, tok)
+    Versioned.writeConstraintLines(s, corpusDir, nv, tok,
+      existing.filterNot(_._1 == name).map { case (n, e) => s"$n\t$e" })
+    Versioned.publish(s, corpusDir, nv, tok,
+      Versioned.manifest(s, corpusDir, v))
+  }
+
+  /** Validate the STAGED files (read-back) against the table's
+    * persisted constraint set before anything publishes — the airtight
+    * half of enforcement: the rows checked here are the literal bytes
+    * that would become the committed version (batch rows after any
+    * non-deterministic expression resolved, survivors after alignment,
+    * updated rows after their SET transforms — the round-11 advice
+    * hole on plan-level checks). A violation reclaims the staged ghost
+    * and fails loudly; nothing was committed. Cost: one codegen'd
+    * conditional aggregate over the staged (touched-partition-bound)
+    * bytes, only on constraint-bearing tables. */
+  private def validateStaged(s: SparkSession, corpusDir: String,
+                             stageRel: String,
+                             cs: Seq[(String, Column)]): Unit = {
+    if (cs.isEmpty) return
+    try checkConstraints(s.read.parquet(s"$corpusDir/$stageRel"), cs,
+      what = "staged write (read-back)")
+    catch {
+      case e: IllegalArgumentException =>
+        val p = new org.apache.hadoop.fs.Path(s"$corpusDir/$stageRel")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        throw e
+    }
+  }
+
+  /** Carry the stats and dv sidecars of `v` verbatim onto attempt
+    * (`nv`, `tok`) — the manifest-carry commit shape metadata-only
+    * writers (constraint DDL, ledger ticks) share. The ledger and
+    * constraints sidecars need no carry: their readers walk back. */
+  private def carrySidecars(s: SparkSession, corpusDir: String, v: Long,
+                            nv: Long, tok: String): Unit = {
+    val stats = Versioned.readStatsLines(s, corpusDir, v)
+    if (stats.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+    val dv = Versioned.readDvLines(s, corpusDir, v)
+    if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
   }
 
   private def freshStatsLines(df: DataFrame, partCol: String,
@@ -212,6 +357,13 @@ object MergeOps {
         if (ledgerId.exists(id =>
               Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
           return
+        // PERSISTED constraints: loaded from the table's own metadata at
+        // the snapshot — enforced on every writer automatically, plan-
+        // checked here for a fast loud failure and read-back-checked on
+        // the staged files below (the airtight half)
+        val persisted = persistedConstraintCols(
+          tableConstraints(s, corpusDir, v), batch.columns.toSeq)
+        checkConstraints(batch, persisted)
         // Bounded driver-side list: distinct PARTITION VALUES of the batch
         // (#partitions, not #rows) — it becomes the manifest-pruning
         // predicate on the corpus read below.
@@ -258,6 +410,7 @@ object MergeOps {
         merged.sortWithinPartitions(col(partCol), col(keyCol))
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
+        validateStaged(s, corpusDir, stageRel, persisted)
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                                   partCol)
         val stagedNames = staged.map(_._1).toSet
@@ -458,6 +611,11 @@ object MergeOps {
     updated.sortWithinPartitions(col(partCol), col(keyCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
+    // persisted constraints: a SET transform can manufacture violations
+    // in rows that were clean at ingest — the read-back over the staged
+    // files is the only check that sees the transformed values
+    validateStaged(s, corpusDir, stageRel, persistedConstraintCols(
+      tableConstraints(s, corpusDir, v), old.columns.toSeq))
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                               partCol)
     val stagedNames = staged.map(_._1).toSet
@@ -653,6 +811,11 @@ object MergeOps {
           Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
       return
     val upserts = changes.where(col(opCol) =!= "d").drop(opCol)
+    // persisted constraints: plan-check the landing rows now (fast loud
+    // failure), read-back-check the staged files below (airtight)
+    val persisted = persistedConstraintCols(
+      tableConstraints(s, corpusDir, v), upserts.columns.toSeq)
+    checkConstraints(upserts, persisted)
     val deleteKeys = changes.where(col(opCol) === "d")
       .select(keyCol).distinct()
     val man = Versioned.manifest(s, corpusDir, v)
@@ -711,6 +874,7 @@ object MergeOps {
     merged.sortWithinPartitions(col(partCol), col(keyCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
+    validateStaged(s, corpusDir, stageRel, persisted)
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                               partCol)
     val stagedNames = staged.map(_._1).toSet
@@ -1644,9 +1808,12 @@ object MergeOps {
     * price, non-null key), then a VIOLATING batch (a negative price
     * among valid rows) must be rejected whole with nothing staged and
     * the version unmoved, and a NULL-predicate row must pass (SQL
-    * three-valued CHECK). The read-back equals the plain source
-    * restatement, proving the gate let exactly the clean write
-    * through and stopped the dirty one cold. */
+    * three-valued CHECK). Round 12 extends the pin to the PERSISTED
+    * path: ADD CONSTRAINT commits the predicate as table metadata, a
+    * plain upsert passed NO constraints is rejected by it, NULL still
+    * passes, and DROP CONSTRAINT releases the table. The read-back
+    * equals the plain source restatement, proving the gate let exactly
+    * the clean writes through and stopped the dirty ones cold. */
   def mergeConstrainedQuery(s: SparkSession, d: String): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
     val dir = new java.io.File(
@@ -1686,6 +1853,29 @@ object MergeOps {
           lit(null).cast("double").as("o_totalprice"),
           lit("F").as("o_orderstatus")),
       "o_orderkey", "o_orderstatus", constraints = checks)          // v2
+    // PERSISTED path (round 12): the constraint set committed as table
+    // metadata binds writers that pass NOTHING — the contract lives
+    // with the table, not the caller.
+    addConstraint(s, dir, "t_positive_price", "o_totalprice > 0",
+                  "o_orderstatus")                                  // v3
+    def oneRow(k: Long, price: java.lang.Double) =
+      base.orderBy("o_orderkey").limit(1)
+        .select(lit(k).as("o_orderkey"),
+          lit(price).cast("double").as("o_totalprice"),
+          lit("F").as("o_orderstatus"))
+    val rejectedPlain = scala.util.Try(
+      mergeUpsert(s, dir, oneRow(-2L, -7.0), "o_orderkey",
+                  "o_orderstatus"))  // NO per-call constraints
+    require(rejectedPlain.isFailure && rejectedPlain.failed.get
+        .getMessage.contains("t_positive_price"),
+      "a plain upsert must be rejected by the persisted constraint")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "a persisted-constraint rejection must not publish")
+    mergeUpsert(s, dir, oneRow(-3L, null), "o_orderkey",
+                "o_orderstatus")  // NULL passes the persisted path too, v4
+    dropConstraint(s, dir, "t_positive_price")                      // v5
+    mergeUpsert(s, dir, oneRow(-2L, -7.0), "o_orderkey",
+                "o_orderstatus")  // released: the same write lands, v6
     readCorpus(s, dir, "o_orderstatus")
       .where(col("o_orderkey") >= 0)
       .select(col("o_orderkey"), col("o_totalprice"),
