@@ -1182,6 +1182,24 @@ object OracleSql {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // merge_concurrent_disjoint: two racing partition-disjoint writers
+    // must BOTH land — the read-back is the base plus both slices,
+    // independent of which racer won the first claim.
+    "merge_concurrent_disjoint" ->
+      """SELECT o_orderkey,
+        |  ROUND(CASE WHEN bucket >= 85 AND o_orderstatus = 'F'
+        |               THEN o_totalprice * 2
+        |             WHEN bucket >= 85 AND o_orderstatus = 'O'
+        |               THEN o_totalprice * 3
+        |             ELSE o_totalprice END, 2) AS price_r,
+        |  o_orderstatus
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |WHERE bucket < 85 OR o_orderstatus IN ('F', 'O')
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge_delete_where: the predicate delete must equal the plain
     // complement filter (NULL-predicate rows survive per SQL).
     "merge_delete_where" ->

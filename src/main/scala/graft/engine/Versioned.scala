@@ -774,6 +774,36 @@ object Versioned {
     finally out.close()
   }
 
+  /** TOUCHED-PARTITION sidecar of a commit — the summary optimistic
+    * conflict detection reads (Delta/Iceberg's logical conflict check,
+    * at this store's partition granularity): `touch/<v>_<token>.txt`
+    * lists the partition dir names whose LIVE CONTENT the commit may
+    * have changed (restaged, row-deleted, tombstoned). A commit WITHOUT
+    * a touch sidecar declares nothing and is treated as touching
+    * everything (rollback, retention drops, constraint DDL — the
+    * conservative default that keeps rebase decisions sound as new
+    * writer kinds appear). An EMPTY sidecar is a real declaration:
+    * "content untouched" (ledger ticks). Same write-once tokenized
+    * contract as every sidecar. */
+  private[graft] def writeTouchLines(s: SparkSession, dir: String, v: Long,
+                                     token: String,
+                                     parts: Seq[String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "touch"), "touch")
+    try out.write(parts.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The committed touch declaration of version `v`: Some(set) if the
+    * winning attempt declared one (possibly empty), None for undeclared
+    * (= touches everything) commits. */
+  private[graft] def readTouched(s: SparkSession, dir: String,
+                                 v: Long): Option[Set[String]] = {
+    val fs = fsOf(s, dir)
+    committedSidecar(s, dir, v, "touch").map(p => readLines(fs, p).toSet)
+  }
+
   /** PERSISTED table-level CHECK constraints as of version `v` — the
     * newest committed `constraints/` sidecar at or below `v`, the
     * applied-id-ledger walk-back rule: constraints are TABLE METADATA

@@ -349,8 +349,10 @@ object MergeOps {
         // lands tokenized BEFORE publish, so id and data commit together
         ledgerId.foreach(id =>
           Versioned.writeLedgerIds(s, corpusDir, nv, tok, Set(id)))
-        Versioned.publish(s, corpusDir, nv, tok,
-          Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol))
+        val staged1 =
+          Versioned.listStagedPartDirs(s, corpusDir, stageRel, partCol)
+        Versioned.writeTouchLines(s, corpusDir, nv, tok, staged1.map(_._1))
+        Versioned.publish(s, corpusDir, nv, tok, staged1)
       case Some(v) =>
         // a replayed identified write no-ops: its id is already in the
         // committed ledger, so the work (and the version) must not repeat
@@ -414,35 +416,107 @@ object MergeOps {
         val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
                                                   partCol)
         val stagedNames = staged.map(_._1).toSet
-        // untouched partitions' lines carry VERBATIM regardless of
-        // whether THIS write requested stats (format-preserving, see
-        // Versioned.readStatsLines) — a stats-less upsert must not
-        // strip the whole table's pruning, only shed the restaged
-        // partitions' now-possibly-stale lines (the mergeApplyChangelog
-        // rule). Fresh stats come from the STAGED files (read-back,
-        // partition-local) — not from re-evaluating the merged plan.
-        val carried = Versioned.readStatsLines(s, corpusDir, v)
-          .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
+        // Fresh stats come from the STAGED files (read-back, partition-
+        // local) — not from re-evaluating the merged plan; computed once,
+        // they are stable across publish attempts (the staged bytes are
+        // immutable).
         val fresh =
           if (wantStats) freshStats(s.read.parquet(s"$corpusDir/$stageRel"))
           else Seq.empty
-        if ((carried ++ fresh).nonEmpty)
-          Versioned.writeStatsLines(s, corpusDir, nv, tok,
-            (carried ++ fresh).sorted)
-        // DV refs: restaged partitions were read LIVE above, so their
-        // tombstones are materialized — drop their lines; untouched
-        // partitions carry theirs verbatim (correctness, not pruning).
-        val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-          .filterNot { l =>
-            val n = Versioned.statsLinePart(l)
-            touchedNames(n) || stagedNames(n)
+        // Publish the staged write against base version `base` as a new
+        // attempt: all sidecars re-derive from the base so a REBASE (base
+        // > v, see below) picks up every intervening commit's carried
+        // state. Untouched partitions' stats lines carry VERBATIM
+        // regardless of whether THIS write requested stats (format-
+        // preserving, see Versioned.readStatsLines); restaged partitions'
+        // DV lines drop (their tombstones materialized in the live read
+        // above); the ledger unions the base's applied ids.
+        def attemptPublish(base: Long): Unit = {
+          val tok2 = if (base == v) tok else Versioned.newToken()
+          val baseMan =
+            if (base == v) man else Versioned.manifest(s, corpusDir, base)
+          val carried = Versioned.readStatsLines(s, corpusDir, base)
+            .filterNot(l => stagedNames(Versioned.statsLinePart(l)))
+          if ((carried ++ fresh).nonEmpty)
+            Versioned.writeStatsLines(s, corpusDir, base + 1, tok2,
+              (carried ++ fresh).sorted)
+          val dvCarried = Versioned.readDvLines(s, corpusDir, base)
+            .filterNot { l =>
+              val n = Versioned.statsLinePart(l)
+              touchedNames(n) || stagedNames(n)
+            }
+          if (dvCarried.nonEmpty)
+            Versioned.writeDvLines(s, corpusDir, base + 1, tok2, dvCarried)
+          ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir,
+            base + 1, tok2,
+            Versioned.appliedLedgerIds(s, corpusDir, base) + id))
+          Versioned.writeTouchLines(s, corpusDir, base + 1, tok2,
+            (touchedNames ++ stagedNames).toSeq)
+          Versioned.publish(s, corpusDir, base + 1, tok2,
+            baseMan.filterNot(e =>
+              stagedNames.contains(e._1) || touchedNames.contains(e._1))
+              ++ staged)
+        }
+        publishOrRebase(s, corpusDir, v, touchedNames ++ stagedNames,
+                        ledgerId, attemptPublish)
+    }
+  }
+
+  /** Optimistic REBASE after a lost version claim — the partition-
+    * disjoint concurrent-writer path (Delta/Iceberg logical conflict
+    * detection, at this store's partition granularity). A write that
+    * derived from snapshot `v` and lost its claim normally re-derives
+    * the WHOLE operation ([[graft.engine.Versioned.withCommitRetry]]);
+    * but an UPSERT is partition-local by the stable key→partition
+    * precondition — its staged output for its touched partitions is a
+    * pure function of those partitions' content at `v` plus the batch —
+    * so when EVERY intervening commit DECLARES a touched set
+    * ([[Versioned.readTouched]]) disjoint from this write's, those
+    * partitions' live content at the new current equals their content
+    * at `v`, and the already-staged immutable dirs can be re-published
+    * onto current+1 with freshly re-derived METADATA only (manifest,
+    * carried stats/dv, ledger union). At 100 TB this is what lets many
+    * ingest feeds share one store: losers pay a handful of small-file
+    * writes instead of re-staging multi-TB partitions, and the single-
+    * winner marker stays the only serialization point. Undeclared
+    * intervening commits (rollback, retention, constraint DDL) or ANY
+    * overlap fall back to the loud re-derive signal — correctness never
+    * rides on the declaration being present, only on it being true.
+    * Delete/changelog writers do NOT rebase: their touched set is
+    * discovered from the corpus (a disjoint intervening insert could
+    * hold a key they should have removed), so they always re-derive. */
+  private def publishOrRebase(s: SparkSession, corpusDir: String, v: Long,
+                              ourTouch: Set[String],
+                              ledgerId: Option[String],
+                              attemptPublish: Long => Unit): Unit = {
+    try attemptPublish(v)
+    catch {
+      case first: graft.engine.ConcurrentCommitException =>
+        var attempts = 0
+        while (true) {
+          attempts += 1
+          if (attempts > 5) throw first
+          val cur = Versioned.currentVersion(s, corpusDir).getOrElse(
+            throw first)
+          if (cur <= v) throw first  // claim lost to a repair at our own
+                                     // version — re-derive, never rebase
+          val intervening = Versioned.committedVersions(s, corpusDir)
+            .filter(w => w > v && w <= cur)
+          val disjoint = intervening.forall { w =>
+            scala.util.Try(Versioned.readTouched(s, corpusDir, w))
+              .toOption.flatten
+              .exists(_.intersect(ourTouch).isEmpty)
           }
-        if (dvCarried.nonEmpty)
-          Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
-        ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir, nv,
-          tok, Versioned.appliedLedgerIds(s, corpusDir, v) + id))
-        Versioned.publish(s, corpusDir, nv, tok,
-          man.filterNot(e => stagedNames.contains(e._1)) ++ staged)
+          if (!disjoint) throw first
+          // an intervening commit may have applied our exactly-once id
+          // (a racing replay of the same identified batch): no-op, the
+          // work is committed
+          if (ledgerId.exists(id =>
+                Versioned.appliedLedgerIds(s, corpusDir, cur).contains(id)))
+            return
+          try { attemptPublish(cur); return }
+          catch { case _: graft.engine.ConcurrentCommitException => () }
+        }
     }
   }
 
@@ -505,6 +579,7 @@ object MergeOps {
       .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
     if (dvCarried.nonEmpty)
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -562,6 +637,7 @@ object MergeOps {
       .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
     if (dvCarried.nonEmpty)
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -633,6 +709,7 @@ object MergeOps {
       .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
     if (dvCarried.nonEmpty)
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok,
       man.filterNot(e => touchedNames.contains(e._1)) ++ staged)
   }
@@ -686,6 +763,7 @@ object MergeOps {
     val stats = Versioned.readStatsLines(s, corpusDir, v)
     if (stats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touched)
     Versioned.publish(s, corpusDir, nv, tok, man)
   }
 
@@ -733,6 +811,7 @@ object MergeOps {
       }
     if (stats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, bearingNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -844,6 +923,9 @@ object MergeOps {
         if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
         Versioned.writeLedgerIds(s, corpusDir, nv, tok,
           Versioned.appliedLedgerIds(s, corpusDir, v) + id)
+        // an EMPTY touch declaration: content untouched — a racing
+        // upsert can rebase straight across a ledger tick
+        Versioned.writeTouchLines(s, corpusDir, nv, tok, Nil)
         Versioned.publish(s, corpusDir, nv, tok, man)
       }
       return
@@ -897,6 +979,7 @@ object MergeOps {
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
     ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir, nv, tok,
       Versioned.appliedLedgerIds(s, corpusDir, v) + id))
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -1205,6 +1288,7 @@ object MergeOps {
       s"compacting $corpusDir would leave no partition (every live row " +
         "was tombstoned) — a logically empty table cannot be " +
         "materialized; delete the table instead")
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, fragNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
@@ -1284,6 +1368,9 @@ object MergeOps {
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
         (carried ++ fresh).sorted)
     // no dv lines: the full live restage materialized every tombstone
+    // (a FULL restage: every partition is declared touched)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok,
+      (man.map(_._1) ++ staged.map(_._1)).distinct)
     Versioned.publish(s, corpusDir, nv, tok, staged)
   }
 
@@ -1879,6 +1966,57 @@ object MergeOps {
     readCorpus(s, dir, "o_orderstatus")
       .where(col("o_orderkey") >= 0)
       .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_concurrent_disjoint query: partition-disjoint
+    * CONCURRENT writers — two real threads upsert slices confined to
+    * different partitions (order statuses) at the same time, and BOTH
+    * must commit: the round-12 rebase lets the claim loser re-publish
+    * its already-staged dirs onto a fresh version (metadata-only) when
+    * every intervening commit declares a disjoint touched set, with
+    * [[graft.engine.Versioned.withCommitRetry]] as the fallback when
+    * the interleaving does serialize. The final read-back is
+    * deterministic whichever racer won: exactly the base plus both
+    * slices — which is what the oracle restates. The query REQUIRES
+    * two new versions (both writers committed; neither was lost or
+    * collapsed into the other). */
+  def mergeConcurrentDisjointQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_racer_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val b = fold(col("o_orderkey"))
+    mergeUpsert(s, dir, base.where(b < 85),
+                "o_orderkey", "o_orderstatus")                       // v1
+    val feedF = base.where(b >= 85 && col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val feedO = base.where(b >= 85 && col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def racer(feed: DataFrame) = new Thread(() => {
+      try {
+        start.await()
+        Versioned.withCommitRetry() {
+          mergeUpsert(s, dir, feed, "o_orderkey", "o_orderstatus")
+        }
+      } catch { case t: Throwable => errs.compareAndSet(null, t) }
+    })
+    val (tf, to) = (racer(feedF), racer(feedO))
+    tf.start(); to.start(); start.countDown()
+    tf.join(300000); to.join(300000)
+    require(errs.get() == null, s"racer failed: ${errs.get()}")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "both disjoint racers must commit — two new versions")
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("price_r"),
               col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }

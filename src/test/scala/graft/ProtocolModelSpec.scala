@@ -90,10 +90,71 @@ class ProtocolModelSpec extends SparkTestBase {
     var pins = Map.empty[String, Int]  // tag name -> snapshot index
 
     for (step <- 1 to steps) {
-      val opDraw = rnd.nextInt(17)
+      val opDraw = rnd.nextInt(18)
       if (sys.env.contains("GRAFT_FUZZ_TRACE"))
         println(s"TRACE seed=$seed step=$step op=$opDraw")
       opDraw match {
+        case 17 =>                                           // disjoint racers
+          // two REAL threads upsert batches confined to DIFFERENT
+          // partitions (keys mod 3 route each batch whole to one
+          // partition); under the round-12 rebase BOTH must commit —
+          // two new versions — and the intermediate version must be
+          // the base plus exactly ONE of the batches (whichever won
+          // the first claim), the final state both. Draws where either
+          // batch is empty degrade to a plain merge of the other.
+          val pa = rnd.nextInt(Parts.size)
+          val pb = (pa + 1 + rnd.nextInt(Parts.size - 1)) % Parts.size
+          def confined(pi: Int, n: Int): Seq[(Long, Double, String)] =
+            (1 to n).map { _ =>
+              val k = (rnd.nextInt(10) * 3 + pi).toLong  // k%3 == pi
+              (k, math.floor(rnd.nextDouble() * 1e4) / 1e2, partOf(k))
+            }.distinctBy(_._1)
+          val bA = confined(pa, 1 + rnd.nextInt(3))
+          val bB = confined(pb, 1 + rnd.nextInt(3))
+          if (bA.isEmpty || bB.isEmpty) {
+            val b = if (bA.nonEmpty) bA else bB
+            if (b.nonEmpty) {
+              MergeOps.mergeUpsert(spark, dir, b.toDF("k", "v", "p"),
+                "k", "p", statsKeys = Seq("k"))
+              val next = mergeModel(model.rows, b)
+              model = model.copy(rows = next,
+                snapshots = model.snapshots :+ next)
+            }
+          } else {
+            val errs =
+              new java.util.concurrent.atomic.AtomicReference[Throwable]()
+            val start = new java.util.concurrent.CountDownLatch(1)
+            def racer(b: Seq[(Long, Double, String)]) = new Thread(() => {
+              try {
+                start.await()
+                Versioned.withCommitRetry() {
+                  MergeOps.mergeUpsert(spark, dir, b.toDF("k", "v", "p"),
+                    "k", "p", statsKeys = Seq("k"))
+                }
+              } catch { case t: Throwable => errs.compareAndSet(null, t) }
+            })
+            val (ta, tb) = (racer(bA), racer(bB))
+            ta.start(); tb.start(); start.countDown()
+            ta.join(180000); tb.join(180000)
+            assert(errs.get() == null,
+              s"seed=$seed step=$step: racer failed: ${errs.get()}")
+            val afterA = mergeModel(model.rows, bA)
+            val afterB = mergeModel(model.rows, bB)
+            val finalRows = mergeModel(afterA, bB)
+            // the store decides the intermediate snapshot's identity
+            // (which racer claimed first); it must be EXACTLY one of
+            // the two predictions
+            val midV = model.snapshots.size.toLong + 1
+            val mid = Versioned.readVersion(spark, dir, midV, Some("p"))
+              .collect()
+              .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+              .toMap
+            assert(mid == afterA || mid == afterB,
+              s"seed=$seed step=$step: racer intermediate version is " +
+                s"neither prediction\n  got: ${mid.toSeq.sortBy(_._1)}")
+            model = model.copy(rows = finalRows,
+              snapshots = model.snapshots :+ mid :+ finalRows)
+          }
         case 16 =>                                           // tag
           // pin the CURRENT version; publishes nothing (version count
           // must not move); the end-state check reads every pin back
@@ -272,7 +333,12 @@ class ProtocolModelSpec extends SparkTestBase {
       if (rnd.nextInt(3) == 0) {
         val curV = Versioned.currentVersion(spark, dir).get
         val flr = Versioned.retentionFloor(spark, dir).getOrElse(1L)
-        if (mirrorLast > 0 && mirrorLast < curV && mirrorLast < flr) {
+        // a TAGGED high-water version is exempt from the floor check
+        // (round 12): the pin keeps its data, so the sync legitimately
+        // proceeds — only an UNPINNED below-floor mark must fail fast
+        val pinned = Versioned.tags(spark, dir).values.toSet
+        if (mirrorLast > 0 && mirrorLast < curV && mirrorLast < flr &&
+            !pinned(mirrorLast)) {
           val e = intercept[IllegalArgumentException] {
             MergeOps.syncMirror(spark, dir, mirrorDir, "k", "p")
           }
