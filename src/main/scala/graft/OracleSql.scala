@@ -38,6 +38,9 @@ object OracleSql {
     // atomically-applied CDC end state — the feed was complete and the
     // replay guard held
     "pipeline_cdc_mirror" -> "merge_apply_cdc",
+    // the STREAMED mirror (change-feed source + exactly-once sink) must
+    // land on the identical end state the polled sync does
+    "pipeline_feed_stream" -> "merge_apply_cdc",
     // a tagged version read back after a floor-raising vacuum must be
     // the exact pre-advance snapshot — the pin held through retention
     "merge_tag_read" -> "merge_upsert_timetravel")

@@ -2195,6 +2195,59 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Declared pipeline_feed_stream query: the STREAMED replication
+    * composition — the same source lifecycle as pipeline_cdc_mirror
+    * (fold<90 snapshot, then the CDC batch), but the mirror is fed by
+    * the [[graft.streaming.ChangeFeedSource]] STREAM: batch 0
+    * bootstraps from version 0 (full snapshot as inserts), the next
+    * micro-batch ships the net feed when the source advances, an idle
+    * drain must commit nothing, and the mirror read-back must equal the
+    * batch-path oracle — proving the offset-tracked stream delivers
+    * exactly the computed CDC, end to end, exactly once. */
+  def pipelineFeedStreamQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tmp = sys.props("java.io.tmpdir")
+    val src = new java.io.File(tmp, s"graft_feedq_src_$key").getAbsolutePath
+    val dst = new java.io.File(tmp, s"graft_feedq_dst_$key").getAbsolutePath
+    val ck = new java.io.File(tmp, s"graft_feedq_ck_$key").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(src, dst, ck).foreach { dd =>
+      val pp = new org.apache.hadoop.fs.Path(dd)
+      if (fs.exists(pp)) fs.delete(pp, true)
+    }
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, src, base.where(fold(col("o_orderkey")) < 90),
+                "o_orderkey", "o_orderstatus")                       // v1
+    val q = graft.streaming.StreamOps.feedMirrorMaintenance(
+        graft.streaming.StreamOps.feedStream(s, src, "o_orderkey",
+          "o_orderstatus", Some(0L)),
+        dst, "o_orderkey", "o_orderstatus")
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      q.processAllAvailable()   // batch 0: bootstrap snapshot
+      val b = fold(col("o_orderkey"))
+      val changes = base.where(b >= 80 && b <= 94)
+        .withColumn("op",
+          when(b <= 84, lit("u")).when(b <= 89, lit("d")).otherwise(lit("i")))
+        .withColumn("o_totalprice",
+          when(col("op") === "u", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      mergeApplyChangelog(s, src, changes, "o_orderkey", "o_orderstatus")
+      q.processAllAvailable()   // batch 1: the net feed
+      val dstV = Versioned.currentVersion(s, dst).get
+      q.processAllAvailable()   // idle drain
+      require(Versioned.currentVersion(s, dst).contains(dstV),
+        "an idle drain must publish nothing to the mirror")
+    } finally q.stop()
+    readCorpus(s, dst, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Declared merge_delete_mor query: the MERGE-ON-READ twin of
     * [[mergeDeleteQuery]] — same corpus, same doomed keys (fold ≥ 70),
     * but deleted via [[mergeDeleteMor]] (one tombstone dir + a sidecar;

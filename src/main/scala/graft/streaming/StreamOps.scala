@@ -209,6 +209,63 @@ object StreamOps {
         ()  // foreachBatch wants Unit; the synced version is diagnostics
       }
 
+  /** Open a versioned store's change feed as a STREAM — the read-side
+    * CDC completion ([[ChangeFeedSource]]): one micro-batch per
+    * source-version advance, offset = last emitted source version,
+    * restart-safe through Spark's own offset log. `startVersion`:
+    * None = changes after stream start; Some(0) = bootstrap (first
+    * batch is the full snapshot as inserts); Some(n) = diff from
+    * version n. */
+  def feedStream(s: org.apache.spark.sql.SparkSession, srcDir: String,
+                 keyCol: String, partCol: String,
+                 startVersion: Option[Long] = None): DataFrame = {
+    val r = s.readStream
+      .format("graft.streaming.ChangeFeedSourceProvider")
+      .option("dir", srcDir)
+      .option("keyCol", keyCol)
+      .option("partCol", partCol)
+    startVersion.fold(r)(v => r.option("startVersion", v.toString))
+      .load()
+  }
+
+  /** Apply a [[feedStream]] to a MIRROR store, exactly-once — the
+    * streaming twin of [[graft.ops.MergeOps.syncMirror]], with the
+    * data flowing through Spark's offset log instead of a poll loop.
+    * Each micro-batch of feed rows (full schema + `change_type`)
+    * applies as ONE committed changelog version keyed
+    * `stream-feed-<batchId>`: a replayed batch id re-reads the SAME
+    * immutable version range, so the identical feed re-applies and the
+    * destination ledger no-ops it (the cdcApplyMaintenance argument).
+    * An all-insert FIRST batch against an empty mirror bootstraps via
+    * [[graft.ops.MergeOps.mergeUpsert]] under the same ledger id. Same
+    * commit-retry contract as every maintenance sink. */
+  def feedMirrorMaintenance(feed: DataFrame, dstDir: String,
+                            keyCol: String,
+                            partCol: String): DataStreamWriter[Row] =
+    feed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val changes = batch.withColumn("op",
+            when(col("change_type") === "delete", lit("d"))
+              .when(col("change_type") === "insert", lit("i"))
+              .otherwise(lit("u")))
+          .drop("change_type")
+        graft.engine.Versioned.withCommitRetry() {
+          if (graft.engine.Versioned.currentVersion(s, dstDir).isEmpty) {
+            val inserts = changes.where(col("op") =!= "d").drop("op")
+            // an empty feed against a not-yet-bootstrapped mirror has
+            // nothing to found the store on — skip; the store (and its
+            // ledger) begins with the first real batch
+            if (!inserts.isEmpty)
+              graft.ops.MergeOps.mergeUpsert(s, dstDir, inserts,
+                keyCol, partCol, ledgerId = Some(s"stream-feed-$batchId"))
+          } else
+            graft.ops.MergeOps.mergeApplyChangelog(s, dstDir, changes,
+              keyCol, partCol, ledgerId = Some(s"stream-feed-$batchId"))
+        }
+      }
+
   /** Fold ONE micro-batch of embeddings-shaped rows (vec_id, label,
     * embedding float[]) into a streamed embedding index: quantized
     * vectors and LSH signatures land in per-batch `batch_id=<id>` dirs
