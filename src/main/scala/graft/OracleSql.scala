@@ -41,6 +41,9 @@ object OracleSql {
     // the STREAMED mirror (change-feed source + exactly-once sink) must
     // land on the identical end state the polled sync does
     "pipeline_feed_stream" -> "merge_apply_cdc",
+    // the MOR update lifecycle (image sidecar -> substitution read ->
+    // materialize -> vacuum) is content-identical to the CoW UPDATE
+    "merge_update_mor" -> "merge_update_where",
     // a tagged version read back after a floor-raising vacuum must be
     // the exact pre-advance snapshot — the pin held through retention
     "merge_tag_read" -> "merge_upsert_timetravel")
@@ -1183,6 +1186,19 @@ object OracleSql {
     "merge_constrained" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge_branch_wap: the write-audit-publish loop — main exposes the
+    // base then exactly the audited branch content; the dirty
+    // intermediate (poisoned prices) never lands, so the read-back is
+    // the plain bucket<95 restatement.
+    "merge_branch_wap" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS bucket
+        |      FROM orders)
+        |WHERE bucket < 95
         |ORDER BY o_orderkey""".stripMargin,
 
     // merge_concurrent_disjoint: two racing partition-disjoint writers

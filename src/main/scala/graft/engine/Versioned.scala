@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Thrown when a writer loses a commit race: another writer claimed the
   * same version's manifest or marker first. The loser's staged data is
@@ -325,16 +326,18 @@ object Versioned {
         // exactly this: MOR delete → torn claim → repair → ghosts).
         // Stats stay dropped (pruning is optional, never correctness);
         // the ledger reader walks back past ledgerless versions.
-        committedSidecar(s, dir, pv, "dv").foreach { from =>
-          val in = fs.open(from)
-          val bytes = try {
-            val bos = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-            bos.toByteArray
-          } finally in.close()
-          val out = createExclusive(
-            fs, sidecarPathFor(dir, v, Some(tok), "dv"), "dv")
-          try out.write(bytes) finally out.close()
+        Seq("dv", "uv").foreach { side =>
+          committedSidecar(s, dir, pv, side).foreach { from =>
+            val in = fs.open(from)
+            val bytes = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+              bos.toByteArray
+            } finally in.close()
+            val out = createExclusive(
+              fs, sidecarPathFor(dir, v, Some(tok), side), side)
+            try out.write(bytes) finally out.close()
+          }
         }
         if (emptyWinner) {
           // overwrite (see the scaladoc): last-write-wins between this
@@ -720,6 +723,50 @@ object Versioned {
     }
   }
 
+  /** Merge-on-read UPDATE VECTORS — the DV idea for updates
+    * ([[graft.ops.MergeOps.mergeUpdateMor]]): the `uv/<v>_<token>.txt`
+    * sidecar lines are `partition-dir-name \t uvdata-relpath \t keyCol`,
+    * each naming a dir of FULL replacement row images (under `uvdata/`,
+    * partitioned by the table's partCol) that SUBSTITUTE for the base
+    * rows with the same key on read — applied BEFORE the DV anti-join
+    * (an update of a live key precedes any later tombstone of it; a
+    * tombstoned key is not live, so no image is ever written for one —
+    * the write side guarantees substitution-then-delete is always the
+    * right order). Multiple generations on one partition stack: the
+    * image from the HIGHEST staged version wins per key (the dir name
+    * carries the version). Same CORRECTNESS-state carry contract as dv:
+    * restaging writers materialize and drop their partitions' lines,
+    * manifest-carry writers keep them verbatim, rollback and torn-claim
+    * repair byte-copy the sidecar. */
+  private[graft] def readUvLines(s: SparkSession, dir: String,
+                                 v: Long): Seq[String] = {
+    val fs = fsOf(s, dir)
+    committedSidecar(s, dir, v, "uv") match {
+      case None => Seq.empty
+      case Some(p) => readLines(fs, p)
+    }
+  }
+
+  private[graft] def writeUvLines(s: SparkSession, dir: String, v: Long,
+                                  token: String,
+                                  lines: Seq[String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "uv"), "uv")
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Committed UV refs of version `v`: partition dir name →
+    * ((uvdata relpath, keyCol)) list, highest-version dirs last. Empty
+    * for tables with no MOR updates — the fast path. */
+  def readUvRefs(s: SparkSession, dir: String,
+                 v: Long): Map[String, Seq[(String, String)]] =
+    readUvLines(s, dir, v).map { line =>
+      val parts = line.split('\t')
+      (parts(0), (parts(1), parts(2)))
+    }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sortBy(_._1) }
+
   /** Committed DV refs of version `v`: partition dir name → tombstone
     * dirs to anti-join out. Empty map for tables with no MOR deletes —
     * the fast path every non-DV read takes. */
@@ -757,6 +804,47 @@ object Versioned {
       }
       .getOrElse(Set.empty)
   }
+
+  /** Parse a HIGH-WATER ledger id: `<source>:<n>` (last colon, n ≥ 0).
+    * Such ids come from a SINGLE SEQUENTIAL emitter — a mirror's source
+    * versions (`src:<v>`), a streaming sink's batch ids
+    * (`stream-cdc:<batchId>`) — whose foreachBatch/sync contract
+    * guarantees id n commits only after every id below it (a failed
+    * batch kills the query before the next id runs). Under that
+    * contract "n is applied" ⟺ "n ≤ the recorded maximum", so the
+    * ledger needs ONE line per source instead of one per trigger — the
+    * round-11 advice growth fix: at streaming cadence the cumulative
+    * set (and every commit's read-modify-write of it) grew O(total
+    * triggers) without bound. Ids without the form (`b0`,
+    * `dedup-2024-03-01`) keep exact-set semantics — arbitrary caller
+    * ids carry no ordering contract to exploit. */
+  private def hwOf(id: String): Option[(String, Long)] = {
+    val i = id.lastIndexOf(':')
+    if (i <= 0 || i == id.length - 1) None
+    else scala.util.Try(id.substring(i + 1).toLong).toOption
+      .filter(_ >= 0).map(n => (id.substring(0, i), n))
+  }
+
+  /** Is `id` applied under `ids`? Literal membership, or — for a
+    * high-water id — any recorded mark of the same source at or above
+    * it (see [[hwOf]]). */
+  private[graft] def ledgerContains(ids: Set[String], id: String): Boolean =
+    ids.contains(id) || hwOf(id).exists { case (src, n) =>
+      ids.exists(r => hwOf(r).exists { case (s2, m) => s2 == src && m >= n })
+    }
+
+  /** Fold `id` into `ids`, COMPACTING high-water sources to their
+    * single maximum line (see [[hwOf]]); plain ids accumulate. */
+  private[graft] def ledgerAdd(ids: Set[String], id: String): Set[String] =
+    hwOf(id) match {
+      case None => ids + id
+      case Some((src, n)) =>
+        val marks = ids.flatMap(hwOf).collect {
+          case (s2, m) if s2 == src => m
+        }
+        ids.filterNot(r => hwOf(r).exists(_._1 == src)) +
+          s"$src:${(marks + n).max}"
+    }
 
   /** WRITE-ONCE ledger sidecar at the attempt's own tokenized name,
     * like the manifest: concurrent attempts never collide on the file
@@ -939,17 +1027,60 @@ object Versioned {
     * exact. */
   def readEntriesLive(s: SparkSession, dir: String, v: Long,
                       entries: Seq[(String, String)],
-                      partCol: Option[String]): DataFrame = {
+                      partCol: Option[String],
+                      dataDir: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "readEntries needs at least one entry")
+    // dataDir: where the rel paths resolve — differs from `dir` only for
+    // BRANCHES, whose metadata tree lives under the table root while the
+    // staged data (and tombstone dirs) stay in the root's own data dirs
+    val dd = dataDir.getOrElse(dir)
     val refs = readDvRefs(s, dir, v)
-    if (refs.isEmpty) return readEntries(s, dir, entries, partCol)
-    entries.groupBy(e => refs.getOrElse(e._1, Nil))
+    val uvRefs = readUvRefs(s, dir, v)
+    if (refs.isEmpty && uvRefs.isEmpty)
+      return readEntries(s, dd, entries, partCol)
+    entries.groupBy(e =>
+        (refs.getOrElse(e._1, Nil), uvRefs.getOrElse(e._1, Nil)))
       .toSeq.sortBy(_._2.head._1)
-      .map { case (rs, es) =>
-        val base = readEntries(s, dir, es, partCol)
+      .map { case ((rs, us), es) =>
+        var base = readEntries(s, dd, es, partCol)
+        // UPDATE substitution first (see [[readUvLines]] for why that
+        // order is always right): latest image per key across the
+        // group's uv generations replaces the base row wholesale.
+        if (us.nonEmpty) {
+          val kcs = us.map(_._2).distinct
+          require(kcs.length == 1,
+            s"update-vector dirs ${us.map(_._1).mkString(", ")} disagree " +
+              s"on the key column (${kcs.mkString(", ")}) — one table " +
+              "has one key")
+          val kc = kcs.head
+          // read ONLY this group's partition subdirs of each image dir:
+          // an image dir spans every partition its update touched, and a
+          // whole-dir read would leak other partitions' images into this
+          // group (the refs are per-partition lines for exactly this
+          // reason). Unpartitioned tables read the dir whole.
+          val imgs = us.map { case (rel, _) =>
+            val ver = stageDirVersion(rel.split("/")(1)).getOrElse(0L)
+            val df = partCol match {
+              case Some(_) =>
+                s.read.option("basePath", s"$dd/$rel")
+                  .parquet(es.map(e => s"$dd/$rel/${e._1}"): _*)
+              case None => s.read.parquet(s"$dd/$rel")
+            }
+            df.withColumn("__uv_v", lit(ver))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          import org.apache.spark.sql.expressions.Window
+          val latest = imgs
+            .withColumn("__uv_rn", row_number().over(
+              Window.partitionBy(col(kc)).orderBy(col("__uv_v").desc)))
+            .where(col("__uv_rn") === 1)
+            .drop("__uv_v", "__uv_rn")
+          base = base.join(latest.select(kc).distinct(), Seq(kc),
+                           "left_anti")
+            .unionByName(latest, allowMissingColumns = true)
+        }
         if (rs.isEmpty) base
         else {
-          val dv = rs.map(r => s.read.parquet(s"$dir/$r"))
+          val dv = rs.map(r => s.read.parquet(s"$dd/$r"))
             .reduce(_.unionByName(_))
           // tombstone dirs are partitioned by the table's partCol, so
           // the key column is the one data column that is not it — a
@@ -1266,6 +1397,7 @@ object Versioned {
     // that PRE-dates a MOR delete carries no sidecar, resurrecting the
     // rows exactly as the restored manifest implies.
     committedSidecar(s, dir, toVersion, "dv").foreach(copyTo(_, "dv"))
+    committedSidecar(s, dir, toVersion, "uv").foreach(copyTo(_, "uv"))
     // The ledger is cumulative history and its READER
     // (IncrementalOps.appliedIds) walks back past ledgerless versions —
     // so the rollback must restore the same ledger that walk would have
@@ -1410,25 +1542,78 @@ object Versioned {
     // contract, as with every table format's VACUUM vs time-travel.
     if (committedVersions(s, dir) != committed)
       return VacuumReport(floor, 0, 0, 0)
+    // BRANCHES pin storage like tags do: a live branch's HEAD manifest
+    // (and its dv refs) joins the referenced set, so main data dirs a
+    // stale-but-alive branch still reads survive main's retention, and
+    // branch-staged dirs (`data/b_<name>_...`, never version-parseable)
+    // are kept for the branch's whole lifetime — in-flight branch
+    // stages included — then reclaimed once the branch is dropped.
+    // Branch time travel is NOT retention-protected: only the head is.
+    val branchRoot = new Path(dir, "branches")
+    val liveBranches: Seq[String] =
+      if (!fs.exists(branchRoot)) Nil
+      else fs.listStatus(branchRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+    val branchHeads: Seq[(String, Long)] = liveBranches.flatMap { n =>
+      val bd = s"$dir/branches/$n"
+      scala.util.Try(committedVersions(s, bd)).toOption
+        .flatMap(_.lastOption).map(bd -> _)
+    }
+    val branchReferenced = branchHeads.flatMap { case (bd, bv) =>
+      scala.util.Try(manifest(s, bd, bv)).toOption.getOrElse(Nil)
+        .map(_._2.split("/").take(2).mkString("/"))
+    }.toSet
+    val liveBranchNames = liveBranches.toSet
+    def branchOwner(name: String): Option[String] =
+      if (!name.startsWith("b_")) None
+      else name.split('_').drop(1).headOption  // names are [A-Za-z0-9.-]+
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).toSeq.foreach { st =>
       val name = st.getPath.getName
-      val keep = stageDirVersion(name).forall(n =>
-        n > cur || referenced.contains(s"data/$name"))
+      val keep = stageDirVersion(name) match {
+        case Some(n) => n > cur || referenced.contains(s"data/$name") ||
+          branchReferenced.contains(s"data/$name")
+        case None => branchOwner(name) match {
+          case Some(owner) => liveBranchNames.contains(owner) ||
+            referenced.contains(s"data/$name") ||
+            branchReferenced.contains(s"data/$name")
+          case None => true  // foreign/unknown name: never touch it
+        }
+      }
       if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
     // Tombstone-dir sweep, same keep rule keyed on the RETAINED versions'
     // DV sidecars: a dvdata dir some retained version still anti-joins by
     // must survive; one a compaction materialized away (no retained ref)
-    // is reclaimable storage like any unreferenced stage dir.
+    // is reclaimable storage like any unreferenced stage dir. Live
+    // branch heads' carried refs pin theirs too.
     val referencedDv = retained
       .flatMap(rv => readDvLines(s, dir, rv))
-      .map(l => l.substring(l.indexOf('\t') + 1)).toSet
+      .map(l => l.substring(l.indexOf('\t') + 1)).toSet ++
+      branchHeads.flatMap { case (bd, bv) =>
+        scala.util.Try(readDvLines(s, bd, bv)).toOption.getOrElse(Nil)
+          .map(l => l.substring(l.indexOf('\t') + 1))
+      }
     val dvRoot = new Path(dir, "dvdata")
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).toSeq.foreach { st =>
       val name = st.getPath.getName
       val keep = stageDirVersion(name).forall(n =>
         n > cur || referencedDv.contains(s"dvdata/$name"))
+      if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
+    }
+    // update-vector image dirs: same keep rule as tombstone dirs
+    val referencedUv = retained
+      .flatMap(rv => readUvLines(s, dir, rv))
+      .map(_.split('\t')(1)).toSet ++
+      branchHeads.flatMap { case (bd, bv) =>
+        scala.util.Try(readUvLines(s, bd, bv)).toOption.getOrElse(Nil)
+          .map(_.split('\t')(1))
+      }
+    val uvRoot = new Path(dir, "uvdata")
+    if (fs.exists(uvRoot)) fs.listStatus(uvRoot).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      val keep = stageDirVersion(name).forall(n =>
+        n > cur || referencedUv.contains(s"uvdata/$name"))
       if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
     // Metadata sweep below the floor: versions under the floor already
@@ -1465,7 +1650,8 @@ object Versioned {
         !constraintsKeep.contains(v) && !tagged(v))
       .toSet
     swept.foreach { v =>
-      Seq("manifest", "stats", "ledger", "dv", "constraints", "touch")
+      Seq("manifest", "stats", "ledger", "dv", "uv", "constraints",
+          "touch")
         .foreach(side => fs.delete(new Path(dir, s"$side/$v.txt"), false))
       // marker FIRST: a crash between the two deletes then leaves a
       // harmless orphaned winner file (invisible to committedVersions)
@@ -1485,7 +1671,8 @@ object Versioned {
     // torn marker keeps its version's files in place.
     val tokenOf = survivors.map(cv => cv ->
       scala.util.Try(committedToken(s, dir, cv)).toOption.flatten).toMap
-    Seq("manifest", "stats", "ledger", "dv", "constraints", "touch")
+    Seq("manifest", "stats", "ledger", "dv", "uv", "constraints",
+        "touch")
       .foreach { side =>
       val root = new Path(dir, side)
       if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>

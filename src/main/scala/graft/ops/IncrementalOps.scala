@@ -145,7 +145,7 @@ object IncrementalOps {
           Versioned.listStagedPartDirs(s, dir, stageRel, DayCol))
       case Some(v) =>
         val applied = appliedIds(s, dir, v)
-        if (applied.contains(batchId)) return
+        if (Versioned.ledgerContains(applied, batchId)) return
         val part = roll(batch)
         // Bounded driver-side list: the batch's DAY values (#days, not
         // #rows) — the manifest-pruning predicate, as in mergeUpsert.
@@ -169,7 +169,7 @@ object IncrementalOps {
         val stageRel = Versioned.newStageRel(nv, tok)
         merged.write.mode("overwrite").partitionBy(DayCol)
           .parquet(s"$dir/$stageRel")
-        writeApplied(s, dir, nv, tok, applied + batchId)
+        writeApplied(s, dir, nv, tok, Versioned.ledgerAdd(applied, batchId))
         val staged = Versioned.listStagedPartDirs(s, dir, stageRel, DayCol)
         val stagedNames = staged.map(_._1).toSet
         Versioned.publish(s, dir, nv, tok,

@@ -209,7 +209,7 @@ object MergeOps {
     }
   }
 
-  /** Carry the stats and dv sidecars of `v` verbatim onto attempt
+  /** Carry the stats and MOR sidecars of `v` verbatim onto attempt
     * (`nv`, `tok`) — the manifest-carry commit shape metadata-only
     * writers (constraint DDL, ledger ticks) share. The ledger and
     * constraints sidecars need no carry: their readers walk back. */
@@ -218,8 +218,27 @@ object MergeOps {
     val stats = Versioned.readStatsLines(s, corpusDir, v)
     if (stats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
-    val dv = Versioned.readDvLines(s, corpusDir, v)
-    if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
+    carryMorSidecars(s, corpusDir, v, nv, tok, _ => false)
+  }
+
+  /** Carry BOTH merge-on-read sidecars (dv tombstone refs, uv image
+    * refs) of `v` onto attempt (`nv`, `tok`), DROPPING the lines of
+    * partitions `drop` — the shared rule: a restaging writer reads its
+    * partitions LIVE (tombstones anti-joined, images substituted), so
+    * the restage is the materialization point and stale refs must not
+    * survive it; untouched partitions' refs are CORRECTNESS state and
+    * carry verbatim. */
+  private def carryMorSidecars(s: SparkSession, corpusDir: String, v: Long,
+                               nv: Long, tok: String,
+                               drop: String => Boolean): Unit = {
+    val dvKept = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => drop(Versioned.statsLinePart(l)))
+    if (dvKept.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvKept)
+    val uvKept = Versioned.readUvLines(s, corpusDir, v)
+      .filterNot(l => drop(Versioned.statsLinePart(l)))
+    if (uvKept.nonEmpty)
+      Versioned.writeUvLines(s, corpusDir, nv, tok, uvKept)
   }
 
   private def freshStatsLines(df: DataFrame, partCol: String,
@@ -357,7 +376,8 @@ object MergeOps {
         // a replayed identified write no-ops: its id is already in the
         // committed ledger, so the work (and the version) must not repeat
         if (ledgerId.exists(id =>
-              Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
+              Versioned.ledgerContains(
+                Versioned.appliedLedgerIds(s, corpusDir, v), id)))
           return
         // PERSISTED constraints: loaded from the table's own metadata at
         // the snapshot — enforced on every writer automatically, plan-
@@ -440,16 +460,12 @@ object MergeOps {
           if ((carried ++ fresh).nonEmpty)
             Versioned.writeStatsLines(s, corpusDir, base + 1, tok2,
               (carried ++ fresh).sorted)
-          val dvCarried = Versioned.readDvLines(s, corpusDir, base)
-            .filterNot { l =>
-              val n = Versioned.statsLinePart(l)
-              touchedNames(n) || stagedNames(n)
-            }
-          if (dvCarried.nonEmpty)
-            Versioned.writeDvLines(s, corpusDir, base + 1, tok2, dvCarried)
+          carryMorSidecars(s, corpusDir, base, base + 1, tok2,
+            n => touchedNames(n) || stagedNames(n))
           ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir,
             base + 1, tok2,
-            Versioned.appliedLedgerIds(s, corpusDir, base) + id))
+            Versioned.ledgerAdd(
+              Versioned.appliedLedgerIds(s, corpusDir, base), id)))
           Versioned.writeTouchLines(s, corpusDir, base + 1, tok2,
             (touchedNames ++ stagedNames).toSeq)
           Versioned.publish(s, corpusDir, base + 1, tok2,
@@ -512,7 +528,8 @@ object MergeOps {
           // (a racing replay of the same identified batch): no-op, the
           // work is committed
           if (ledgerId.exists(id =>
-                Versioned.appliedLedgerIds(s, corpusDir, cur).contains(id)))
+                Versioned.ledgerContains(
+                  Versioned.appliedLedgerIds(s, corpusDir, cur), id)))
             return
           try { attemptPublish(cur); return }
           catch { case _: graft.engine.ConcurrentCommitException => () }
@@ -575,10 +592,7 @@ object MergeOps {
       }
     if (carried.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, carried)
-    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
-    if (dvCarried.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    carryMorSidecars(s, corpusDir, v, nv, tok, touchedNames)
     Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
@@ -633,10 +647,7 @@ object MergeOps {
       }
     if (carried.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, carried)
-    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
-    if (dvCarried.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    carryMorSidecars(s, corpusDir, v, nv, tok, touchedNames)
     Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
@@ -705,13 +716,81 @@ object MergeOps {
     if ((carried ++ fresh).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
                                 (carried ++ fresh).sorted)
-    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
-    if (dvCarried.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    carryMorSidecars(s, corpusDir, v, nv, tok, touchedNames)
     Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok,
       man.filterNot(e => touchedNames.contains(e._1)) ++ staged)
+  }
+
+  /** MERGE-ON-READ UPDATE (round 12 — the update twin of
+    * [[mergeDeleteMor]]): instead of restaging every touched partition
+    * ([[mergeUpdateWhere]]'s copy-on-write), publish ONE small dir of
+    * FULL replacement row images plus a `uv` sidecar line per touched
+    * partition — manifest and data dirs carry verbatim, write cost
+    * ∝ matched rows, never partition bytes. The read-side tax is the
+    * latest-image-per-key substitution
+    * ([[graft.engine.Versioned.readEntriesLive]]), applied BEFORE the
+    * tombstone anti-join and paid until [[compactDeletes]] or any
+    * restaging write materializes it. Repeated MOR updates STACK: the
+    * image staged at the highest version wins per key, so the read
+    * never needs the intermediate generations (though they remain until
+    * materialization). Content semantics are IDENTICAL to
+    * [[mergeUpdateWhere]] by contract — the declared query shares its
+    * oracle. Same SET restrictions (key and partition are a row's
+    * identity); NULL-predicate rows untouched; a no-match update
+    * publishes nothing. Stats lines of touched partitions DROP (an
+    * update can widen bounds — the one sidecar where MOR updates differ
+    * from MOR deletes, whose bounds stay valid supersets); the persisted
+    * constraint set is validated on the staged images (the rows that
+    * land). */
+  def mergeUpdateMor(s: SparkSession, corpusDir: String, pred: Column,
+                     set: Seq[(String, Column)], keyCol: String,
+                     partCol: String): Unit = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val setMap = set.toMap
+    require(!setMap.contains(keyCol) && !setMap.contains(partCol),
+      "UPDATE cannot SET the key or partition column — a row's identity " +
+        "and location are fixed (stable key→partition); route moves " +
+        "through an explicit delete+insert")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
+        Some(partCol))
+    val hit = coalesce(pred, lit(false))
+    val images = corpus.where(hit).select(corpus.columns.toSeq.map { c =>
+      setMap.get(c) match {
+        case Some(e) => e.as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val uvRel = s"uvdata/${nv}_$tok"
+    images.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$uvRel")
+    val touched = Versioned.listStagedPartDirs(s, corpusDir, uvRel, partCol)
+      .map(_._1)
+    if (touched.isEmpty) {
+      new org.apache.hadoop.fs.Path(s"$corpusDir/$uvRel")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$uvRel"), true)
+      return
+    }
+    validateStaged(s, corpusDir, uvRel, persistedConstraintCols(
+      tableConstraints(s, corpusDir, v), corpus.columns.toSeq))
+    val touchedSet = touched.toSet
+    val uvLines = Versioned.readUvLines(s, corpusDir, v) ++
+      touched.map(p => s"$p\t$uvRel\t$keyCol")
+    Versioned.writeUvLines(s, corpusDir, nv, tok, uvLines.sorted)
+    val dvLines = Versioned.readDvLines(s, corpusDir, v)
+    if (dvLines.nonEmpty)
+      Versioned.writeDvLines(s, corpusDir, nv, tok, dvLines)
+    val stats = Versioned.readStatsLines(s, corpusDir, v)
+      .filterNot(l => touchedSet(Versioned.statsLinePart(l)))
+    if (stats.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok, touched)
+    Versioned.publish(s, corpusDir, nv, tok, man)
   }
 
   /** MERGE-ON-READ row-level DELETE (Delta/Iceberg deletion vectors, at
@@ -760,6 +839,12 @@ object MergeOps {
     val lines = Versioned.readDvLines(s, corpusDir, v) ++
       touched.map(p => s"$p\t$dvRel")
     Versioned.writeDvLines(s, corpusDir, nv, tok, lines.sorted)
+    // update-vector refs carry VERBATIM: nothing restages here, and the
+    // read order (substitute, then anti-join) makes a tombstone shadow
+    // any earlier image of the same key
+    val uvLines = Versioned.readUvLines(s, corpusDir, v)
+    if (uvLines.nonEmpty)
+      Versioned.writeUvLines(s, corpusDir, nv, tok, uvLines)
     val stats = Versioned.readStatsLines(s, corpusDir, v)
     if (stats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
@@ -782,7 +867,12 @@ object MergeOps {
   def compactDeletes(s: SparkSession, corpusDir: String, partCol: String,
                      sortCol: Option[String] = None): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
-    val refs = Versioned.readDvRefs(s, corpusDir, v)
+    // generalized to BOTH merge-on-read sidecars (round 12): a
+    // partition bearing deletion vectors OR update vectors restages
+    // through the live read, which folds tombstones out and images in
+    val dvRefs = Versioned.readDvRefs(s, corpusDir, v)
+    val uvRefs = Versioned.readUvRefs(s, corpusDir, v)
+    val refs = dvRefs.keySet ++ uvRefs.keySet
     if (refs.isEmpty) return
     val man = Versioned.manifest(s, corpusDir, v)
     val bearing = man.filter(e => refs.contains(e._1))
@@ -887,7 +977,8 @@ object MergeOps {
           "with mergeUpsert before applying changelogs"))
     // a replayed identified apply no-ops (exactly-once, see syncMirror)
     if (ledgerId.exists(id =>
-          Versioned.appliedLedgerIds(s, corpusDir, v).contains(id)))
+          Versioned.ledgerContains(
+            Versioned.appliedLedgerIds(s, corpusDir, v), id)))
       return
     val upserts = changes.where(col(opCol) =!= "d").drop(opCol)
     // persisted constraints: plan-check the landing rows now (fast loud
@@ -919,10 +1010,10 @@ object MergeOps {
         val stats = Versioned.readStatsLines(s, corpusDir, v)
         if (stats.nonEmpty)
           Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
-        val dv = Versioned.readDvLines(s, corpusDir, v)
-        if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
+        carryMorSidecars(s, corpusDir, v, nv, tok, _ => false)
         Versioned.writeLedgerIds(s, corpusDir, nv, tok,
-          Versioned.appliedLedgerIds(s, corpusDir, v) + id)
+          Versioned.ledgerAdd(
+            Versioned.appliedLedgerIds(s, corpusDir, v), id))
         // an EMPTY touch declaration: content untouched — a racing
         // upsert can rebase straight across a ledger tick
         Versioned.writeTouchLines(s, corpusDir, nv, tok, Nil)
@@ -973,12 +1064,10 @@ object MergeOps {
     if ((carried ++ fresh).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
                                 (carried ++ fresh).sorted)
-    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-      .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
-    if (dvCarried.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    carryMorSidecars(s, corpusDir, v, nv, tok, touchedNames)
     ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir, nv, tok,
-      Versioned.appliedLedgerIds(s, corpusDir, v) + id))
+      Versioned.ledgerAdd(
+        Versioned.appliedLedgerIds(s, corpusDir, v), id)))
     Versioned.writeTouchLines(s, corpusDir, nv, tok, touchedNames.toSeq)
     Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
@@ -1026,13 +1115,17 @@ object MergeOps {
     val manTo = Versioned.manifest(s, corpusDir, toV)
     val dvFrom = Versioned.readDvRefs(s, corpusDir, fromV)
     val dvTo = Versioned.readDvRefs(s, corpusDir, toV)
+    val uvFrom = Versioned.readUvRefs(s, corpusDir, fromV)
+    val uvTo = Versioned.readUvRefs(s, corpusDir, toV)
     val fm = manFrom.toMap
     val tm = manTo.toMap
-    // The pruning heart: same staged dir + same tombstone refs ⇒ the
-    // partition's LIVE content is byte-identical; only the rest is read.
+    // The pruning heart: same staged dir + same tombstone refs + same
+    // image refs ⇒ the partition's LIVE content is byte-identical; only
+    // the rest is read.
     val changed = (fm.keySet ++ tm.keySet).filter { n =>
       fm.get(n) != tm.get(n) ||
-        dvFrom.getOrElse(n, Nil) != dvTo.getOrElse(n, Nil)
+        dvFrom.getOrElse(n, Nil) != dvTo.getOrElse(n, Nil) ||
+        uvFrom.getOrElse(n, Nil) != uvTo.getOrElse(n, Nil)
     }
     def side(v: Long, man: Seq[(String, String)]): DataFrame = {
       val es = man.filter(e => changed(e._1))
@@ -1279,10 +1372,7 @@ object MergeOps {
     // A restaged partition's DVs just materialized — drop its lines (a
     // fragmented partition whose every live row was tombstoned restages
     // to nothing and leaves the manifest too); others carry verbatim.
-    val dvCarried = Versioned.readDvLines(s, corpusDir, v)
-      .filterNot(l => fragNames(Versioned.statsLinePart(l)))
-    if (dvCarried.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, dvCarried)
+    carryMorSidecars(s, corpusDir, v, nv, tok, fragNames)
     val newMan = man.filterNot(e => fragNames.contains(e._1)) ++ staged
     require(newMan.nonEmpty,
       s"compacting $corpusDir would leave no partition (every live row " +
@@ -2108,6 +2198,43 @@ object MergeOps {
     mergeUpdateWhere(s, dir, fold(col("o_orderkey")) < 10,
       Seq("o_totalprice" -> (col("o_totalprice") * 2)),
       "o_orderkey", "o_orderstatus")                                // v2
+    readCorpus(s, dir, "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus").cast("string").as("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared merge_update_mor query: the MERGE-ON-READ twin of
+    * [[mergeUpdateWhereQuery]] — same corpus, same UPDATE (fold<10
+    * doubled in place), but via [[mergeUpdateMor]]: one image dir + a
+    * uv sidecar, the MANIFEST REQUIRED UNCHANGED (write cost ∝ matched
+    * rows, zero restage), then the substitution read, materialization
+    * by [[compactDeletes]], and a vacuum sweeping the image dirs. The
+    * oracle is merge_update_where's CASE restatement, so equality
+    * proves the whole MOR-update lifecycle is content-identical to the
+    * copy-on-write path. */
+  def mergeUpdateMorQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_updmor_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    mergeUpsert(s, dir, base, "o_orderkey", "o_orderstatus")        // v1
+    mergeUpdateMor(s, dir, fold(col("o_orderkey")) < 10,
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)),
+      "o_orderkey", "o_orderstatus")                                // v2
+    require(Versioned.manifest(s, dir, 2L) == Versioned.manifest(s, dir, 1L),
+      "a MOR update must not restage any data partition")
+    require(Versioned.readUvRefs(s, dir, 2L).nonEmpty,
+      "the update must land as uv sidecar refs")
+    compactDeletes(s, dir, "o_orderstatus",
+                   sortCol = Some("o_orderkey"))                    // v3
+    require(Versioned.readUvRefs(s, dir, 3L).isEmpty,
+      "materialization must clear the uv refs")
+    Versioned.vacuum(s, dir, keepVersions = 1)
     readCorpus(s, dir, "o_orderstatus")
       .select(col("o_orderkey"), col("o_totalprice"),
               col("o_orderstatus").cast("string").as("o_orderstatus"))

@@ -92,7 +92,7 @@ object StreamOps {
     * aggregates fold into only the days it touches, through the same
     * versioned commit + applied-ledger the batch path uses — so the
     * at-least-once window foreachBatch leaves open is closed by the
-    * LEDGER, not by dir-overwrite tricks: a replayed `stream-<id>` fold
+    * LEDGER, not by dir-overwrite tricks: a replayed `stream:<id>` fold
     * is a no-op because the id is already in the current version's
     * applied set. This is the third streaming→store composition (after
     * the minhash and embedding stores): the dashboard rollup stays
@@ -111,7 +111,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.engine.Versioned.withCommitRetry() {
           graft.ops.IncrementalOps.foldBatch(
-            batch.sparkSession, rollupDir, batch, s"stream-$batchId")
+            batch.sparkSession, rollupDir, batch, s"stream:$batchId")
         }
       }
 
@@ -170,7 +170,7 @@ object StreamOps {
     * re-commit a version even at the same content), so exactly-once is
     * the LEDGER's: the batch id lands in the store's applied-id set
     * inside the same committed version, and the replay the at-least-
-    * once foreachBatch contract allows finds `stream-cdc-<id>` applied
+    * once foreachBatch contract allows finds `stream-cdc:<id>` applied (one high-water ledger line per source — the round-11 advice growth fix)
     * and no-ops. Same commit-retry contract as the other maintenance
     * sinks. */
   def cdcApplyMaintenance(changes: DataFrame, corpusDir: String,
@@ -182,7 +182,7 @@ object StreamOps {
         graft.engine.Versioned.withCommitRetry() {
           graft.ops.MergeOps.mergeApplyChangelog(
             batch.sparkSession, corpusDir, batch, keyCol, partCol,
-            ledgerId = Some(s"stream-cdc-$batchId"))
+            ledgerId = Some(s"stream-cdc:$batchId"))
         }
       }
 
@@ -233,7 +233,7 @@ object StreamOps {
     * data flowing through Spark's offset log instead of a poll loop.
     * Each micro-batch of feed rows (full schema + `change_type`)
     * applies as ONE committed changelog version keyed
-    * `stream-feed-<batchId>`: a replayed batch id re-reads the SAME
+    * `stream-feed:<batchId>`: a replayed batch id re-reads the SAME
     * immutable version range, so the identical feed re-applies and the
     * destination ledger no-ops it (the cdcApplyMaintenance argument).
     * An all-insert FIRST batch against an empty mirror bootstraps via
@@ -259,10 +259,10 @@ object StreamOps {
             // ledger) begins with the first real batch
             if (!inserts.isEmpty)
               graft.ops.MergeOps.mergeUpsert(s, dstDir, inserts,
-                keyCol, partCol, ledgerId = Some(s"stream-feed-$batchId"))
+                keyCol, partCol, ledgerId = Some(s"stream-feed:$batchId"))
           } else
             graft.ops.MergeOps.mergeApplyChangelog(s, dstDir, changes,
-              keyCol, partCol, ledgerId = Some(s"stream-feed-$batchId"))
+              keyCol, partCol, ledgerId = Some(s"stream-feed:$batchId"))
         }
       }
 

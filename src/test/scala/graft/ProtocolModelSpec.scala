@@ -90,10 +90,54 @@ class ProtocolModelSpec extends SparkTestBase {
     var pins = Map.empty[String, Int]  // tag name -> snapshot index
 
     for (step <- 1 to steps) {
-      val opDraw = rnd.nextInt(18)
+      val opDraw = rnd.nextInt(20)
       if (sys.env.contains("GRAFT_FUZZ_TRACE"))
         println(s"TRACE seed=$seed step=$step op=$opDraw")
       opDraw match {
+        case 19 =>                                           // MOR UPDATE
+          // same model rule as UPDATE WHERE (op 15): content-wise the
+          // two must be indistinguishable, while every later op —
+          // merge/compact/retention/rollback/vacuum/feeds/pruned
+          // reads — composes with the outstanding image sidecars
+          val lo = rnd.nextInt(30).toLong
+          val hi = lo + rnd.nextInt(10).toLong
+          val hit = model.rows.exists { case (k, _) => k >= lo && k <= hi }
+          MergeOps.mergeUpdateMor(spark, dir,
+            col("k") >= lo && col("k") <= hi,
+            Seq("v" -> (col("v") * 2)), "k", "p")
+          if (hit) {
+            val next = model.rows.map {
+              case (k, (v, p)) if k >= lo && k <= hi => k -> (v * 2, p)
+              case other => other
+            }
+            model = model.copy(rows = next,
+              snapshots = model.snapshots :+ next)
+          }
+        case 18 =>                                           // WAP cycle
+          // branch off current, land a batch on the branch (main must
+          // not move), then either PUBLISH (fast-forward = one new
+          // version, model merges the batch) or ABANDON (drop — model
+          // unchanged, no version). Either way the branch is dropped
+          // and a later vacuum may reclaim its stages.
+          import graft.ops.BranchOps
+          val b = batch(1 + rnd.nextInt(4))
+          val publish = rnd.nextBoolean()
+          if (b.nonEmpty) {
+            val name = s"wap$step"
+            BranchOps.createBranch(spark, dir, name)
+            BranchOps.branchUpsert(spark, dir, name,
+              b.toDF("k", "v", "p"), "k", "p")
+            assert(Versioned.currentVersion(spark, dir)
+                .contains(model.snapshots.size.toLong),
+              s"seed=$seed step=$step: branch work moved main")
+            if (publish) {
+              BranchOps.publishBranch(spark, dir, name)
+              val next = mergeModel(model.rows, b)
+              model = model.copy(rows = next,
+                snapshots = model.snapshots :+ next)
+            }
+            BranchOps.dropBranch(spark, dir, name)
+          }
         case 17 =>                                           // disjoint racers
           // two REAL threads upsert batches confined to DIFFERENT
           // partitions (keys mod 3 route each batch whole to one

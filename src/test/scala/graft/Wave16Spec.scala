@@ -362,7 +362,7 @@ class Wave16Spec extends SparkTestBase {
     // replay of an already-applied stream batch id: no new version
     val v = Versioned.currentVersion(spark, dir).get
     IncrementalOps.foldBatch(spark, dir,
-      Seq((t("2024-03-01 03:00:00"), 4.5)).toDF("ts", "value"), "stream-1")
+      Seq((t("2024-03-01 03:00:00"), 4.5)).toDF("ts", "value"), "stream:1")
     assert(Versioned.currentVersion(spark, dir).get == v,
       "replayed stream batch must be a ledger no-op")
     val got = IncrementalOps.readRollup(spark, dir)

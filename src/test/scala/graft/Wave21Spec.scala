@@ -245,10 +245,10 @@ class Wave21Spec extends SparkTestBase {
     // though the changelog content itself is not idempotent
     MergeOps.mergeApplyChangelog(spark, dir,
       Seq((2L, 999.0, "E", "u")).toDF("k", "v", "p", "op"), "k", "p",
-      ledgerId = Some("stream-cdc-0"))
+      ledgerId = Some("stream-cdc:0"))
     assert(Versioned.currentVersion(spark, dir).contains(3L) &&
       mirrorKeys(dir)(2L) == 222.0,
-      "a replayed stream-cdc-0 batch must be refused by the ledger")
+      "a replayed stream-cdc:0 batch must be refused by the ledger")
   }
 
   test("mirror survives a source rollback (a higher version restoring " +

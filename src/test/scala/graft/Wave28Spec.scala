@@ -99,6 +99,55 @@ class Wave28Spec extends SparkTestBase {
     assert(readAll(dst) === readAll(src))
   }
 
+  test("high-water ledger ids stay ONE line per source at streaming " +
+       "cadence (the unbounded-growth fix), while plain ids accumulate " +
+       "and replay semantics are unchanged") {
+    // the pure fold/check semantics
+    val s0 = Set.empty[String]
+    val s1 = Versioned.ledgerAdd(s0, "src:1")
+    val s2 = Versioned.ledgerAdd(s1, "src:3")
+    val s3 = Versioned.ledgerAdd(s2, "src:2")   // late lower mark
+    assert(s3 === Set("src:3"), s"compacted to the max: $s3")
+    assert(Versioned.ledgerContains(s3, "src:2") &&
+           Versioned.ledgerContains(s3, "src:3") &&
+           !Versioned.ledgerContains(s3, "src:4"))
+    val p1 = Versioned.ledgerAdd(s3, "b0")      // plain ids accumulate
+    val p2 = Versioned.ledgerAdd(p1, "b1")
+    assert(p2 === Set("src:3", "b0", "b1"))
+    assert(Versioned.ledgerContains(p2, "b0") &&
+           !Versioned.ledgerContains(p2, "b2"))
+    // two hw sources coexist independently
+    val m = Versioned.ledgerAdd(p2, "stream-cdc:5")
+    assert(Versioned.ledgerContains(m, "stream-cdc:4") &&
+           !Versioned.ledgerContains(m, "stream-feed:1"))
+
+    // end-to-end: a mirror driven through many feed batches keeps a
+    // BOUNDED ledger — one stream-feed line, one src-free set
+    import spark.implicits._
+    val src = freshDir("graft_hw_src")
+    val dst = freshDir("graft_hw_dst")
+    val ck = freshDir("graft_hw_ck")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")
+    val q = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L)),
+        dst, "k", "p")
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      q.processAllAvailable()
+      (1 to 4).foreach { i =>
+        MergeOps.mergeUpsert(spark, src,
+          Seq((10L + i, i * 1.0, "O")).toDF("k", "v", "p"), "k", "p")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(readAll(dst) === readAll(src))
+    val dv = Versioned.currentVersion(spark, dst).get
+    val ids = Versioned.appliedLedgerIds(spark, dst, dv)
+    assert(ids.size === 1 && ids.head.startsWith("stream-feed:"),
+      s"five applied batches must compact to one high-water line: $ids")
+  }
+
   test("startVersion=None streams only changes committed after stream " +
        "start; the classification and images match the batch changeFeed") {
     import spark.implicits._
