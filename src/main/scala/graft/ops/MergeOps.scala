@@ -1751,12 +1751,11 @@ object MergeOps {
     val keptStats = old.filter(l => keptNames(Versioned.statsLinePart(l)))
     if (keptStats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, keptStats)
-    // DV refs of kept partitions carry (correctness, not pruning);
-    // dropped partitions take their tombstones with them.
-    val keptDv = Versioned.readDvLines(s, corpusDir, v)
-      .filter(l => keptNames(Versioned.statsLinePart(l)))
-    if (keptDv.nonEmpty)
-      Versioned.writeDvLines(s, corpusDir, nv, tok, keptDv)
+    // MOR refs (tombstones AND update images) of kept partitions carry
+    // (correctness, not pruning); dropped partitions take theirs with
+    // them. The uv half is the deep-fuzz seed-304 catch: retention
+    // after a MOR update silently reverted the updated rows.
+    carryMorSidecars(s, corpusDir, v, nv, tok, n => !keptNames(n))
     Versioned.publish(s, corpusDir, nv, tok, kept)
   }
 
@@ -1805,8 +1804,7 @@ object MergeOps {
     if ((carried ++ lines).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
         (carried ++ lines).sorted)
-    val dv = Versioned.readDvLines(s, corpusDir, v)
-    if (dv.nonEmpty) Versioned.writeDvLines(s, corpusDir, nv, tok, dv)
+    carryMorSidecars(s, corpusDir, v, nv, tok, _ => false)
     Versioned.publish(s, corpusDir, nv, tok, man)
   }
 

@@ -122,6 +122,35 @@ class Wave30Spec extends SparkTestBase {
     assert(readAll(dst) === readAll(dir))
   }
 
+  test("manifest-carry commits (retention drop, ANALYZE refresh) carry " +
+       "the update vectors of surviving partitions — the deep-fuzz " +
+       "seed-304 catch: retention after a MOR update must not revert " +
+       "the updated rows") {
+    import spark.implicits._
+    val dir = freshDir("graft_uv_carry")
+    MergeOps.mergeUpsert(spark, dir, corpus(6), "k", "p",
+                         statsKeys = Seq("k"))                       // v1
+    MergeOps.mergeUpdateMor(spark, dir, col("k") === 5,
+      Seq("v" -> lit(555.0)), "k", "p")                              // v2
+    // retention drops partition E; O's image must survive the carry
+    MergeOps.applyRetention(spark, dir,
+      name => name != Versioned.partDirName("p", "E"))               // v3
+    assert(readAll(dir) === Map(1L -> (10.0, "O"), 3L -> (30.0, "O"),
+                                5L -> (555.0, "O")))
+    // ANALYZE (manifest-carry stats refresh) must carry it too, and its
+    // live scan must record the SUBSTITUTED bounds
+    MergeOps.refreshStats(spark, dir, "p", statsKeys = Seq("k"))     // v4
+    assert(readAll(dir)(5L) === (555.0, "O"))
+    // a retention drop of the IMAGE-BEARING partition takes the image
+    // with it (the dropped-partition rule)
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((2L, 20.0, "E")).toDF("k", "v", "p"), "k", "p")            // v5
+    MergeOps.applyRetention(spark, dir,
+      name => name != Versioned.partDirName("p", "O"))               // v6
+    assert(Versioned.readUvRefs(spark, dir, 6L).isEmpty)
+    assert(readAll(dir) === Map(2L -> (20.0, "E")))
+  }
+
   test("a MOR update that violates the persisted constraint set is " +
        "rejected by the staged read-back, the version never moves, and " +
        "the image ghost is reclaimed") {
