@@ -1303,15 +1303,24 @@ object Versioned {
       st.count(f => f.getPath.getName.endsWith(".parquet"))
     }.sum
     val dvRefs = readDvRefs(s, dir, v)
+    val uvRefs = readUvRefs(s, dir, v)
     val committed = committedVersions(s, dir)
+    val branchCount = {
+      val root = new Path(dir, "branches")
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).count(_.isDirectory).toLong
+    }
     Seq((v, committed.size.toLong, man.size.toLong, files.toLong,
          dvRefs.size.toLong, dvRefs.values.map(_.size).sum.toLong,
+         uvRefs.size.toLong, uvRefs.values.map(_.size).sum.toLong,
          retentionFloor(s, dir).getOrElse(1L),
-         tags(s, dir).size.toLong,
+         tags(s, dir).size.toLong, branchCount,
+         readConstraintLines(s, dir, v).size.toLong,
          readStatsLines(s, dir, v).size.toLong,
          appliedLedgerIds(s, dir, v).size.toLong))
       .toDF("version", "committed_versions", "partitions", "data_files",
-            "dv_partitions", "dv_refs", "retention_floor", "tags",
+            "dv_partitions", "dv_refs", "uv_partitions", "uv_refs",
+            "retention_floor", "tags", "branches", "constraints",
             "stats_lines", "applied_ids")
   }
 

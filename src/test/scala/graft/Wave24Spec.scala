@@ -102,7 +102,10 @@ class Wave24Spec extends SparkTestBase {
       d.getAs[Long]("committed_versions") == 2L &&
       d.getAs[Long]("partitions") == 2L &&
       d.getAs[Long]("dv_partitions") == 2L &&
+      d.getAs[Long]("uv_partitions") == 0L &&
       d.getAs[Long]("tags") == 1L &&
+      d.getAs[Long]("branches") == 0L &&
+      d.getAs[Long]("constraints") == 0L &&
       d.getAs[Long]("stats_lines") == 2L, s"detail: $d")
     val e = intercept[IllegalArgumentException] {
       Versioned.dropTable(spark, dir)
