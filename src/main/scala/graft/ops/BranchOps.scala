@@ -170,42 +170,53 @@ object BranchOps {
         touchedNames.contains(e._1) || stagedNames.contains(e._1)) ++ staged)
   }
 
-  /** Atomically FAST-FORWARD main to the branch head. Requires main to
-    * still be at the fork version (else fail loudly: re-fork). AUDITS
-    * first: main's persisted CHECK constraints are validated on the
-    * branch's CHANGED partitions (manifest/dv-ref diff against main —
-    * the changeFeed pruning rule, so the audit reads only what the
-    * branch actually touched). The fast-forward commit copies the
-    * branch head's manifest/stats/dv verbatim and DECLARES the changed
-    * partitions as its touched set, so disjoint upserts can rebase
-    * across a publish like any other declared commit. The branch is
-    * left in place (drop it when done). */
+  /** Atomically land the branch's work on main. Two shapes:
+    *
+    *  - main still at the fork version → FAST-FORWARD: the publish
+    *    commit is the branch head verbatim.
+    *  - main ADVANCED, but every intervening commit DECLARES a touched
+    *    set ([[Versioned.readTouched]]) disjoint from the branch's own
+    *    CHANGE SET (diffed against the FORK state, which branch v1
+    *    carries even after main's retention sweeps it) → REBASE: the
+    *    publish takes main-current's entries/sidecar-lines for the
+    *    partitions the branch never changed and the branch head's for
+    *    the ones it did — exact by the same partition-locality argument
+    *    as the upsert rebase (disjoint intervening commits cannot have
+    *    changed what the branch's partitions contained at the fork).
+    *    Overlap or an undeclared commit still refuses loudly: re-fork.
+    *
+    * AUDITS first: main's persisted CHECK constraints are validated on
+    * the branch's changed partitions only (the feed pruning rule). The
+    * publish commit DECLARES the changed set as its touch declaration,
+    * so disjoint upserts rebase across a publish like any other
+    * declared commit; it retries through fresh rebases (bounded) when
+    * racing writers land mid-publish. The branch is left in place
+    * (drop it when done). */
   def publishBranch(s: SparkSession, root: String, name: String): Unit = {
     val bd = bdir(root, name)
     val bv = Versioned.currentVersion(s, bd).getOrElse(
       throw new IllegalStateException(s"no branch '$name' under $root"))
     val forkV = forkVersion(s, root, name)
-    val mainCur = Versioned.currentVersion(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed version under $root"))
-    require(mainCur == forkV,
-      s"main advanced past branch '$name''s fork ($forkV -> $mainCur) " +
-        s"under $root — re-create the branch from current and re-apply " +
-        "its work (branch rebase is not supported)")
     val head = Versioned.manifest(s, bd, bv)
     val headMap = head.toMap
-    val mainMan = Versioned.manifest(s, root, mainCur).toMap
+    // the branch's OWN change set, diffed against the FORK state —
+    // branch v1 is the fork's manifest/sidecar copy, so this needs no
+    // main metadata below the floor
+    val forkMan = Versioned.manifest(s, bd, 1L).toMap
+    val forkDv = Versioned.readDvRefs(s, bd, 1L)
+    val forkUv = Versioned.readUvRefs(s, bd, 1L)
     val headDv = Versioned.readDvRefs(s, bd, bv)
-    val mainDv = Versioned.readDvRefs(s, root, mainCur)
     val headUv = Versioned.readUvRefs(s, bd, bv)
-    val mainUv = Versioned.readUvRefs(s, root, mainCur)
-    val changed = (mainMan.keySet ++ headMap.keySet).filter { n =>
-      mainMan.get(n) != headMap.get(n) ||
-        headDv.getOrElse(n, Nil) != mainDv.getOrElse(n, Nil) ||
-        headUv.getOrElse(n, Nil) != mainUv.getOrElse(n, Nil)
+    val changed = (forkMan.keySet ++ headMap.keySet).filter { n =>
+      forkMan.get(n) != headMap.get(n) ||
+        headDv.getOrElse(n, Nil) != forkDv.getOrElse(n, Nil) ||
+        headUv.getOrElse(n, Nil) != forkUv.getOrElse(n, Nil)
     }
     // the WAP audit: main's table contract must hold on what lands —
     // validated on the CHANGED partitions only (the feed pruning rule)
-    val cs = MergeOps.tableConstraints(s, root, mainCur)
+    val mainCur0 = Versioned.currentVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val cs = MergeOps.tableConstraints(s, root, mainCur0)
     if (cs.nonEmpty && changed.nonEmpty) {
       val changedEntries = head.filter(e => changed(e._1))
       if (changedEntries.nonEmpty) {
@@ -222,16 +233,58 @@ object BranchOps {
           what = s"publish of branch '$name' (audit)")
       }
     }
-    val nv = mainCur + 1
-    val tok = Versioned.newToken()
-    val stats = Versioned.readStatsLines(s, bd, bv)
-    if (stats.nonEmpty) Versioned.writeStatsLines(s, root, nv, tok, stats)
-    val dv = Versioned.readDvLines(s, bd, bv)
-    if (dv.nonEmpty) Versioned.writeDvLines(s, root, nv, tok, dv)
-    val uvOut = Versioned.readUvLines(s, bd, bv)
-    if (uvOut.nonEmpty) Versioned.writeUvLines(s, root, nv, tok, uvOut)
-    Versioned.writeTouchLines(s, root, nv, tok, changed.toSeq)
-    Versioned.publish(s, root, nv, tok, head)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val mainCur = Versioned.currentVersion(s, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version under $root"))
+      if (mainCur != forkV) {
+        val intervening = Versioned.committedVersions(s, root)
+          .filter(w => w > forkV && w <= mainCur)
+        val disjoint = intervening.forall { w =>
+          scala.util.Try(Versioned.readTouched(s, root, w))
+            .toOption.flatten
+            .exists(_.intersect(changed).isEmpty)
+        }
+        require(disjoint,
+          s"main advanced past branch '$name''s fork ($forkV -> " +
+            s"$mainCur) under $root with commits touching the branch's " +
+            "own partitions (or not declaring their touch set) — " +
+            "re-create the branch from current and re-apply its work")
+      }
+      val nv = mainCur + 1
+      val tok = Versioned.newToken()
+      // rebase-merge of metadata: main-current for unchanged
+      // partitions, branch head for changed ones (for a pure
+      // fast-forward mainCur == forkV and this IS the branch head)
+      def mergeLines(mainLines: Seq[String],
+                     headLines: Seq[String]): Seq[String] =
+        mainLines.filterNot(l => changed(Versioned.statsLinePart(l))) ++
+          headLines.filter(l => changed(Versioned.statsLinePart(l)))
+      val stats = mergeLines(Versioned.readStatsLines(s, root, mainCur),
+                             Versioned.readStatsLines(s, bd, bv))
+      if (stats.nonEmpty)
+        Versioned.writeStatsLines(s, root, nv, tok, stats.sorted)
+      val dv = mergeLines(Versioned.readDvLines(s, root, mainCur),
+                          Versioned.readDvLines(s, bd, bv))
+      if (dv.nonEmpty) Versioned.writeDvLines(s, root, nv, tok, dv.sorted)
+      val uv = mergeLines(Versioned.readUvLines(s, root, mainCur),
+                          Versioned.readUvLines(s, bd, bv))
+      if (uv.nonEmpty) Versioned.writeUvLines(s, root, nv, tok, uv.sorted)
+      Versioned.writeTouchLines(s, root, nv, tok, changed.toSeq)
+      val newMan = Versioned.manifest(s, root, mainCur)
+        .filterNot(e => changed(e._1)) ++ head.filter(e => changed(e._1))
+      try {
+        Versioned.publish(s, root, nv, tok, newMan)
+        return
+      } catch {
+        case e: graft.engine.ConcurrentCommitException =>
+          if (attempts >= 5) throw e
+          // a racer landed mid-publish: loop — the disjointness check
+          // re-runs against the new intervening set
+      }
+    }
   }
 
   /** Delete the branch's metadata tree; its staged dirs become

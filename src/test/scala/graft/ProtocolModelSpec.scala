@@ -115,10 +115,12 @@ class ProtocolModelSpec extends SparkTestBase {
           }
         case 18 =>                                           // WAP cycle
           // branch off current, land a batch on the branch (main must
-          // not move), then either PUBLISH (fast-forward = one new
-          // version, model merges the batch) or ABANDON (drop — model
-          // unchanged, no version). Either way the branch is dropped
-          // and a later vacuum may reclaim its stages.
+          // not move), SOMETIMES advance main with a batch confined to
+          // a partition the branch never touched (the publish must then
+          // REBASE across the declared-disjoint commit), then either
+          // PUBLISH (one new version, model merges the branch batch) or
+          // ABANDON (drop — the branch work vanishes). Either way the
+          // branch is dropped and a later vacuum may reclaim its stages.
           import graft.ops.BranchOps
           val b = batch(1 + rnd.nextInt(4))
           val publish = rnd.nextBoolean()
@@ -130,6 +132,22 @@ class ProtocolModelSpec extends SparkTestBase {
             assert(Versioned.currentVersion(spark, dir)
                 .contains(model.snapshots.size.toLong),
               s"seed=$seed step=$step: branch work moved main")
+            val bParts = b.map(_._3).toSet
+            val free = Parts.zipWithIndex.filterNot(p => bParts(p._1))
+            if (free.nonEmpty && rnd.nextBoolean()) {
+              val pi = free(rnd.nextInt(free.size))._2
+              val adv = (1 to (1 + rnd.nextInt(3))).map { _ =>
+                val k = (rnd.nextInt(10) * 3 + pi).toLong  // k%3 == pi
+                (k, math.floor(rnd.nextDouble() * 1e4) / 1e2, partOf(k))
+              }.distinctBy(_._1)
+              if (adv.nonEmpty) {
+                MergeOps.mergeUpsert(spark, dir, adv.toDF("k", "v", "p"),
+                  "k", "p", statsKeys = Seq("k"))
+                val next = mergeModel(model.rows, adv)
+                model = model.copy(rows = next,
+                  snapshots = model.snapshots :+ next)
+              }
+            }
             if (publish) {
               BranchOps.publishBranch(spark, dir, name)
               val next = mergeModel(model.rows, b)

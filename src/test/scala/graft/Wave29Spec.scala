@@ -83,17 +83,38 @@ class Wave29Spec extends SparkTestBase {
     BranchOps.publishBranch(spark, dir, "dirty")                     // v3
     assert(readAll(dir)(7L) === (7.0, "O"))
     BranchOps.dropBranch(spark, dir, "dirty")
-    // staleness: main advances after the fork -> loud refusal
+    // DISJOINT main advance: the publish REBASES — main's E-partition
+    // write and the branch's O-partition work both land
     BranchOps.createBranch(spark, dir, "stale")
     MergeOps.mergeUpsert(spark, dir, row(8L, 80.0, "E"), "k", "p")   // v4
     BranchOps.branchUpsert(spark, dir, "stale", row(9L, 90.0, "O"),
                            "k", "p")
+    BranchOps.publishBranch(spark, dir, "stale")                     // v5
+    val got = readAll(dir)
+    assert(got(8L) === (80.0, "E") && got(9L) === (90.0, "O"),
+      "a disjoint-rebased publish must keep BOTH sides' work")
+    BranchOps.dropBranch(spark, dir, "stale")
+    // OVERLAPPING main advance: loud refusal, main unmoved
+    BranchOps.createBranch(spark, dir, "ovl")
+    BranchOps.branchUpsert(spark, dir, "ovl", row(10L, 100.0, "E"),
+                           "k", "p")
+    MergeOps.mergeUpsert(spark, dir, row(12L, 120.0, "E"), "k", "p") // v6
     val e = intercept[IllegalArgumentException] {
-      BranchOps.publishBranch(spark, dir, "stale")
+      BranchOps.publishBranch(spark, dir, "ovl")
     }
     assert(e.getMessage.contains("advanced past"))
-    assert(Versioned.currentVersion(spark, dir).contains(4L))
-    BranchOps.dropBranch(spark, dir, "stale")
+    assert(Versioned.currentVersion(spark, dir).contains(6L))
+    BranchOps.dropBranch(spark, dir, "ovl")
+    // UNDECLARED main advance (rollback): refusal too
+    BranchOps.createBranch(spark, dir, "undecl")
+    BranchOps.branchUpsert(spark, dir, "undecl", row(11L, 110.0, "O"),
+                           "k", "p")
+    Versioned.rollback(spark, dir, 5L)                               // v7
+    val e2 = intercept[IllegalArgumentException] {
+      BranchOps.publishBranch(spark, dir, "undecl")
+    }
+    assert(e2.getMessage.contains("advanced past"))
+    BranchOps.dropBranch(spark, dir, "undecl")
     // duplicate create is loud
     BranchOps.createBranch(spark, dir, "x")
     intercept[IllegalStateException] {
