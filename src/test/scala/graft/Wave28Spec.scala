@@ -99,6 +99,76 @@ class Wave28Spec extends SparkTestBase {
     assert(readAll(dst) === readAll(src))
   }
 
+  test("a feed stream that slept past the retention floor fails LOUDLY " +
+       "with the floor error; tagging the high-water version pins it " +
+       "and the stream resumes") {
+    import spark.implicits._
+    val src = freshDir("graft_feed_floor_src")
+    val out = freshDir("graft_feed_floor_out")
+    val ck = freshDir("graft_feed_floor_ck")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    def drain(): Option[Throwable] = {
+      val q = StreamOps.feedStream(spark, src, "k", "p", Some(0L))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out)
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case t: Throwable => Some(t) }
+      finally q.stop()
+    }
+    assert(drain().isEmpty)   // bootstrap at v1
+    // the stream sleeps; the source churns both partitions and a
+    // vacuum raises the floor past the stream's offset (v1)
+    MergeOps.mergeUpsert(spark, src,
+      Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    MergeOps.mergeUpsert(spark, src,
+      Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
+    Versioned.vacuum(spark, src, keepVersions = 1)   // floor 3 > 1
+    val err = drain()
+    assert(err.isDefined, "a below-floor offset must fail the stream")
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    // two sanctioned loud states: the floor error (data swept, marker
+    // retained) or never-committed (the metadata sweep also removed the
+    // version's marker) — never a raw missing-file surprise
+    assert(causes(err.get).exists(c => c.getMessage != null &&
+        (c.getMessage.contains("retention floor") ||
+         c.getMessage.contains("never committed"))),
+      s"must surface a loud retention error, got: ${err.get}")
+    assert(!causes(err.get).exists(
+        _.isInstanceOf[java.io.FileNotFoundException]))
+    // pinning the offset version re-opens the feed... for a NEW store
+    // lifecycle (v1's data is already swept here, so this pins BEFORE
+    // the vacuum — the operational contract the error message names)
+    val src2 = freshDir("graft_feed_floor_src2")
+    val out2 = freshDir("graft_feed_floor_out2")
+    val ck2 = freshDir("graft_feed_floor_ck2")
+    MergeOps.mergeUpsert(spark, src2, corpus(4), "k", "p")           // v1
+    def drain2(): Option[Throwable] = {
+      val q = StreamOps.feedStream(spark, src2, "k", "p", Some(0L))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck2)
+        .format("parquet").option("path", out2)
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case t: Throwable => Some(t) }
+      finally q.stop()
+    }
+    assert(drain2().isEmpty)
+    Versioned.tagVersion(spark, src2, "hw", 1L)   // pin BEFORE vacuum
+    MergeOps.mergeUpsert(spark, src2,
+      Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    MergeOps.mergeUpsert(spark, src2,
+      Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
+    Versioned.vacuum(spark, src2, keepVersions = 1)
+    assert(drain2().isEmpty,
+      "a tagged high-water version must keep the stream alive")
+    val got = spark.read.parquet(out2).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(Set(5L, 6L).subsetOf(got))
+  }
+
   test("high-water ledger ids stay ONE line per source at streaming " +
        "cadence (the unbounded-growth fix), while plain ids accumulate " +
        "and replay semantics are unchanged") {
