@@ -212,6 +212,9 @@ object BranchOps {
         headDv.getOrElse(n, Nil) != forkDv.getOrElse(n, Nil) ||
         headUv.getOrElse(n, Nil) != forkUv.getOrElse(n, Nil)
     }
+    // a branch that never diverged has nothing to land: publishing an
+    // identical-content version would be churn, not work
+    if (changed.isEmpty) return
     // the WAP audit: main's table contract must hold on what lands —
     // validated on the CHANGED partitions only (the feed pruning rule)
     val mainCur0 = Versioned.currentVersion(s, root).getOrElse(
