@@ -566,9 +566,14 @@ object Versioned {
             if !fs.exists(tmp) && fs.exists(q) =>
           // the rename actually landed (some stores throw after effect)
           ()
-        case _: UnsupportedOperationException =>
-          // no FileContext binding for this store: last-resort in-place
-          // overwrite — the documented non-atomic fallback
+        case _: UnsupportedOperationException |
+             _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext binding for this store (getFileContext signals
+          // that with UnsupportedFileSystemException, an IOException —
+          // NOT UnsupportedOperationException): last-resort in-place
+          // overwrite — the documented non-atomic fallback. Genuine
+          // rename failures (other IOExceptions with tmp still present)
+          // stay loud via the guarded arm above not matching.
           val o2 = fs.create(q, true)
           try o2.write(bytes) finally o2.close()
           fs.delete(tmp, false)
@@ -815,14 +820,25 @@ object Versioned {
     * ledger needs ONE line per source instead of one per trigger — the
     * round-11 advice growth fix: at streaming cadence the cumulative
     * set (and every commit's read-modify-write of it) grew O(total
-    * triggers) without bound. Ids without the form (`b0`,
-    * `dedup-2024-03-01`) keep exact-set semantics — arbitrary caller
-    * ids carry no ordering contract to exploit. */
+    * triggers) without bound. High-water semantics are RESERVED to the
+    * framework's own sequential emitters — source prefixes `src` (the
+    * mirror sync's source versions) and `stream*` (streaming sinks'
+    * batch ids) — the round-12 advice fix: `ledgerId` is a public
+    * parameter, and an arbitrary caller id that merely LOOKS numeric
+    * (`load:20240301`, out-of-order external batch ids) carries no
+    * sequential-emitter contract, so inferring monotonic semantics
+    * from its shape silently no-ops a genuinely new batch with a
+    * lower suffix. Everything outside the reserved prefixes keeps
+    * exact-set semantics. */
   private def hwOf(id: String): Option[(String, Long)] = {
     val i = id.lastIndexOf(':')
     if (i <= 0 || i == id.length - 1) None
-    else scala.util.Try(id.substring(i + 1).toLong).toOption
-      .filter(_ >= 0).map(n => (id.substring(0, i), n))
+    else {
+      val src = id.substring(0, i)
+      if (src != "src" && !src.startsWith("stream")) None
+      else scala.util.Try(id.substring(i + 1).toLong).toOption
+        .filter(_ >= 0).map(n => (src, n))
+    }
   }
 
   /** Is `id` applied under `ids`? Literal membership, or — for a
@@ -882,6 +898,43 @@ object Versioned {
     try out.write(parts.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** PIN a live writer's staged dirs against [[vacuum]] for the whole
+    * stage→publish(→rebase) window: `intents/<token>.txt` lists the
+    * relative dirs (`data/…`, `dvdata/…`, `uvdata/…`) the attempt
+    * staged (or is about to stage) and may still publish A MANIFEST
+    * REFERENCE TO. Why vacuum's version keep rule (`n > cur`) is not
+    * enough since round 12: a REBASING loser
+    * ([[graft.ops.MergeOps]]' publishOrRebase) re-publishes dirs
+    * staged at its LOST version `n` — the moment the racing winner
+    * commits `n`, those dirs sit at `n ≤ cur` unreferenced, exactly
+    * what vacuum reclaims, and vacuum publishes no version so the
+    * rebase's disjointness check can never see it; a swept loser would
+    * commit a manifest pointing at deleted files (publish is
+    * metadata-only, nothing re-validates the bytes). ORDER CONTRACT:
+    * the pin must land BEFORE the first staged byte — vacuum reads
+    * `intents/` strictly AFTER listing the data roots, so any dir
+    * visible to its sweep has its (earlier-created) pin visible to its
+    * pin read; a pin it misses belongs to a dir it also missed. The
+    * writer clears the pin in a `finally` once the claim is decided
+    * either way (committed dirs are manifest-referenced; a permanently
+    * failed attempt's dirs become ordinary unpinned garbage). Crash-
+    * leaked pins age out: vacuum deletes intent files older than its
+    * `pinGraceMs` — a writer's stage→publish window is minutes, the
+    * default grace is a day, and a pin is one small file per write. */
+  private[graft] def pinStage(s: SparkSession, dir: String, token: String,
+                              relDirs: Seq[String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, new Path(dir, s"intents/$token.txt"), "stage pin")
+    try out.write(relDirs.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Clear an attempt's [[pinStage]] pin (idempotent). */
+  private[graft] def unpinStage(s: SparkSession, dir: String,
+                                token: String): Unit =
+    fsOf(s, dir).delete(new Path(dir, s"intents/$token.txt"), false)
 
   /** The committed touch declaration of version `v`: Some(set) if the
     * winning attempt declared one (possibly empty), None for undeclared
@@ -1475,10 +1528,14 @@ object Versioned {
     * idempotent, and a version one racer already swept fails loudly as
     * "never committed" regardless of the recorded floor — the floor is
     * a fail-fast courtesy, never the correctness gate. A vacuum racing
-    * an ordinary STAGE-AND-PUBLISH writer can at worst delete the stage
-    * of an attempt that already lost its version race (its claim will
-    * fail anyway); a writer at current+1 is never touched (`n > cur`
-    * keep rule). The one maintenance writer vacuum must NOT race is
+    * an ordinary STAGE-AND-PUBLISH writer never touches a writer at
+    * current+1 (`n > cur` keep rule) — and since round 12 a claim
+    * LOSER's stage is no longer inert garbage (publishOrRebase may
+    * re-publish it at a higher version), so live writers' stages are
+    * additionally held by [[pinStage]] intents for the whole
+    * stage→publish(→rebase) window, read AFTER the data-root listings
+    * so the pin-before-stage order makes the pin visible for every dir
+    * the sweep can see. The one maintenance writer vacuum must NOT race is
     * [[rollback]]: a rollback's new manifest references OLD data dirs,
     * so a vacuum whose referenced-set snapshot predates the rollback
     * commit could reclaim dirs the new current needs. Vacuum re-checks
@@ -1487,7 +1544,8 @@ object Versioned {
     * and vacuum from a single maintainer (the contract every table
     * format's VACUUM has with time travel). */
   def vacuum(s: SparkSession, dir: String,
-             keepVersions: Int = 1): VacuumReport = {
+             keepVersions: Int = 1,
+             pinGraceMs: Long = 24L * 3600 * 1000): VacuumReport = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = fsOf(s, dir)
     val committed = committedVersions(s, dir)
@@ -1576,12 +1634,39 @@ object Versioned {
     def branchOwner(name: String): Option[String] =
       if (!name.startsWith("b_")) None
       else name.split('_').drop(1).headOption  // names are [A-Za-z0-9.-]+
+    // Take the three data-root LISTINGS before reading the rebase pins:
+    // a pin lands before its writer's first staged byte ([[pinStage]]'s
+    // order contract), so any dir these listings see has its pin
+    // visible to the later pin read — the lock-free ordering that
+    // closes the round-12 vacuum-vs-rebase window without a handshake.
     val dataRoot = new Path(dir, "data")
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).toSeq.foreach { st =>
+    val dataList =
+      if (fs.exists(dataRoot)) fs.listStatus(dataRoot).toSeq else Nil
+    val dvRoot = new Path(dir, "dvdata")
+    val dvList = if (fs.exists(dvRoot)) fs.listStatus(dvRoot).toSeq else Nil
+    val uvRoot = new Path(dir, "uvdata")
+    val uvList = if (fs.exists(uvRoot)) fs.listStatus(uvRoot).toSeq else Nil
+    // Live writers' pinned rel dirs (stage→publish→rebase windows).
+    // Pins older than `pinGraceMs` are crash leaks: their writer is
+    // gone (a live window is minutes), so the pin is swept and its
+    // dirs fall back to the ordinary unreferenced keep rules.
+    val intentsRoot = new Path(dir, "intents")
+    val pinned: Set[String] =
+      if (!fs.exists(intentsRoot)) Set.empty
+      else {
+        val now = System.currentTimeMillis()
+        fs.listStatus(intentsRoot).toSeq.flatMap { st =>
+          if (now - st.getModificationTime > pinGraceMs) {
+            fs.delete(st.getPath, false); ghostsDeleted += 1; Nil
+          } else readLines(fs, st.getPath)
+        }.toSet
+      }
+    dataList.foreach { st =>
       val name = st.getPath.getName
       val keep = stageDirVersion(name) match {
         case Some(n) => n > cur || referenced.contains(s"data/$name") ||
-          branchReferenced.contains(s"data/$name")
+          branchReferenced.contains(s"data/$name") ||
+          pinned.contains(s"data/$name")
         case None => branchOwner(name) match {
           case Some(owner) => liveBranchNames.contains(owner) ||
             referenced.contains(s"data/$name") ||
@@ -1603,11 +1688,11 @@ object Versioned {
         scala.util.Try(readDvLines(s, bd, bv)).toOption.getOrElse(Nil)
           .map(l => l.substring(l.indexOf('\t') + 1))
       }
-    val dvRoot = new Path(dir, "dvdata")
-    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).toSeq.foreach { st =>
+    dvList.foreach { st =>
       val name = st.getPath.getName
       val keep = stageDirVersion(name).forall(n =>
-        n > cur || referencedDv.contains(s"dvdata/$name"))
+        n > cur || referencedDv.contains(s"dvdata/$name") ||
+          pinned.contains(s"dvdata/$name"))
       if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
     // update-vector image dirs: same keep rule as tombstone dirs
@@ -1618,11 +1703,11 @@ object Versioned {
         scala.util.Try(readUvLines(s, bd, bv)).toOption.getOrElse(Nil)
           .map(_.split('\t')(1))
       }
-    val uvRoot = new Path(dir, "uvdata")
-    if (fs.exists(uvRoot)) fs.listStatus(uvRoot).toSeq.foreach { st =>
+    uvList.foreach { st =>
       val name = st.getPath.getName
       val keep = stageDirVersion(name).forall(n =>
-        n > cur || referencedUv.contains(s"uvdata/$name"))
+        n > cur || referencedUv.contains(s"uvdata/$name") ||
+          pinned.contains(s"uvdata/$name"))
       if (!keep) { fs.delete(st.getPath, true); dataDeleted += 1 }
     }
     // Metadata sweep below the floor: versions under the floor already

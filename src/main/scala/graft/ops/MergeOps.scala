@@ -115,7 +115,17 @@ object MergeOps {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }.distinct
-      val missing = refs.filterNot(writeCols.contains)
+      // Spark resolves columns case-insensitively by default
+      // (spark.sql.caseSensitive=false), so the existence check must
+      // match that resolution: a constraint written as O_TOTALPRICE > 0
+      // against a column named o_totalprice enforces fine and must not
+      // be rejected here as "missing".
+      val caseSensitive = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.caseSensitiveAnalysis
+      def norm(c: String): String =
+        if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)
+      val writeSet = writeCols.map(norm).toSet
+      val missing = refs.filterNot(r => writeSet.contains(norm(r)))
       require(missing.isEmpty,
         s"persisted CHECK constraint '$n' ($e) references " +
           s"[${missing.mkString(", ")}] absent from the write's schema " +
@@ -429,6 +439,15 @@ object MergeOps {
         val nv = v + 1
         val tok = Versioned.newToken()
         val stageRel = Versioned.newStageRel(nv, tok)
+        // PIN the stage against a racing vacuum BEFORE the first staged
+        // byte: the moment a racing winner commits `nv`, this dir sits
+        // at version ≤ current unreferenced — exactly vacuum's reclaim
+        // shape — yet publishOrRebase may still re-publish it at a
+        // higher version (the round-12 vacuum-vs-rebase window). The
+        // pin-before-stage order is what makes vacuum's later pin read
+        // sound; cleared in the finally once the claim is decided.
+        Versioned.pinStage(s, corpusDir, tok, Seq(stageRel))
+        try {
         merged.sortWithinPartitions(col(partCol), col(keyCol))
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
@@ -473,9 +492,20 @@ object MergeOps {
               stagedNames.contains(e._1) || touchedNames.contains(e._1))
               ++ staged)
         }
+        Hooks.onBeforePublish()
         publishOrRebase(s, corpusDir, v, touchedNames ++ stagedNames,
                         ledgerId, attemptPublish)
+        } finally Versioned.unpinStage(s, corpusDir, tok)
     }
+  }
+
+  /** TEST-ONLY injection point (Delta's fault-injection idiom): runs on
+    * the writer's thread after staging completes and before the first
+    * publish attempt — the exact spot a deterministic interleaving test
+    * parks a writer to race a vacuum or a competing commit against it.
+    * Production never sets it; the default is a no-op. */
+  private[graft] object Hooks {
+    @volatile var onBeforePublish: () => Unit = () => ()
   }
 
   /** Optimistic REBASE after a lost version claim — the partition-

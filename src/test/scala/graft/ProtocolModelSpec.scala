@@ -90,10 +90,76 @@ class ProtocolModelSpec extends SparkTestBase {
     var pins = Map.empty[String, Int]  // tag name -> snapshot index
 
     for (step <- 1 to steps) {
-      val opDraw = rnd.nextInt(20)
+      val opDraw = rnd.nextInt(21)
       if (sys.env.contains("GRAFT_FUZZ_TRACE"))
         println(s"TRACE seed=$seed step=$step op=$opDraw")
       opDraw match {
+        case 20 =>                               // VACUUM vs REBASE window
+          // the round-12 latent defect's interleaving, deterministic: a
+          // writer parks AFTER staging and BEFORE its first publish
+          // attempt (Hooks.onBeforePublish); a DISJOINT commit then
+          // steals its claim version and a vacuum sweeps in the window.
+          // The parked loser's stage is at version ≤ current and
+          // unreferenced — exactly vacuum's reclaim shape — and must
+          // survive via its pinStage intent so the rebase that follows
+          // publishes a manifest whose files still exist. Both batches
+          // land; the intermediate snapshot is base+main-batch.
+          val gi = rnd.nextInt(Parts.size)
+          val mi = (gi + 1 + rnd.nextInt(Parts.size - 1)) % Parts.size
+          def confined20(pi: Int, n: Int): Seq[(Long, Double, String)] =
+            (1 to n).map { _ =>
+              val k = (rnd.nextInt(10) * 3 + pi).toLong  // k%3 == pi
+              (k, math.floor(rnd.nextDouble() * 1e4) / 1e2, partOf(k))
+            }.distinctBy(_._1)
+          val gb = confined20(gi, 1 + rnd.nextInt(3))
+          val mb = confined20(mi, 1 + rnd.nextInt(3))
+          if (gb.isEmpty || mb.isEmpty) {
+            val b = if (gb.nonEmpty) gb else mb
+            if (b.nonEmpty) {
+              MergeOps.mergeUpsert(spark, dir, b.toDF("k", "v", "p"),
+                "k", "p", statsKeys = Seq("k"))
+              val next = mergeModel(model.rows, b)
+              model = model.copy(rows = next,
+                snapshots = model.snapshots :+ next)
+            }
+          } else {
+            val reached = new java.util.concurrent.CountDownLatch(1)
+            val resume = new java.util.concurrent.CountDownLatch(1)
+            val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+            MergeOps.Hooks.onBeforePublish = () => {
+              if (once.compareAndSet(false, true)) {
+                reached.countDown()
+                resume.await(60, java.util.concurrent.TimeUnit.SECONDS)
+              }
+            }
+            val err =
+              new java.util.concurrent.atomic.AtomicReference[Throwable]()
+            val t = new Thread(() => {
+              try MergeOps.mergeUpsert(spark, dir,
+                gb.toDF("k", "v", "p"), "k", "p", statsKeys = Seq("k"))
+              catch { case x: Throwable => err.set(x) }
+            })
+            try {
+              t.start()
+              assert(reached.await(
+                60, java.util.concurrent.TimeUnit.SECONDS),
+                s"seed=$seed step=$step: gated writer never staged")
+              MergeOps.mergeUpsert(spark, dir, mb.toDF("k", "v", "p"),
+                "k", "p", statsKeys = Seq("k"))
+              Versioned.vacuum(spark, dir)   // the in-window sweep
+              resume.countDown()
+              t.join(180000)
+            } finally MergeOps.Hooks.onBeforePublish = () => ()
+            assert(err.get() == null,
+              s"seed=$seed step=$step: gated rebase writer failed: " +
+                s"${err.get()}")
+            val midV = model.snapshots.size.toLong + 1
+            val mid = mergeModel(model.rows, mb)
+            val finalRows = mergeModel(mid, gb)
+            model = model.copy(rows = finalRows,
+              snapshots = model.snapshots :+ mid :+ finalRows,
+              floor = math.max(model.floor, midV))
+          }
         case 19 =>                                           // MOR UPDATE
           // same model rule as UPDATE WHERE (op 15): content-wise the
           // two must be indistinguishable, while every later op —
