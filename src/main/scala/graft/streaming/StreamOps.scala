@@ -218,13 +218,16 @@ object StreamOps {
     * version n. */
   def feedStream(s: org.apache.spark.sql.SparkSession, srcDir: String,
                  keyCol: String, partCol: String,
-                 startVersion: Option[Long] = None): DataFrame = {
-    val r = s.readStream
+                 startVersion: Option[Long] = None,
+                 maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r0 = s.readStream
       .format("graft.streaming.ChangeFeedSourceProvider")
       .option("dir", srcDir)
       .option("keyCol", keyCol)
       .option("partCol", partCol)
-    startVersion.fold(r)(v => r.option("startVersion", v.toString))
+    val r1 = startVersion.fold(r0)(v => r0.option("startVersion", v.toString))
+    maxVersionsPerTrigger
+      .fold(r1)(m => r1.option("maxVersionsPerTrigger", m.toString))
       .load()
   }
 

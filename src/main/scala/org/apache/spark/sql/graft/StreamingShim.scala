@@ -26,4 +26,22 @@ object StreamingShim {
                           schema: StructType): DataFrame =
     internalStreamingFrame(
       spark, spark.sparkContext.emptyRDD[InternalRow], schema)
+
+  /** Re-wrap a streaming-flagged frame as an ordinary batch frame —
+    * test support for asserting on a `Source.getBatch` result without
+    * running a full query (a streaming frame refuses `collect`, and
+    * even `toRdd` trips the batch-unsupported check, so the underlying
+    * RDD is lifted straight out of the `LogicalRDD` this shim built). */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(l.rdd, df.schema,
+          isStreaming = false)
+      case other => throw new IllegalArgumentException(
+        s"asBatchFrame expects a Source.getBatch frame (LogicalRDD), " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+  }
 }

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import graft.engine.Versioned
+import graft.ops.MergeOps
+import graft.streaming.{ChangeFeedSourceProvider, StreamOps}
+
+/** Round-13 wave 2: change-feed source hardening — backlog pacing
+  * (`maxVersionsPerTrigger`), the persisted initial base version
+  * (restart-deterministic batch 0, the round-12 advice defect), and the
+  * loud schema-evolution contract (never silent column drops). */
+class Wave32Spec extends SparkTestBase {
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "p")
+  }
+
+  private def readAll(dir: String): Map[Long, (Double, String)] =
+    MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+
+  test("maxVersionsPerTrigger drains a 5-version backlog as multiple " +
+       "bounded batches with the same end state as the one-batch run, " +
+       "and a mid-backlog checkpoint restart resumes at the right " +
+       "version") {
+    import spark.implicits._
+    val src = freshDir("graft_pace_src")
+    MergeOps.mergeUpsert(spark, src, corpus(6), "k", "p")            // v1
+    (7 to 10).foreach { i =>                                     // v2..v5
+      MergeOps.mergeUpsert(spark, src,
+        Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+          .toDF("k", "v", "p"), "k", "p")
+    }
+    // the unpaced reference: the whole backlog as ONE batch
+    val dstOne = freshDir("graft_pace_one")
+    val q1 = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L)),
+        dstOne, "k", "p")
+      .option("checkpointLocation", freshDir("graft_pace_ck1")).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Versioned.currentVersion(spark, dstOne).contains(1L),
+      "unpaced backlog must land as a single mirror commit")
+
+    // paced: offsets advance 0→2→4→5 — three bounded batches, with a
+    // STOP after the first (Trigger.Once) to force a mid-backlog
+    // checkpoint restart
+    val dst = freshDir("graft_pace_dst")
+    val ck = freshDir("graft_pace_ck2")
+    def paced() = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+          maxVersionsPerTrigger = Some(2L)),
+        dst, "k", "p")
+      .option("checkpointLocation", ck)
+    val qOnce = paced()
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    qOnce.awaitTermination(120000)
+    // after exactly one paced batch the mirror must equal the SOURCE AT
+    // VERSION 2 — the bounded slice, not the whole backlog
+    val srcAtV2 = Versioned.readVersion(spark, src, 2L, Some("p"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+      .toMap
+    assert(readAll(dst) === srcAtV2,
+      "the first paced batch must stop at base+maxVersionsPerTrigger")
+    // restart mid-backlog: the remaining versions drain as two more
+    // bounded batches (2→4, 4→5)
+    val q2 = paced().start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readAll(dst) === readAll(src))
+    assert(readAll(dst) === readAll(dstOne),
+      "paced and unpaced end states must be identical")
+    assert(Versioned.currentVersion(spark, dst).contains(3L),
+      "a 5-version backlog at maxVersionsPerTrigger=2 must commit as " +
+        "exactly 3 mirror versions (0→2, 2→4, 4→5)")
+  }
+
+  test("the initial base version persists under metadataPath: a source " +
+       "re-created after the table advanced replays batch 0 from the " +
+       "ORIGINAL base, not from the new current (restart-exactly-once)") {
+    import spark.implicits._
+    val src = freshDir("graft_base_src")
+    val meta = freshDir("graft_base_meta")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    val provider = new ChangeFeedSourceProvider()
+    def create() = provider.createSource(spark.sqlContext, meta, None,
+      "graft-change-feed",
+      Map("dir" -> src, "keycol" -> "k", "partcol" -> "p"))
+    val s1 = create()   // default mode: base = current at FIRST creation
+    assert(s1.getOffset.isEmpty, "nothing past the base yet")
+    // the table advances while the offset 3 is (conceptually) logged
+    // but the sink never committed — then the source is re-created
+    MergeOps.mergeUpsert(spark, src,
+      Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    MergeOps.mergeUpsert(spark, src,
+      Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
+    val s2 = create()   // crash-restart: same metadataPath
+    val replay = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(s2.getBatch(None, LongOffset(3L)))
+    val keys = replay.select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys === Map(5L -> "insert", 6L -> "insert"),
+      s"batch-0 replay must cover the ORIGINAL base→3 range, got $keys")
+    // and an explicit startVersion is persisted the same way: the
+    // recorded value wins over a recomputed one on re-creation
+    val meta2 = freshDir("graft_base_meta2")
+    def createAt0() = provider.createSource(spark.sqlContext, meta2, None,
+      "graft-change-feed",
+      Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
+          "startversion" -> "0"))
+    def bootCount(): Long = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(createAt0().getBatch(None, LongOffset(3L))).count()
+    assert(bootCount() == 6L, "bootstrap replay must emit the full snapshot")
+    assert(bootCount() == 6L,
+      "re-created bootstrap source must replay the same range")
+  }
+
+  test("mid-stream schema evolution fails LOUDLY — never a silent " +
+       "column drop — and a restarted stream picks up the widened " +
+       "schema, replaying the failed batch with the new column") {
+    import spark.implicits._
+    val src = freshDir("graft_evo_src")
+    val dst = freshDir("graft_evo_dst")
+    val ck = freshDir("graft_evo_ck")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    def start() = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L)),
+        dst, "k", "p")
+      .option("checkpointLocation", ck).start()
+    // ONE live query across the evolution: its source pinned the
+    // pre-evolution schema at creation
+    val q = start()
+    val failed = try {
+      q.processAllAvailable()                        // bootstrap mirror
+      assert(readAll(dst) === readAll(src))
+      // the source WIDENS while the query is live
+      MergeOps.mergeUpsert(spark, src,
+        Seq((5L, 50.0, "O", "fresh")).toDF("k", "v", "p", "w"),
+        "k", "p")                                                    // v2
+      intercept[Throwable] { q.processAllAvailable() }
+    } finally q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(failed).exists(_.contains(
+        "evolved mid-stream")),
+      s"expected the loud evolution signal, got: ${messages(failed)}")
+    // the failed batch must NOT have applied a silently-narrowed slice
+    assert(!readAll(dst).contains(5L),
+      "a failed evolution batch must not half-apply")
+    // restart = a fresh query on the SAME checkpoint: the re-created
+    // source pins the widened schema and the replayed batch flows
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val wide = MergeOps.readCorpus(spark, dst, "p")
+    assert(wide.columns.contains("w"),
+      "the restarted stream must mirror the widened schema")
+    val wVals = wide.select("k", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(wVals(5L) === Some("fresh"))
+    assert(wVals(1L) === None, "pre-evolution rows null-fill the new column")
+    assert(readAll(dst) === readAll(src))
+  }
+}
