@@ -1278,6 +1278,16 @@ object OracleSql {
         |WHERE source = 'src13'
         |ORDER BY doc_id""".stripMargin,
 
+    // scan_bloom_pruned: per-partition bloom point-lookup pruning on
+    // the high-cardinality doc_id inside the coarse source-group
+    // partitioning — false positives read-and-filter, so the oracle is
+    // the plain IN-filter.
+    "scan_bloom_pruned" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE doc_id IN (2, 23, 41)
+        |ORDER BY doc_id""".stripMargin,
+
     // merge_zorder_compact: the Morton rewrite + tombstone fold-in +
     // stats refresh + two-range pruned read must equal the plain
     // conjunctive filter over the undeleted complement.

@@ -1007,7 +1007,10 @@ object Versioned {
                      v: Long): Map[String, Map[String, (Long, Long)]] =
     readStatsLines(s, dir, v).flatMap { line =>
       val parts = line.split('\t')
-      if (parts.length == 4 && parts(2) != "dict")
+      // a range line's third field is the numeric lo bound — tagged
+      // forms (dict, bloom, future kinds) are other readers' lines
+      if (parts.length == 4 && parts(2).nonEmpty &&
+          parts(2).forall(c => c.isDigit || c == '-'))
         Some((parts(0), parts(1), (parts(2).toLong, parts(3).toLong)))
       else if (parts.length == 3)
         Some((parts(0), "__key__", (parts(1).toLong, parts(2).toLong)))
@@ -1038,6 +1041,33 @@ object Versioned {
       if (parts.length == 4 && parts(2) == "dict")
         Some((parts(0), parts(1), parts(3).split(',').iterator
           .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet))
+      else None
+    }.groupBy(_._1).map { case (part, rows) =>
+      part -> rows.map(r => r._2 -> r._3).toMap
+    }
+
+  /** Per-partition BLOOM FILTERS of version `v` — partition dir name →
+    * column → the deserialized sketch over `xxhash64(cast(col AS
+    * string))` of the partition's rows. Lines are
+    * `part \t col \t bloom \t <base64(serialized filter)>`, riding the
+    * SAME stats sidecar as range bounds and dictionaries — so every
+    * carry rule holds for free (maintenance carries verbatim, deletes
+    * keep a recorded filter a valid SUPERSET since a bloom only
+    * over-approximates, restaging writers drop the touched partitions'
+    * lines). This is the THIRD skipping tier (Delta's bloom index /
+    * Iceberg's Puffin shape): a point lookup on a HIGH-CARDINALITY
+    * column — where range bounds span everything and dictionaries blow
+    * their cap — skips every partition whose filter answers "definitely
+    * absent"; a false positive merely reads a partition the residual
+    * filter then empties, so correctness never rides on the fpp. */
+  def readStatsBloom(s: SparkSession, dir: String, v: Long)
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    readStatsLines(s, dir, v).flatMap { line =>
+      val parts = line.split('\t')
+      if (parts.length == 4 && parts(2) == "bloom")
+        Some((parts(0), parts(1),
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            java.util.Base64.getDecoder.decode(parts(3)))))
       else None
     }.groupBy(_._1).map { case (part, rows) =>
       part -> rows.map(r => r._2 -> r._3).toMap

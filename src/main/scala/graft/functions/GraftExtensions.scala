@@ -80,5 +80,14 @@ object GraftExtensions {
     d("graft_bloom_might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       c => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(c(0), c(1))))
+        .BloomFilterMightContain(c(0), c(1))),
+    // ... and its BUILD side (the runtime-filter aggregate), so a
+    // grouped query can emit one mergeable serialized bloom PER GROUP —
+    // the per-partition data-skipping sidecar's writer kernel. Args:
+    // (xxhash64(value) BIGINT, estimatedNumItems CONST, numBits CONST).
+    d("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate],
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c(0), c(1), c(2))))
 }

@@ -52,6 +52,16 @@ object MergeOps {
     * dictionaries exist for (status, lang, source, tier). */
   private val DictCap = 32
 
+  /** Bloom sidecar knobs: a partition above the row cap gets NO bloom
+    * line (always reads — the DictCap rule at bloom scale), and the
+    * fpp target sets the bits-per-row. At the cap the worst line is
+    * ~7.3 bits/row × 200k rows ≈ 183 KB raw (~240 KB base64) — bounded
+    * sidecar growth; a corpus whose partitions routinely exceed the cap
+    * would move blooms to per-partition binary sidecar files (the
+    * Iceberg Puffin shape) rather than raise it. */
+  private val BloomRowCap = 200000L
+  private val BloomFpp = 0.03
+
   /** Write-side CHECK constraints (Delta's `ADD CONSTRAINT` at merge
     * time): ONE aggregate pass over the batch counts violations of
     * every named predicate, and any violation fails the write loudly —
@@ -254,7 +264,44 @@ object MergeOps {
   private def freshStatsLines(df: DataFrame, partCol: String,
                               statsKey: Option[String],
                               statsKeys: Seq[String],
-                              dictKeys: Seq[String] = Nil): Seq[String] = {
+                              dictKeys: Seq[String] = Nil,
+                              bloomKeys: Seq[String] = Nil): Seq[String] = {
+    val bloomLines: Seq[String] =
+      if (bloomKeys.isEmpty) Seq.empty
+      else {
+        graft.functions.GraftExtensions.register(
+          df.sparkSession, "graft_bloom_agg")
+        // one small pre-pass for sizing: the aggregate needs ONE
+        // constant bit width across groups, so it is sized for the
+        // largest under-cap partition; over-cap partitions get NO line
+        // (no line → always read — the DictCap rule, stats are never a
+        // correctness gate). Row count upper-bounds distinct count, so
+        // the fpp target only tightens.
+        val counts = df.groupBy(col(partCol)).count().collect()
+          .map(r => Versioned.partDirName(partCol, r.get(0)) ->
+            r.getLong(1)).toMap
+        val underCap = counts.filter(_._2 <= BloomRowCap)
+        if (underCap.isEmpty) Seq.empty
+        else {
+          val nSize = math.max(1L, underCap.values.max)
+          val numBits = org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(nSize, BloomFpp)
+          val aggs = bloomKeys.map(k =>
+            call_function("graft_bloom_agg",
+              xxhash64(col(k).cast("string")), lit(nSize), lit(numBits))
+              .as(s"__bloom_$k"))
+          df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+            .collect().toSeq.flatMap { r =>
+              val part = Versioned.partDirName(partCol, r.get(0))
+              if (!underCap.contains(part)) Nil
+              else bloomKeys.zipWithIndex.flatMap { case (k, i) =>
+                Option(r.get(1 + i)).map(b =>
+                  s"$part\t$k\tbloom\t" + java.util.Base64.getEncoder
+                    .encodeToString(b.asInstanceOf[Array[Byte]]))
+              }
+            }
+        }
+      }
     val dictLines: Seq[String] =
       if (dictKeys.isEmpty) Seq.empty
       else {
@@ -317,7 +364,7 @@ object MergeOps {
           cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
         }
       else Seq.empty
-    rangeLines ++ dictLines
+    rangeLines ++ dictLines ++ bloomLines
   }
 
   /** Merge `batch` into the versioned parquet corpus at `corpusDir`:
@@ -341,15 +388,16 @@ object MergeOps {
                   statsKeys: Seq[String] = Nil,
                   ledgerId: Option[String] = None,
                   dictKeys: Seq[String] = Nil,
-                  constraints: Seq[(String, Column)] = Nil): Unit = {
+                  constraints: Seq[(String, Column)] = Nil,
+                  bloomKeys: Seq[String] = Nil): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
     checkConstraints(batch, constraints)
     def freshStats(df: DataFrame): Seq[String] =
-      freshStatsLines(df, partCol, statsKey, statsKeys, dictKeys)
-    val wantStats =
-      statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty
+      freshStatsLines(df, partCol, statsKey, statsKeys, dictKeys, bloomKeys)
+    val wantStats = statsKey.isDefined || statsKeys.nonEmpty ||
+      dictKeys.nonEmpty || bloomKeys.nonEmpty
     Versioned.currentVersion(s, corpusDir) match {
       case None =>
         // OCC rule: allocate from the snapshot this write DERIVES from
@@ -1326,6 +1374,68 @@ object MergeOps {
       dicts.get(n).forall { cols =>
         preds.forall { case (c, vals) =>
           cols.get(c).forall(set => vals.exists(set.contains))
+        }
+      }
+    }
+    val residual = preds.map { case (c, vals) =>
+      col(c).cast("string").isin(vals: _*) }.reduce(_ && _)
+    // every partition pruned: recover the schema from the newest-staged
+    // entry (the shared all-pruned idiom)
+    if (entries.isEmpty) {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+        .limit(0).where(residual)
+    }
+    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
+      .where(residual)
+  }
+
+  /** The hash the bloom sidecar is keyed by, computed ON THE DRIVER for
+    * the pruning probe: Spark's own `XxHash64` expression evaluated on
+    * the string literal — bit-identical to the executor-side
+    * `xxhash64(cast(col AS string))` the writer aggregated, because it
+    * IS the same expression (default seed 42). */
+  private[graft] def bloomProbeHash(v: String): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType))).eval(null)
+      .asInstanceOf[Long]
+
+  /** BLOOM pruning over per-partition filters
+    * ([[graft.engine.Versioned.readStatsBloom]]): keep a manifest entry
+    * only if, for EVERY predicate, some wanted value MIGHT be in that
+    * partition's recorded filter for the column — the high-cardinality
+    * point-lookup complement to range ([[readCorpusPruned]]) and
+    * dictionary ([[readCorpusDictPruned]]) skipping. A partition with
+    * no filter for some column is kept (over-cap or never recorded —
+    * stats are an optimization, never a correctness gate), a FALSE
+    * POSITIVE merely reads a partition the residual IN-conjunction
+    * then empties, and the residual runs on every survivor, so the
+    * result is exactly the filtered corpus however much pruning bit.
+    * What it buys at 100 TB: a `doc_id = X` lookup on a corpus
+    * clustered by something else entirely (language, date, source)
+    * reads the ONE partition whose filter admits X instead of all of
+    * them — the case where range bounds span everything (hash-spread
+    * high-cardinality keys) and dictionaries blew their cap long ago.
+    * The driver probes #partitions × #values hashes against in-memory
+    * sketches — bounded metadata work, no data read before the prune. */
+  def readCorpusBloomPruned(s: SparkSession, corpusDir: String,
+                            partCol: String,
+                            preds: Seq[(String, Seq[String])]): DataFrame = {
+    require(preds.nonEmpty, "readCorpusBloomPruned needs at least one " +
+      "(column, wanted-values) predicate")
+    val v = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    val blooms = Versioned.readStatsBloom(s, corpusDir, v)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val hashed = preds.map { case (c, vals) =>
+      (c, vals.map(bloomProbeHash)) }
+    val entries = man.filter { case (n, _) =>
+      blooms.get(n).forall { cols =>
+        hashed.forall { case (c, hs) =>
+          cols.get(c).forall(bf => hs.exists(bf.mightContainLong))
         }
       }
     }
@@ -2535,6 +2645,48 @@ object MergeOps {
         "the point lookup must actually prune")
     readCorpusDictPruned(s, dir, "src_grp",
         Seq(("source", Seq("src13"))))
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+              col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Declared scan_bloom_pruned query: the THIRD skipping tier on the
+    * same coarse source-group layout — a point lookup on DOC_ID, the
+    * high-cardinality key where the other two tiers are structurally
+    * blind: per-group doc_id RANGE bounds span nearly the whole id
+    * space (ids interleave round-robin across sources), and a
+    * dictionary of thousands of ids blew [[DictCap]] long ago. The
+    * per-partition bloom recorded at write time answers "definitely not
+    * here" for the three probed ids on every group but the one that
+    * holds them, so the lookup reads ONE group of four; a bloom false
+    * positive merely reads a group the residual IN-filter then empties.
+    * The query REQUIRES that pruning actually bit (kept < total, which
+    * fails only if every other group false-positives simultaneously —
+    * p ≈ fpp³); the oracle is the plain IN-filter, so equality proves
+    * pruning is invisible in the data. */
+  def scanBloomPrunedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bloompr_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs, "doc_id", "src_grp",
+                bloomKeys = Seq("doc_id"))
+    val probes = Seq("2", "23", "41")   // all land in source group 0
+    val blooms = Versioned.readStatsBloom(s, dir, 1L)
+    val kept = Versioned.manifest(s, dir, 1L).count { case (n, _) =>
+      blooms.get(n).forall(cols => cols.get("doc_id").forall(bf =>
+        probes.exists(v => bf.mightContainLong(bloomProbeHash(v)))))
+    }
+    require(kept < Versioned.manifest(s, dir, 1L).size,
+      s"the doc_id blooms must prune at least one source group, kept $kept")
+    readCorpusBloomPruned(s, dir, "src_grp",
+        Seq(("doc_id", probes)))
       .select(col("doc_id"), col("source").cast("string").as("source"),
               col("n_chars"))
       .orderBy("doc_id")

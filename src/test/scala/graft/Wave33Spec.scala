@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Versioned
+import graft.ops.MergeOps
+
+/** Round-13 wave 3: per-partition BLOOM sidecars — the third
+  * data-skipping tier (range zone maps → dictionaries → blooms),
+  * riding the same stats sidecar so every carry rule holds for free. */
+class Wave33Spec extends SparkTestBase {
+
+  private def freshDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  /** keys spread over 4 partitions by k%4 — high-cardinality in every
+    * partition, the shape ranges and dictionaries cannot skip on. */
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, i * 1.5, (i % 4).toString))
+      .toDF("k", "v", "p")
+  }
+
+  test("a bloom point lookup never READS a pruned partition: the plan's " +
+       "input files stay inside the kept dirs, and the result equals " +
+       "the plain filter") {
+    val dir = freshDir("graft_bloom_pin")
+    MergeOps.mergeUpsert(spark, dir, corpus(400), "k", "p",
+                         bloomKeys = Seq("k"))
+    // k=41 lives in partition p=1 only
+    val blooms = Versioned.readStatsBloom(spark, dir, 1L)
+    assert(blooms.size == 4 && blooms.values.forall(_.contains("k")),
+      "every partition must have recorded a doc-level bloom on k")
+    val pruned = MergeOps.readCorpusBloomPruned(spark, dir, "p",
+      Seq(("k", Seq("41"))))
+    val rows = pruned.collect().map(r => (r.getLong(0), r.get(2).toString))
+    assert(rows.toSeq == Seq((41L, "1")))
+    // the never-reads pin: input files ⊆ dirs of partitions whose bloom
+    // admitted the probe (p=1 plus any false positive — never all four)
+    val man = Versioned.manifest(spark, dir, 1L).toMap
+    val h = MergeOps.bloomProbeHash("41")  // the pruner's own probe
+    val keptParts = man.keys.filter(n =>
+      blooms(n)("k").mightContainLong(h)).toSet
+    assert(keptParts.contains("p=1") && keptParts.size < man.size,
+      s"pruning must bite: kept $keptParts")
+    val keptRel = man.collect {
+      case (n, rel) if keptParts(n) => rel }.toSet
+    val inputs = pruned.inputFiles.toSeq
+    assert(inputs.nonEmpty && inputs.forall(f =>
+        keptRel.exists(rel => f.contains(rel))),
+      s"a pruned partition was read: $inputs vs kept $keptRel")
+  }
+
+  test("a partition WITHOUT a bloom line always reads (stats are never " +
+       "a correctness gate), and a probe for an absent value returns " +
+       "empty with the right schema — false positives only ever " +
+       "read-and-filter") {
+    import spark.implicits._
+    val dir = freshDir("graft_bloom_miss")
+    MergeOps.mergeUpsert(spark, dir, corpus(200), "k", "p",
+                         bloomKeys = Seq("k"))
+    // restage partition 2 WITHOUT bloomKeys: its line drops (the
+    // changelog rule) — that partition must now always read
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((999L, 9.9, "2")).toDF("k", "v", "p"), "k", "p")
+    val blooms2 = Versioned.readStatsBloom(spark, dir, 2L)
+    assert(!blooms2.contains("p=2") && blooms2.size == 3,
+      "the restaged partition's bloom line must drop")
+    // 999 is only in the lineless partition: found via the always-read
+    val got = MergeOps.readCorpusBloomPruned(spark, dir, "p",
+      Seq(("k", Seq("999")))).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(999L))
+    // absent value: exact empty whatever the blooms said
+    val absent = MergeOps.readCorpusBloomPruned(spark, dir, "p",
+      Seq(("k", Seq("123456789"))))
+    assert(absent.count() == 0L)
+    assert(absent.columns.toSeq == Seq("k", "v", "p"))
+  }
+
+  test("bloom lines follow the sidecar carry rules: untouched " +
+       "partitions carry across a merge, everything carries across " +
+       "retention and rollback, and the pruned read stays exact after " +
+       "each") {
+    import spark.implicits._
+    val dir = freshDir("graft_bloom_carry")
+    MergeOps.mergeUpsert(spark, dir, corpus(200), "k", "p",
+                         bloomKeys = Seq("k"))                       // v1
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((601L, 6.1, "1")).toDF("k", "v", "p"), "k", "p",
+      bloomKeys = Seq("k"))                                          // v2
+    val b2 = Versioned.readStatsBloom(spark, dir, 2L)
+    assert(b2.size == 4, "untouched partitions' lines carry, the " +
+      "restaged partition re-records")
+    assert(b2("p=1")("k").mightContainLong(
+        MergeOps.bloomProbeHash("601")),
+      "the fresh line must cover the new key")
+    MergeOps.applyRetention(spark, dir, _ != "p=3")                  // v3
+    val b3 = Versioned.readStatsBloom(spark, dir, 3L)
+    assert(b3.keySet == b2.keySet - "p=3",
+      "retention must carry surviving partitions' bloom lines and drop " +
+        "the retired partition's")
+    val got = MergeOps.readCorpusBloomPruned(spark, dir, "p",
+      Seq(("k", Seq("601", "42")))).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(42L, 601L))
+    Versioned.rollback(spark, dir, 2L)                               // v4
+    assert(Versioned.readStatsBloom(spark, dir, 4L).keySet == b2.keySet,
+      "rollback must byte-copy the bloom lines with the rest")
+  }
+}
