@@ -1288,6 +1288,18 @@ object OracleSql {
         |WHERE doc_id IN (2, 23, 41)
         |ORDER BY doc_id""".stripMargin,
 
+    // merge_repartition: partition evolution (source-group layout →
+    // by-language layout) as one atomic full-rewrite commit with MOR
+    // tombstones folding in — the oracle is the plain restatement of
+    // the surviving rows, so equality proves the rewrite changed
+    // nothing but the directory shape.
+    "merge_repartition" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 90
+        |ORDER BY doc_id""".stripMargin,
+
     // merge_zorder_compact: the Morton rewrite + tombstone fold-in +
     // stats refresh + two-range pruned read must equal the plain
     // conjunctive filter over the undeleted complement.

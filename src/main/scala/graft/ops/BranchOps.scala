@@ -254,7 +254,8 @@ object BranchOps {
           s"main advanced past branch '$name''s fork ($forkV -> " +
             s"$mainCur) under $root with commits touching the branch's " +
             "own partitions (or not declaring their touch set) — " +
-            "re-create the branch from current and re-apply its work")
+            "rebaseBranch replays its work onto a fresh fork from " +
+            "current (or re-create and re-apply by hand)")
       }
       val nv = mainCur + 1
       val tok = Versioned.newToken()
@@ -288,6 +289,81 @@ object BranchOps {
           // re-runs against the new intervening set
       }
     }
+  }
+
+  /** Recover from a REFUSED publish without hand-work: re-fork from
+    * main's CURRENT version and replay the branch's own committed
+    * writes onto the new fork, leaving the old branch untouched for
+    * forensics. Returns the new branch's name (`<name>.r<mainCur>`);
+    * audit/publish/drop it like any branch.
+    *
+    * What "replay" means here: branches take writes only through
+    * [[branchUpsert]] (whole-partition restages with per-key replace),
+    * so the branch's committed operations compose to exactly its NET
+    * ROW DIFF against the fork state — the rows whose image the branch
+    * created or changed, which branch v1 (the fork copy) makes
+    * computable without any main metadata below the floor. Replaying
+    * that diff as one upsert onto the new fork gives the rebase
+    * semantic: main's intervening changes survive wherever the branch
+    * didn't write, and the branch's writes win on the keys it DID
+    * write — the same last-writer-wins rule a re-fork-and-re-apply by
+    * hand would produce. Content-level replay is exact because branch
+    * writers cannot delete keys; a future branch-delete op would need
+    * the diff to carry deletes too ([[MergeOps.changeFeed]]'s shape).
+    * The old branch's head stays readable until dropped — the
+    * forensics contract. Timing: the diff READS the fork-state rows,
+    * and vacuum retention-protects only branch HEADS — rebase promptly
+    * after a refusal; a fork state an aggressive vacuum already swept
+    * surfaces as a loud missing-file read, never silent data. */
+  def rebaseBranch(s: SparkSession, root: String, name: String,
+                   keyCol: String, partCol: String): String = {
+    val bd = bdir(root, name)
+    val bv = Versioned.currentVersion(s, bd).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root"))
+    val headMan = Versioned.manifest(s, bd, bv)
+    val forkMan = Versioned.manifest(s, bd, 1L).toMap
+    val headMap = headMan.toMap
+    val headDv = Versioned.readDvRefs(s, bd, bv)
+    val forkDv = Versioned.readDvRefs(s, bd, 1L)
+    val headUv = Versioned.readUvRefs(s, bd, bv)
+    val forkUv = Versioned.readUvRefs(s, bd, 1L)
+    val changed = (forkMan.keySet ++ headMap.keySet).filter { n =>
+      forkMan.get(n) != headMap.get(n) ||
+        headDv.getOrElse(n, Nil) != forkDv.getOrElse(n, Nil) ||
+        headUv.getOrElse(n, Nil) != forkUv.getOrElse(n, Nil)
+    }
+    require(changed.nonEmpty,
+      s"branch '$name' under $root never diverged — nothing to rebase; " +
+        "drop it and re-fork")
+    val headRows = Versioned.readEntriesLive(s, bd, bv,
+      headMan.filter(e => changed(e._1)), Some(partCol),
+      dataDir = Some(root))
+    val forkEntries = forkMan.toSeq.filter(e => changed(e._1))
+    val cols = headRows.columns.toSeq
+    val forkAligned =
+      if (forkEntries.isEmpty) headRows.limit(0)
+      else {
+        val f = Versioned.readEntriesLive(s, bd, 1L, forkEntries,
+          Some(partCol), dataDir = Some(root))
+        f.select(cols.map { c =>
+          if (f.columns.contains(c)) col(c)
+          else lit(null).cast(headRows.schema(c).dataType).as(c)
+        }: _*)
+      }
+    // the net diff: head rows whose full image the fork state lacks
+    val h = headRows.select(col(keyCol).as("__k"),
+      struct(cols.map(col): _*).as("__r"))
+    val f = forkAligned.select(col(keyCol).as("__fk"),
+      struct(cols.map(col): _*).as("__fr"))
+    val diff = h.join(f, h("__k") === f("__fk"), "left_outer")
+      .where(!(col("__r") <=> col("__fr")))
+      .select(col("__r.*"))
+    val mainCur = Versioned.currentVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val newName = s"$name.r$mainCur"
+    createBranch(s, root, newName)
+    branchUpsert(s, root, newName, diff, keyCol, partCol)
+    newName
   }
 
   /** Delete the branch's metadata tree; its staged dirs become

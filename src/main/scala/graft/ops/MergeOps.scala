@@ -1604,6 +1604,90 @@ object MergeOps {
     Versioned.publish(s, corpusDir, nv, tok, staged)
   }
 
+  /** PARTITION EVOLUTION, first tier (Iceberg evolves the spec as
+    * metadata; the honest first tier on a dir-partitioned store is an
+    * ATOMIC FULL REWRITE through the same versioned protocol): restage
+    * the whole live table clustered and partitioned by `newPartCol`,
+    * publish at snapshot+1 under the ordinary OCC claim. Everything
+    * composes the way a maintenance commit must:
+    *
+    *  - CONTENT-INVISIBLE: the committed rows are byte-for-byte the
+    *    live rows (tombstones and update vectors materialize in the
+    *    rewrite), so [[changeFeed]] across the repartition classifies
+    *    ZERO changes — layout moves, the feed stays silent, mirrors
+    *    stream nothing (the zorder rule). Mixed-layout diff reads work
+    *    because [[graft.engine.Versioned.readEntries]] re-derives each
+    *    stage dir's partition column from its own dir structure. A feed
+    *    WINDOW crossing the move passes the OLD partCol (only the
+    *    from-side can carry tombstones — the rewrite materialized them
+    *    all); sync mirrors up to the repartition version before taking
+    *    new MOR deletes on the new layout, so no window ever holds
+    *    tombstones of two layouts.
+    *  - TIME-TRAVELABLE: older versions keep their manifests verbatim —
+    *    `readVersion(v_old, Some(oldPartCol))` reads the old layout
+    *    until retention sweeps it.
+    *  - CONSTRAINT-SAFE: the staged read-back validates main's
+    *    persisted CHECK set before anything publishes.
+    *  - SIDECAR RULES: old stats/dict/bloom lines are keyed by OLD
+    *    partition dir names — all drop; fresh ones are recorded for the
+    *    new layout when requested. No dv/uv lines survive (the rewrite
+    *    materialized them); the applied-ids ledger and the constraint
+    *    set need no copy (readers walk back to the newest committed
+    *    sidecar).
+    *  - CONCURRENCY: deliberately NO touch declaration — an undeclared
+    *    commit "touches everything", so a racing upsert that staged
+    *    under the OLD layout re-derives loudly instead of rebasing a
+    *    stale-layout manifest onto the new one.
+    *
+    * Cost: one full read + shuffle + write — at 100 TB this is a
+    * scheduled maintenance job, not a hot-path operation; what the
+    * protocol buys is that it is atomic, crash-safe, and invisible to
+    * every downstream contract. Callers own the partCol parameter they
+    * pass readers afterwards, as everywhere in this API. */
+  def repartitionTable(s: SparkSession, corpusDir: String,
+                       oldPartCol: String, newPartCol: String,
+                       statsKey: Option[String] = None,
+                       statsKeys: Seq[String] = Nil,
+                       dictKeys: Seq[String] = Nil,
+                       bloomKeys: Seq[String] = Nil): Unit = {
+    require(oldPartCol != newPartCol,
+      s"repartitionTable needs a NEW partition column, got '$oldPartCol' " +
+        "twice — for a same-column re-clustering use compactSmallFiles " +
+        "or compactZOrder")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    val man = Versioned.manifest(s, corpusDir, v)
+    val live = Versioned.readEntriesLive(s, corpusDir, v, man,
+                                         Some(oldPartCol))
+    require(live.columns.contains(newPartCol),
+      s"new partition column '$newPartCol' is not a column of the " +
+        s"table under $corpusDir: ${live.columns.mkString(", ")}")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    live.repartition(col(newPartCol))
+      .sortWithinPartitions(col(newPartCol))
+      .write.mode("overwrite").partitionBy(newPartCol)
+      .parquet(s"$corpusDir/$stageRel")
+    validateStaged(s, corpusDir, stageRel, persistedConstraintCols(
+      tableConstraints(s, corpusDir, v), live.columns.toSeq))
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              newPartCol)
+    require(staged.nonEmpty,
+      s"repartitioning $corpusDir would leave no partition (every live " +
+        "row was tombstoned) — a logically empty table cannot be " +
+        "materialized; delete the table instead")
+    val wantStats = statsKey.isDefined || statsKeys.nonEmpty ||
+      dictKeys.nonEmpty || bloomKeys.nonEmpty
+    val fresh =
+      if (wantStats)
+        freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"),
+          newPartCol, statsKey, statsKeys, dictKeys, bloomKeys)
+      else Seq.empty
+    if (fresh.nonEmpty)
+      Versioned.writeStatsLines(s, corpusDir, nv, tok, fresh.sorted)
+    Versioned.publish(s, corpusDir, nv, tok, staged)
+  }
+
   private def fold(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
       .cast("long").mod(100)
@@ -2702,6 +2786,52 @@ object MergeOps {
     * filter over the source complement, so equality proves the whole
     * pass — Morton rewrite, tombstone fold-in, stats refresh, pruned
     * read — is invisible in the data. */
+  /** Declared merge_repartition query: PARTITION EVOLUTION end-to-end —
+    * documents land under the coarse source-group layout, a MOR delete
+    * leaves outstanding tombstones, then [[repartitionTable]] moves the
+    * whole table to a BY-LANGUAGE layout in one atomic maintenance
+    * commit. The query REQUIRES the composition contracts in-line: the
+    * change feed across the repartition is EMPTY (layout moves are
+    * content-invisible — mirrors stream nothing), the tombstones
+    * materialized (no dv refs at the new version), and version 1 still
+    * time-travels under the OLD layout. The oracle is the plain
+    * restatement of the surviving rows, so equality proves the rewrite
+    * changed nothing but the directory shape. */
+  def mergeRepartitionQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_repart_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs, "doc_id", "src_grp")                   // v1
+    mergeDeleteMor(s, dir,                                           // v2
+      docs.where(fold(col("doc_id")) >= 90).select("doc_id"),
+      "doc_id", "src_grp")
+    repartitionTable(s, dir, "src_grp", "lang",                      // v3
+                     statsKeys = Seq("doc_id"))
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "the repartition must land as one atomic version")
+    require(Versioned.readDvRefs(s, dir, 3L).isEmpty,
+      "the rewrite must materialize every outstanding tombstone")
+    // the feed across the move is queried with the OLD partCol: the
+    // from-side is the one still carrying old-layout tombstones (the
+    // rewrite materialized them all, so the to-side has none)
+    require(changeFeed(s, dir, 2L, 3L, "doc_id", "src_grp").isEmpty,
+      "a layout move must be content-invisible to the change feed")
+    require(Versioned.readVersion(s, dir, 1L, Some("src_grp")).count() ==
+        docs.count(),
+      "version 1 must still time-travel under the OLD layout")
+    readCorpus(s, dir, "lang")
+      .select(col("doc_id"), col("lang").cast("string").as("lang"),
+              col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def mergeZorderCompactQuery(s: SparkSession, d: String): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
     val dir = new java.io.File(
