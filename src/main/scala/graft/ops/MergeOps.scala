@@ -1453,6 +1453,66 @@ object MergeOps {
       .where(residual)
   }
 
+  /** COMPOSED data skipping — all three sidecar tiers in ONE pruning
+    * pass: range zone maps for the `ranges` predicates, and BOTH the
+    * dictionary and bloom tiers for each `values` (equality/IN)
+    * predicate — a partition is kept only if EVERY tier that has an
+    * opinion admits it (a recorded dictionary with none of the wanted
+    * values prunes even when the bloom false-positives, and vice
+    * versa; a partition with no line in some tier is admitted by that
+    * tier — stats are never a correctness gate). The residual
+    * conjunction runs on the survivors, so the result is exactly the
+    * filtered corpus however much pruning bit. This is the entry point
+    * a query planner would call: one manifest pass, driver-side
+    * metadata probes only, then the minimal read. */
+  def readCorpusSkipPruned(s: SparkSession, corpusDir: String,
+                           partCol: String,
+                           ranges: Seq[(String, Long, Long)] = Nil,
+                           values: Seq[(String, Seq[String])] = Nil)
+      : DataFrame = {
+    require(ranges.nonEmpty || values.nonEmpty,
+      "readCorpusSkipPruned needs at least one range or value predicate")
+    val v = Versioned.currentVersion(s, corpusDir)
+      .getOrElse(sys.error(s"no committed version under $corpusDir"))
+    val stats = Versioned.readStatsMulti(s, corpusDir, v)
+    val dicts = Versioned.readStatsDict(s, corpusDir, v)
+    val blooms = Versioned.readStatsBloom(s, corpusDir, v)
+    val hashed = values.map { case (c, vals) =>
+      (c, vals, vals.map(bloomProbeHash)) }
+    val man = Versioned.manifest(s, corpusDir, v)
+    val entries = man.filter { case (n, _) =>
+      val rangeOk = stats.get(n).forall { cols =>
+        ranges.forall { case (c, lo, hi) =>
+          cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
+        }
+      }
+      val dictOk = dicts.get(n).forall { cols =>
+        values.forall { case (c, vals) =>
+          cols.get(c).forall(set => vals.exists(set.contains))
+        }
+      }
+      val bloomOk = blooms.get(n).forall { cols =>
+        hashed.forall { case (c, _, hs) =>
+          cols.get(c).forall(bf => hs.exists(bf.mightContainLong))
+        }
+      }
+      rangeOk && dictOk && bloomOk
+    }
+    val preds =
+      ranges.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi } ++
+        values.map { case (c, vals) =>
+          col(c).cast("string").isin(vals: _*) }
+    val residual = preds.reduce(_ && _)
+    if (entries.isEmpty) {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+        .limit(0).where(residual)
+    }
+    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
+      .where(residual)
+  }
+
   /** Read the current committed corpus state (see [[Versioned]]). */
   def readCorpus(s: SparkSession, corpusDir: String,
                  partCol: String): DataFrame =

@@ -108,4 +108,38 @@ class Wave33Spec extends SparkTestBase {
     assert(Versioned.readStatsBloom(spark, dir, 4L).keySet == b2.keySet,
       "rollback must byte-copy the bloom lines with the rest")
   }
+
+  test("readCorpusSkipPruned composes all three tiers in one pass: the " +
+       "kept set is the intersection of every tier's opinion and the " +
+       "result equals the plain conjunctive filter") {
+    import spark.implicits._
+    val dir = freshDir("graft_skip_composed")
+    // partitions by k%4; a categorical 'c' correlated with partition
+    // (only partition 1 holds "hot"), plus bounds and blooms on k
+    val df = (1 to 400).map { i =>
+      val p = (i % 4).toString
+      (i.toLong, i * 1.5, if (i % 4 == 1 && i < 100) "hot" else "cold", p)
+    }.toDF("k", "v", "c", "p")
+    MergeOps.mergeUpsert(spark, dir, df, "k", "p",
+      statsKeys = Seq("k"), dictKeys = Seq("c"), bloomKeys = Seq("k"))
+    val got = MergeOps.readCorpusSkipPruned(spark, dir, "p",
+        ranges = Seq(("k", 1L, 120L)),
+        values = Seq(("c", Seq("hot")), ("k", Seq("41", "45", "999"))))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // plain-filter truth: k in [1,120] ∧ c='hot' ∧ k ∈ {41,45,999}
+    val want = (1 to 400).filter(i => i >= 1 && i <= 120 &&
+      (i % 4 == 1 && i < 100) && Seq(41, 45, 999).contains(i))
+      .map(_.toLong)
+    assert(got == want, s"composed pruning must be invisible: $got")
+    // tier-intersection bite: the dictionary alone pins partition 1
+    // ('hot' appears nowhere else), so at most one partition survives
+    val dicts = Versioned.readStatsDict(spark, dir, 1L)
+    assert(dicts.count(_._2("c").contains("hot")) == 1)
+    // and an absent-everywhere value prunes ALL partitions through the
+    // bloom+dict intersection — exact empty with the right schema
+    val none = MergeOps.readCorpusSkipPruned(spark, dir, "p",
+      values = Seq(("c", Seq("lukewarm"))))
+    assert(none.count() == 0L && none.columns.toSeq ==
+      Seq("k", "v", "c", "p"))
+  }
 }
