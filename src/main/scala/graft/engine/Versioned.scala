@@ -1393,18 +1393,30 @@ object Versioned {
       if (!fs.exists(root)) 0L
       else fs.listStatus(root).count(_.isDirectory).toLong
     }
+    // in-flight stage pins (round 13): a nonzero count while no writer
+    // is live means crash-leaked intents awaiting the vacuum age-out —
+    // exactly what a maintainer wants surfaced before scheduling one
+    val pinCount = {
+      val root = new Path(dir, "intents")
+      if (!fs.exists(root)) 0L else fs.listStatus(root).length.toLong
+    }
+    val statsLines = readStatsLines(s, dir, v)
+    def formCount(tag: String): Long = statsLines.count { l =>
+      val parts = l.split('\t'); parts.length == 4 && parts(2) == tag
+    }.toLong
     Seq((v, committed.size.toLong, man.size.toLong, files.toLong,
          dvRefs.size.toLong, dvRefs.values.map(_.size).sum.toLong,
          uvRefs.size.toLong, uvRefs.values.map(_.size).sum.toLong,
          retentionFloor(s, dir).getOrElse(1L),
          tags(s, dir).size.toLong, branchCount,
          readConstraintLines(s, dir, v).size.toLong,
-         readStatsLines(s, dir, v).size.toLong,
-         appliedLedgerIds(s, dir, v).size.toLong))
+         statsLines.size.toLong, formCount("dict"), formCount("bloom"),
+         appliedLedgerIds(s, dir, v).size.toLong, pinCount))
       .toDF("version", "committed_versions", "partitions", "data_files",
             "dv_partitions", "dv_refs", "uv_partitions", "uv_refs",
             "retention_floor", "tags", "branches", "constraints",
-            "stats_lines", "applied_ids")
+            "stats_lines", "dict_lines", "bloom_lines",
+            "applied_ids", "stage_pins")
   }
 
   /** Time travel by TIMESTAMP (AS OF TIMESTAMP): the newest committed

@@ -261,6 +261,24 @@ object MergeOps {
       Versioned.writeUvLines(s, corpusDir, nv, tok, uvKept)
   }
 
+  /** The REPLACE rule an ANALYZE-style refresh shares with the z-order
+    * compaction: a carried line is dropped only if this call recomputed
+    * its exact FORM for its column — a range refresh must never cost
+    * the table its dictionary or its bloom on the same column (the
+    * no-silent-stripping rule; routing an unrecognized tagged form into
+    * the range branch was exactly the round-13 bloom near-miss). */
+  private def statsLineReplaced(statsKey: Option[String],
+                                statsKeys: Seq[String],
+                                dictKeys: Seq[String],
+                                bloomKeys: Seq[String])
+      : String => Boolean = { line =>
+    val parts = line.split('\t')
+    if (parts.length == 3) statsKey.isDefined
+    else if (parts(2) == "dict") dictKeys.contains(parts(1))
+    else if (parts(2) == "bloom") bloomKeys.contains(parts(1))
+    else statsKeys.contains(parts(1))
+  }
+
   private def freshStatsLines(df: DataFrame, partCol: String,
                               statsKey: Option[String],
                               statsKeys: Seq[String],
@@ -1606,7 +1624,8 @@ object MergeOps {
                     zCols: (String, String),
                     statsKey: Option[String] = None,
                     statsKeys: Seq[String] = Nil,
-                    dictKeys: Seq[String] = Nil): Unit = {
+                    dictKeys: Seq[String] = Nil,
+                    bloomKeys: Seq[String] = Nil): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
     val live = Versioned.readEntriesLive(s, corpusDir, v, man,
@@ -1639,21 +1658,16 @@ object MergeOps {
       s"z-ordering $corpusDir would leave no partition (every live row " +
         "was tombstoned) — a logically empty table cannot be " +
         "materialized; delete the table instead")
-    val wantStats =
-      statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty
+    val wantStats = statsKey.isDefined || statsKeys.nonEmpty ||
+      dictKeys.nonEmpty || bloomKeys.nonEmpty
     val fresh =
       if (wantStats)
         freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"), partCol,
-                        statsKey, statsKeys, dictKeys)
+                        statsKey, statsKeys, dictKeys, bloomKeys)
       else Seq.empty
-    val replaced: String => Boolean = { line =>
-      val parts = line.split('\t')
-      if (parts.length == 3) statsKey.isDefined
-      else if (parts(2) == "dict") dictKeys.contains(parts(1))
-      else statsKeys.contains(parts(1))
-    }
     val carried = Versioned.readStatsLines(s, corpusDir, v)
-      .filterNot(replaced)
+      .filterNot(statsLineReplaced(statsKey, statsKeys, dictKeys,
+                                   bloomKeys))
     if ((carried ++ fresh).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
         (carried ++ fresh).sorted)
@@ -2059,9 +2073,12 @@ object MergeOps {
   def refreshStats(s: SparkSession, corpusDir: String, partCol: String,
                    statsKey: Option[String] = None,
                    statsKeys: Seq[String] = Nil,
-                   dictKeys: Seq[String] = Nil): Unit = {
-    require(statsKey.isDefined || statsKeys.nonEmpty || dictKeys.nonEmpty,
-      "refreshStats needs at least one of statsKey/statsKeys/dictKeys")
+                   dictKeys: Seq[String] = Nil,
+                   bloomKeys: Seq[String] = Nil): Unit = {
+    require(statsKey.isDefined || statsKeys.nonEmpty ||
+        dictKeys.nonEmpty || bloomKeys.nonEmpty,
+      "refreshStats needs at least one of statsKey/statsKeys/dictKeys/" +
+        "bloomKeys")
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
@@ -2070,19 +2087,14 @@ object MergeOps {
     val live = Versioned.readEntriesLive(s, corpusDir, v, man,
                                          Some(partCol))
     val lines = freshStatsLines(live, partCol, statsKey, statsKeys,
-                                dictKeys)
+                                dictKeys, bloomKeys)
     // Refresh REPLACES only what it recomputed (the requested columns'
     // lines, in their form); everything else carries verbatim — an
     // ANALYZE of the dictionary must not cost the table its range
     // bounds (the same no-silent-stripping rule the upsert carry has).
-    val replaced: String => Boolean = { line =>
-      val parts = line.split('\t')
-      if (parts.length == 3) statsKey.isDefined
-      else if (parts(2) == "dict") dictKeys.contains(parts(1))
-      else statsKeys.contains(parts(1))
-    }
     val carried = Versioned.readStatsLines(s, corpusDir, v)
-      .filterNot(replaced)
+      .filterNot(statsLineReplaced(statsKey, statsKeys, dictKeys,
+                                   bloomKeys))
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     if ((carried ++ lines).nonEmpty)

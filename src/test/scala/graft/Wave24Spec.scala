@@ -106,7 +106,10 @@ class Wave24Spec extends SparkTestBase {
       d.getAs[Long]("tags") == 1L &&
       d.getAs[Long]("branches") == 0L &&
       d.getAs[Long]("constraints") == 0L &&
-      d.getAs[Long]("stats_lines") == 2L, s"detail: $d")
+      d.getAs[Long]("stats_lines") == 2L &&
+      d.getAs[Long]("dict_lines") == 0L &&
+      d.getAs[Long]("bloom_lines") == 0L &&
+      d.getAs[Long]("stage_pins") == 0L, s"detail: $d")
     val e = intercept[IllegalArgumentException] {
       Versioned.dropTable(spark, dir)
     }

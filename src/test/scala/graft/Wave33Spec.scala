@@ -142,4 +142,40 @@ class Wave33Spec extends SparkTestBase {
     assert(none.count() == 0L && none.columns.toSeq ==
       Seq("k", "v", "c", "p"))
   }
+
+  test("ANALYZE respects the line-form boundary: a RANGE refresh on a " +
+       "column never strips that column's bloom (the no-silent-" +
+       "stripping rule), and a BLOOM refresh recomputes from live " +
+       "rows — a fresh bloom can shed a deleted hot value") {
+    import spark.implicits._
+    val dir = freshDir("graft_bloom_refresh")
+    MergeOps.mergeUpsert(spark, dir, corpus(200), "k", "p",
+      statsKeys = Seq("k"), bloomKeys = Seq("k"))                    // v1
+    // the near-miss: a range-only refresh once routed bloom lines into
+    // the range branch and dropped them
+    MergeOps.refreshStats(spark, dir, "p", statsKeys = Seq("k"))     // v2
+    assert(Versioned.readStatsBloom(spark, dir, 2L).size == 4,
+      "a range refresh must carry the blooms untouched")
+    assert(Versioned.readStatsMulti(spark, dir, 2L).size == 4)
+    // delete a key, then re-ANALYZE the bloom: the fresh filter is
+    // built from live rows only, so the dead key can now prune
+    MergeOps.mergeDelete(spark, dir, Seq(Tuple1(41L)).toDF("k"),
+      "k", "p")                                                      // v3
+    MergeOps.refreshStats(spark, dir, "p", bloomKeys = Seq("k"))     // v4
+    val b4 = Versioned.readStatsBloom(spark, dir, 4L)
+    assert(b4.size == 4 &&
+      !b4("p=1")("k").mightContainLong(MergeOps.bloomProbeHash("41")),
+      "the refreshed bloom must be built from live rows only")
+    assert(Versioned.readStatsMulti(spark, dir, 4L).size == 4,
+      "a bloom refresh must carry the range bounds untouched")
+    // z-order compaction can refresh blooms in the same commit
+    MergeOps.compactZOrder(spark, dir, "p", ("k", "k"),
+      statsKeys = Seq("k"), bloomKeys = Seq("k"))                    // v5
+    val b5 = Versioned.readStatsBloom(spark, dir, 5L)
+    assert(b5.size == 4 &&
+      b5("p=2")("k").mightContainLong(MergeOps.bloomProbeHash("42")))
+    val got = MergeOps.readCorpusBloomPruned(spark, dir, "p",
+      Seq(("k", Seq("42", "41")))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(42L))
+  }
 }
