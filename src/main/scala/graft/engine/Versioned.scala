@@ -1700,9 +1700,27 @@ object Versioned {
         fs.listStatus(intentsRoot).toSeq.flatMap { st =>
           if (now - st.getModificationTime > pinGraceMs) {
             fs.delete(st.getPath, false); ghostsDeleted += 1; Nil
-          } else readLines(fs, st.getPath)
+          } else
+            // a pin can vanish between the listing and this read (its
+            // writer's claim resolved and it unpinned): it pins
+            // nothing — the commit-log RE-CHECK below is what keeps
+            // that safe, not the pin
+            try readLines(fs, st.getPath)
+            catch { case _: java.io.FileNotFoundException => Nil }
         }.toSet
       }
+    // Second commit-log re-check, AFTER the pin read: a pin is only
+    // removed once its writer's claim resolved, and a REBASE loser's
+    // publish puts dirs staged at n ≤ cur into the NEW current's
+    // manifest — dirs this sweep's (older) referenced-set snapshot
+    // doesn't know. The ordering closes every path: a publish that
+    // completed before the pin read moved the commit log (this check
+    // aborts the destructive pass); one that completes after it still
+    // held its pin at pin-read time (the pin keeps the dirs). Without
+    // this check the unpin-before-pin-read interleaving silently swept
+    // dirs the new current references.
+    if (committedVersions(s, dir) != committed)
+      return VacuumReport(floor, 0, 0, ghostsDeleted)
     dataList.foreach { st =>
       val name = st.getPath.getName
       val keep = stageDirVersion(name) match {
