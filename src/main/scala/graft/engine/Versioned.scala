@@ -1545,6 +1545,15 @@ object Versioned {
       floor: Long, dataDirsDeleted: Int, versionsSwept: Int,
       ghostFilesDeleted: Int)
 
+  /** TEST-ONLY injection point (the MergeOps.Hooks idiom): runs between
+    * vacuum's data-root listings and its pin read — the exact window a
+    * deterministic interleaving test needs to land a rebase publish +
+    * unpin in, proving the post-pin-read commit-log re-check aborts the
+    * destructive pass. Production never sets it. */
+  private[graft] object VacuumHooks {
+    @volatile var afterDataListing: () => Unit = () => ()
+  }
+
   /** Reclaim data dirs no RETAINED manifest references — retained =
     * the newest `keepVersions` committed versions (default 1: current
     * only, the round-8 behavior). This is the hard-delete half of the
@@ -1688,6 +1697,7 @@ object Versioned {
     val dvList = if (fs.exists(dvRoot)) fs.listStatus(dvRoot).toSeq else Nil
     val uvRoot = new Path(dir, "uvdata")
     val uvList = if (fs.exists(uvRoot)) fs.listStatus(uvRoot).toSeq else Nil
+    VacuumHooks.afterDataListing()
     // Live writers' pinned rel dirs (stage→publish→rebase windows).
     // Pins older than `pinGraceMs` are crash leaks: their writer is
     // gone (a live window is minutes), so the pin is swept and its

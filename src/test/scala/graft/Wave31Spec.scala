@@ -148,6 +148,49 @@ class Wave31Spec extends SparkTestBase {
     assert(readAll(dir).size == 6)
   }
 
+  test("the unpin-before-pin-read interleaving ABORTS the sweep: a " +
+       "rebase that publishes and unpins inside vacuum's " +
+       "listing→pin-read window moves the commit log, and the post-" +
+       "pin-read re-check keeps the sweep off dirs the new current " +
+       "references") {
+    import spark.implicits._
+    val dir = freshDir("graft_vac_recheck")
+    MergeOps.mergeUpsert(spark, dir, corpus(6), "k", "p")            // v1
+    val (reached, resume) = gate()
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val loser = new Thread(() => {
+      try MergeOps.mergeUpsert(spark, dir,
+        Seq((7L, 70.0, "O")).toDF("k", "v", "p"), "k", "p")
+      catch { case t: Throwable => err.set(t) }
+    })
+    loser.start()
+    assert(reached.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((8L, 80.0, "E")).toDF("k", "v", "p"), "k", "p")            // v2
+    // vacuum starts NOW (commit log at v2, loser parked at its lost
+    // claim); inside its listing→pin-read window the loser completes:
+    // rebase publishes v3 referencing the 2_* stage, then unpins — so
+    // the pin is INVISIBLE to the pin read and only the re-check saves
+    // the dirs
+    Versioned.VacuumHooks.afterDataListing = () => {
+      resume.countDown()
+      loser.join(120000)
+    }
+    val report =
+      try Versioned.vacuum(spark, dir)
+      finally Versioned.VacuumHooks.afterDataListing = () => ()
+    assert(err.get() == null, s"rebase failed: ${err.get()}")
+    assert(Versioned.currentVersion(spark, dir).contains(3L))
+    assert(report.dataDirsDeleted == 0,
+      "the moved commit log must abort the destructive pass")
+    assert(readAll(dir).size == 8,
+      "the rebased version must read back whole after the aborted sweep")
+    // a FRESH vacuum (snapshot taken after the publish) reclaims the
+    // genuinely dead dirs and keeps the referenced ones
+    Versioned.vacuum(spark, dir)
+    assert(readAll(dir).size == 8)
+  }
+
   test("crash-leaked pins age out: an intent older than pinGraceMs is " +
        "swept and its dirs fall back to the unreferenced keep rules") {
     import spark.implicits._
