@@ -1288,6 +1288,16 @@ object OracleSql {
         |WHERE doc_id IN (2, 23, 41)
         |ORDER BY doc_id""".stripMargin,
 
+    // scan_skip_composed: all three skipping tiers (range + dict +
+    // bloom) intersected in one pruning pass — the oracle is the plain
+    // conjunctive filter.
+    "scan_skip_composed" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 0 AND 300
+        |  AND source = 'src13'
+        |ORDER BY doc_id""".stripMargin,
+
     // merge_repartition: partition evolution (source-group layout →
     // by-language layout) as one atomic full-rewrite commit with MOR
     // tombstones folding in — the oracle is the plain restatement of

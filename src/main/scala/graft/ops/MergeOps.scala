@@ -2858,6 +2858,40 @@ object MergeOps {
     * filter over the source complement, so equality proves the whole
     * pass — Morton rewrite, tombstone fold-in, stats refresh, pruned
     * read — is invisible in the data. */
+  /** Declared scan_skip_composed query: all THREE skipping tiers in one
+    * pruning pass on the coarse source-group layout — range bounds on
+    * doc_id, the dictionary on the fine source, and the doc_id bloom,
+    * written in the ONE staged-read stats job and consulted together by
+    * [[readCorpusSkipPruned]]. The dictionary pins the single group
+    * holding src13; the range and bloom tiers ride along and the
+    * residual conjunction runs on the survivors. The query REQUIRES the
+    * intersection actually pruned; the oracle is the plain conjunctive
+    * filter, so equality proves composed pruning is invisible. */
+  def scanSkipComposedQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_skipcomp_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs, "doc_id", "src_grp",
+                statsKeys = Seq("doc_id"), dictKeys = Seq("source"),
+                bloomKeys = Seq("doc_id"))
+    val dicts = Versioned.readStatsDict(s, dir, 1L)
+    require(dicts.count(_._2("source").contains("src13")) == 1,
+      "the dictionary tier must pin exactly one source group")
+    readCorpusSkipPruned(s, dir, "src_grp",
+        ranges = Seq(("doc_id", 0L, 300L)),
+        values = Seq(("source", Seq("src13"))))
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+              col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Declared merge_repartition query: PARTITION EVOLUTION end-to-end —
     * documents land under the coarse source-group layout, a MOR delete
     * leaves outstanding tombstones, then [[repartitionTable]] moves the
