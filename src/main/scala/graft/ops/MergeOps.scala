@@ -763,7 +763,8 @@ object MergeOps {
                        partCol: String,
                        statsKey: Option[String] = None,
                        statsKeys: Seq[String] = Nil,
-                       dictKeys: Seq[String] = Nil): Unit = {
+                       dictKeys: Seq[String] = Nil,
+                       bloomKeys: Seq[String] = Nil): Unit = {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     val setMap = set.toMap
     require(!setMap.contains(keyCol) && !setMap.contains(partCol),
@@ -805,10 +806,12 @@ object MergeOps {
     val carried = Versioned.readStatsLines(s, corpusDir, v)
       .filterNot(l => touchedNames(Versioned.statsLinePart(l)))
     val fresh =
-      if (statsKey.isEmpty && statsKeys.isEmpty && dictKeys.isEmpty)
+      if (statsKey.isEmpty && statsKeys.isEmpty && dictKeys.isEmpty &&
+          bloomKeys.isEmpty)
         Seq.empty
       else freshStatsLines(s.read.parquet(s"$corpusDir/$stageRel"),
-                           partCol, statsKey, statsKeys, dictKeys)
+                           partCol, statsKey, statsKeys, dictKeys,
+                           bloomKeys)
     if ((carried ++ fresh).nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok,
                                 (carried ++ fresh).sorted)
