@@ -99,10 +99,24 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     val maxPerTrigger = p.get("maxversionspertrigger").map(_.trim.toLong)
     maxPerTrigger.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
+    // `startTag`: start from a NAMED pinned version — the mirror-restart
+    // idiom (a mirror tags its high-water version to hold its data
+    // through vacuums; the stream that resumes it starts exactly
+    // there). Resolved once at first creation and persisted like any
+    // base, so a later re-tag cannot silently move a running stream.
+    require(!(p.contains("startversion") && p.contains("starttag")),
+      "pass startVersion or startTag, not both")
+    val startV = p.get("startversion").map(_.trim.toLong)
+      .orElse(p.get("starttag").map { t =>
+        Versioned.tags(spark, dir).getOrElse(t.trim,
+          throw new IllegalArgumentException(
+            s"no tag '${t.trim}' under $dir — live tags: " +
+              Versioned.tags(spark, dir).keys.toSeq.sorted
+                .mkString(", ")))
+      })
     new ChangeFeedSource(spark, dir, required(p, "keycol"),
       required(p, "partcol"),
-      resolveBase(spark, metadataPath, dir,
-        p.get("startversion").map(_.trim.toLong)),
+      resolveBase(spark, metadataPath, dir, startV),
       maxPerTrigger)
   }
 

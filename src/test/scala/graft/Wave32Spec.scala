@@ -121,6 +121,45 @@ class Wave32Spec extends SparkTestBase {
       "re-created bootstrap source must replay the same range")
   }
 
+  test("startTag starts the stream from a NAMED pinned version, " +
+       "resolved once and persisted — a later re-tag cannot move a " +
+       "running stream's base") {
+    import spark.implicits._
+    val src = freshDir("graft_tag_src")
+    val meta = freshDir("graft_tag_meta")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    MergeOps.mergeUpsert(spark, src,
+      Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    Versioned.tagVersion(spark, src, "hw", 1L)
+    MergeOps.mergeUpsert(spark, src,
+      Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
+    val provider = new ChangeFeedSourceProvider()
+    def create() = provider.createSource(spark.sqlContext, meta, None,
+      "graft-change-feed",
+      Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
+          "starttag" -> "hw"))
+    val batch = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(create().getBatch(None, LongOffset(3L)))
+    val keys = batch.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(5L, 6L),
+      s"the tag-based stream must emit exactly the post-tag changes: $keys")
+    // re-tag to v2: the persisted base must win on re-creation
+    Versioned.tagVersion(spark, src, "hw", 2L)
+    val replay = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(create().getBatch(None, LongOffset(3L)))
+    assert(replay.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 6L), "a re-tag must not move a running stream's base")
+    // an unknown tag fails loudly with the live tag list
+    val e = intercept[IllegalArgumentException] {
+      provider.createSource(spark.sqlContext, freshDir("graft_tag_m2"),
+        None, "graft-change-feed",
+        Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
+            "starttag" -> "ghost"))
+    }
+    assert(e.getMessage.contains("no tag 'ghost'") &&
+           e.getMessage.contains("hw"))
+  }
+
   test("mid-stream schema evolution fails LOUDLY — never a silent " +
        "column drop — and a restarted stream picks up the widened " +
        "schema, replaying the failed batch with the new column") {
