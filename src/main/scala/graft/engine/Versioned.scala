@@ -1059,15 +1059,29 @@ object Versioned {
     * column — where range bounds span everything and dictionaries blow
     * their cap — skips every partition whose filter answers "definitely
     * absent"; a false positive merely reads a partition the residual
-    * filter then empties, so correctness never rides on the fpp. */
-  def readStatsBloom(s: SparkSession, dir: String, v: Long)
-      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    * filter then empties, so correctness never rides on the fpp.
+    *
+    * LAZY by design: values are [[LazyBloom]] handles that keep the
+    * base64 payload and deserialize the sketch only on the first
+    * probe, and `cols` restricts the map to the probed columns' lines
+    * up front — so decoded driver heap is O(probed partitions ×
+    * probed columns), NOT O(all partitions × all bloom'd columns).
+    * At 10⁵ partitions × ≤240 KB filters the eager form is ~24 GB of
+    * driver bitsets to answer one point lookup; the lazy form decodes
+    * exactly the filters a pruning pass consults (a partition another
+    * tier already pruned never decodes — the composed reader
+    * short-circuits). The un-decoded lines cost only their share of
+    * the stats sidecar the read already loads; if THAT line volume
+    * ever becomes the bound, the next subdivision is a per-column
+    * sidecar file — same carry rules, loaded on demand. */
+  def readStatsBloom(s: SparkSession, dir: String, v: Long,
+                     cols: Option[Set[String]] = None)
+      : Map[String, Map[String, LazyBloom]] =
     readStatsLines(s, dir, v).flatMap { line =>
       val parts = line.split('\t')
-      if (parts.length == 4 && parts(2) == "bloom")
-        Some((parts(0), parts(1),
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            java.util.Base64.getDecoder.decode(parts(3)))))
+      if (parts.length == 4 && parts(2) == "bloom" &&
+          cols.forall(_.contains(parts(1))))
+        Some((parts(0), parts(1), new LazyBloom(parts(3))))
       else None
     }.groupBy(_._1).map { case (part, rows) =>
       part -> rows.map(r => r._2 -> r._3).toMap
@@ -1855,4 +1869,28 @@ object Versioned {
     }
     VacuumReport(floor, dataDeleted, swept.size, ghostsDeleted)
   }
+}
+
+/** A bloom-sidecar entry that defers deserialization until first probe:
+  * holds the line's base64 payload and decodes the
+  * `org.apache.spark.util.sketch.BloomFilter` bitset only when
+  * [[mightContainLong]] is first called (memoized, thread-safe via
+  * lazy-val init). This is what keeps [[Versioned.readStatsBloom]]'s
+  * driver footprint proportional to the filters a pruning pass actually
+  * CONSULTS rather than every filter the table recorded — a partition
+  * that another skipping tier already pruned, or a column the query
+  * never probes, costs its sidecar line and nothing more.
+  * `isDecoded` is the per-handle observable for the never-decodes
+  * test pins. */
+final class LazyBloom private[graft] (b64: String) {
+  @volatile private var materialized = false
+  private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      java.util.Base64.getDecoder.decode(b64))
+    materialized = true
+    f
+  }
+  def mightContainLong(h: Long): Boolean = filter.mightContainLong(h)
+  /** Whether this handle's bitset has been deserialized yet. */
+  def isDecoded: Boolean = materialized
 }

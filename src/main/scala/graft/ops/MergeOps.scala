@@ -1398,18 +1398,50 @@ object MergeOps {
         }
       }
     }
-    val residual = preds.map { case (c, vals) =>
-      col(c).cast("string").isin(vals: _*) }.reduce(_ && _)
     // every partition pruned: recover the schema from the newest-staged
     // entry (the shared all-pruned idiom)
-    if (entries.isEmpty) {
-      val newest = man.maxBy(e =>
-        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
-      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
-        .limit(0).where(residual)
+    val base =
+      if (entries.isEmpty) {
+        val newest = man.maxBy(e =>
+          Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+        Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+          .limit(0)
+      }
+      else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
+    base.where(preds.map { case (c, vals) =>
+      typedInResidual(base, c, vals) }.reduce(_ && _))
+  }
+
+  /** Type-aware equality/IN residual for the pruned readers: cast the
+    * literal VALUES to the column's type instead of casting the COLUMN
+    * to string, so the predicate reaches parquet as a pushable
+    * `In(col, …)` DataFilter and row-group stats skip inside the
+    * partitions the sidecars kept — a cast-wrapped column is not a
+    * pushable parquet filter, and at 100 TB that is the difference
+    * between reading one row group and one partition. Values that
+    * cannot cast to the column's type (checked driver-side with TRY
+    * semantics, so an ANSI session never throws) can match no row of
+    * that type and are dropped; if none survive the residual is
+    * `false`. String columns keep the plain isin. The SIDECAR probes
+    * are untouched: dictionaries store string renderings and blooms
+    * hash `xxhash64(cast(col AS string))` on both sides, so prune
+    * decisions are bit-identical — only the residual's shape changes. */
+  private[graft] def typedInResidual(df: DataFrame, c: String,
+                                     vals: Seq[String]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types.StringType
+    val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+      .map(_.dataType).getOrElse(StringType)
+    if (dt == StringType) col(c).isin(vals: _*)
+    else {
+      val castable = vals.filter { v =>
+        Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              StringType), dt, Some("UTC"), EvalMode.TRY)
+          .eval(null) != null
+      }
+      if (castable.isEmpty) lit(false)
+      else col(c).isin(castable.map(v => lit(v).cast(dt)): _*)
     }
-    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
-      .where(residual)
   }
 
   /** The hash the bloom sidecar is keyed by, computed ON THE DRIVER for
@@ -1449,7 +1481,8 @@ object MergeOps {
       "(column, wanted-values) predicate")
     val v = Versioned.currentVersion(s, corpusDir)
       .getOrElse(sys.error(s"no committed version under $corpusDir"))
-    val blooms = Versioned.readStatsBloom(s, corpusDir, v)
+    val blooms = Versioned.readStatsBloom(s, corpusDir, v,
+      Some(preds.map(_._1).toSet))
     val man = Versioned.manifest(s, corpusDir, v)
     val hashed = preds.map { case (c, vals) =>
       (c, vals.map(bloomProbeHash)) }
@@ -1460,18 +1493,18 @@ object MergeOps {
         }
       }
     }
-    val residual = preds.map { case (c, vals) =>
-      col(c).cast("string").isin(vals: _*) }.reduce(_ && _)
     // every partition pruned: recover the schema from the newest-staged
     // entry (the shared all-pruned idiom)
-    if (entries.isEmpty) {
-      val newest = man.maxBy(e =>
-        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
-      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
-        .limit(0).where(residual)
-    }
-    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
-      .where(residual)
+    val base =
+      if (entries.isEmpty) {
+        val newest = man.maxBy(e =>
+          Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+        Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+          .limit(0)
+      }
+      else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
+    base.where(preds.map { case (c, vals) =>
+      typedInResidual(base, c, vals) }.reduce(_ && _))
   }
 
   /** COMPOSED data skipping — all three sidecar tiers in ONE pruning
@@ -1497,41 +1530,45 @@ object MergeOps {
       .getOrElse(sys.error(s"no committed version under $corpusDir"))
     val stats = Versioned.readStatsMulti(s, corpusDir, v)
     val dicts = Versioned.readStatsDict(s, corpusDir, v)
-    val blooms = Versioned.readStatsBloom(s, corpusDir, v)
+    val blooms = Versioned.readStatsBloom(s, corpusDir, v,
+      Some(values.map(_._1).toSet))
     val hashed = values.map { case (c, vals) =>
       (c, vals, vals.map(bloomProbeHash)) }
     val man = Versioned.manifest(s, corpusDir, v)
+    // tiers short-circuit cheapest-first: a partition the range bounds
+    // or dictionary already pruned never deserializes its bloom bitset
+    // (the [[graft.engine.LazyBloom]] contract — decoded driver heap is
+    // O(survivors x probed columns), not O(all partitions))
     val entries = man.filter { case (n, _) =>
-      val rangeOk = stats.get(n).forall { cols =>
+      def rangeOk = stats.get(n).forall { cols =>
         ranges.forall { case (c, lo, hi) =>
           cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
         }
       }
-      val dictOk = dicts.get(n).forall { cols =>
+      def dictOk = dicts.get(n).forall { cols =>
         values.forall { case (c, vals) =>
           cols.get(c).forall(set => vals.exists(set.contains))
         }
       }
-      val bloomOk = blooms.get(n).forall { cols =>
+      def bloomOk = blooms.get(n).forall { cols =>
         hashed.forall { case (c, _, hs) =>
           cols.get(c).forall(bf => hs.exists(bf.mightContainLong))
         }
       }
       rangeOk && dictOk && bloomOk
     }
+    val base =
+      if (entries.isEmpty) {
+        val newest = man.maxBy(e =>
+          Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+        Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
+          .limit(0)
+      }
+      else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
     val preds =
       ranges.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi } ++
-        values.map { case (c, vals) =>
-          col(c).cast("string").isin(vals: _*) }
-    val residual = preds.reduce(_ && _)
-    if (entries.isEmpty) {
-      val newest = man.maxBy(e =>
-        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
-      Versioned.readEntries(s, corpusDir, Seq(newest), Some(partCol))
-        .limit(0).where(residual)
-    }
-    else Versioned.readEntriesLive(s, corpusDir, v, entries, Some(partCol))
-      .where(residual)
+        values.map { case (c, vals) => typedInResidual(base, c, vals) }
+    base.where(preds.reduce(_ && _))
   }
 
   /** Read the current committed corpus state (see [[Versioned]]). */
