@@ -829,7 +829,23 @@ object Versioned {
     * sequential-emitter contract, so inferring monotonic semantics
     * from its shape silently no-ops a genuinely new batch with a
     * lower suffix. Everything outside the reserved prefixes keeps
-    * exact-set semantics. */
+    * exact-set semantics.
+    *
+    * FORMAT-VERSION BREAK (round 14, deliberate): a ledger compacted
+    * under the pre-restriction rule folded arbitrary `prefix:N` ids
+    * into one max line, dropping the lower entries — those dropped
+    * ids now read as un-applied (no literal match, no high-water
+    * grant), so a replayed identified batch against such a PRE-
+    * EXISTING store re-applies once instead of no-oping. This is the
+    * documented trade: upserts are content-idempotent, so data stays
+    * correct either way, while the alternative — recognizing ANY
+    * recorded `prefix:M` as a high-water mark on the read side —
+    * would permanently reintroduce the round-12 defect (a genuinely
+    * NEW batch `load:<lower>` silently no-op'd by an unrelated
+    * `load:<higher>` line) for every store, old and new. A one-time
+    * possible duplicate apply on legacy stores beats a standing
+    * wrong-answer class; migrating a legacy store is one re-commit
+    * of its ledger under the current rule. */
   private def hwOf(id: String): Option[(String, Long)] = {
     val i = id.lastIndexOf(':')
     if (i <= 0 || i == id.length - 1) None
@@ -935,6 +951,48 @@ object Versioned {
   private[graft] def unpinStage(s: SparkSession, dir: String,
                                 token: String): Unit =
     fsOf(s, dir).delete(new Path(dir, s"intents/$token.txt"), false)
+
+  /** Floor on [[vacuum]]'s `pinGraceMs`: the age-out treats a pin
+    * older than the grace as a CRASH LEAK and deletes it mid-sweep —
+    * if the grace were allowed below any plausible stage duration, a
+    * legitimately long-running writer (a multi-TB restage at the
+    * 100 TB scale) would lose its pin while still live, reopening
+    * exactly the vacuum-vs-rebase window the pin exists to close.
+    * One hour is the floor; [[pinHeartbeat]] is what makes even
+    * multi-HOUR stages safe against the default 24 h grace — a live
+    * pin's mtime never ages, however long the stage runs. */
+  private[graft] val MinPinGraceMs: Long = 3600L * 1000
+
+  private lazy val pinTicker =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pin-heartbeat")
+        t.setDaemon(true); t
+      })
+
+  /** HEARTBEAT a live [[pinStage]] pin: a shared daemon ticker touches
+    * `intents/<token>.txt`'s mtime every `periodMs` until the returned
+    * handle is closed, so a LIVE pin can never age past vacuum's
+    * `pinGraceMs` however long its stage→publish window runs — the
+    * age-out then only ever reaps writers that are actually gone.
+    * Touch failures are swallowed: the pin may legitimately vanish
+    * between ticks (the writer's claim resolved and it unpinned), and
+    * a missed touch merely leaves the mtime one period staler —
+    * periods are minutes, the grace floor is [[MinPinGraceMs]]. */
+  private[graft] def pinHeartbeat(s: SparkSession, dir: String,
+                                  token: String,
+                                  periodMs: Long = 5L * 60 * 1000)
+      : AutoCloseable = {
+    val fs = fsOf(s, dir)
+    val p = new Path(dir, s"intents/$token.txt")
+    val task: Runnable = () => {
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case _: Exception => () }
+    }
+    val fut = pinTicker.scheduleAtFixedRate(task, periodMs, periodMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    new AutoCloseable { def close(): Unit = { fut.cancel(false); () } }
+  }
 
   /** The committed touch declaration of version `v`: Some(set) if the
     * winning attempt declared one (possibly empty), None for undeclared
@@ -1612,6 +1670,13 @@ object Versioned {
              keepVersions: Int = 1,
              pinGraceMs: Long = 24L * 3600 * 1000): VacuumReport = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
+    require(pinGraceMs >= MinPinGraceMs,
+      s"pinGraceMs=$pinGraceMs is below the ${MinPinGraceMs} ms floor: " +
+        "the pin age-out must sit well above any plausible stage " +
+        "duration, or a LIVE long-running writer loses its pin mid-" +
+        "stage and the vacuum-vs-rebase window reopens (writers " +
+        "heartbeat their pins, so a large grace never strands garbage " +
+        "longer than one crashed writer's grace window)")
     val fs = fsOf(s, dir)
     val committed = committedVersions(s, dir)
     if (committed.isEmpty) return VacuumReport(0L, 0, 0, 0)

@@ -513,6 +513,9 @@ object MergeOps {
         // pin-before-stage order is what makes vacuum's later pin read
         // sound; cleared in the finally once the claim is decided.
         Versioned.pinStage(s, corpusDir, tok, Seq(stageRel))
+        // heartbeat the pin for the whole stage->publish window: a
+        // multi-hour restage must never age past vacuum's pinGraceMs
+        val beat = Versioned.pinHeartbeat(s, corpusDir, tok)
         try {
         merged.sortWithinPartitions(col(partCol), col(keyCol))
           .write.mode("overwrite").partitionBy(partCol)
@@ -561,7 +564,10 @@ object MergeOps {
         Hooks.onBeforePublish()
         publishOrRebase(s, corpusDir, v, touchedNames ++ stagedNames,
                         ledgerId, attemptPublish)
-        } finally Versioned.unpinStage(s, corpusDir, tok)
+        } finally {
+          beat.close()
+          Versioned.unpinStage(s, corpusDir, tok)
+        }
     }
   }
 

@@ -117,7 +117,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     new ChangeFeedSource(spark, dir, required(p, "keycol"),
       required(p, "partcol"),
       resolveBase(spark, metadataPath, dir, startV),
-      maxPerTrigger)
+      maxPerTrigger, metadataPath)
   }
 
   /** Resolve-and-persist the stream's initial base version: first
@@ -161,17 +161,59 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
                          * version everything BEFORE the stream is folded
                          * into — batches emit changes strictly after it */
                        baseVersion: Long,
-                       maxVersionsPerTrigger: Option[Long])
+                       maxVersionsPerTrigger: Option[Long],
+                       metadataPath: String)
     extends Source {
+
+  /** The pacing floor's PERSISTED high-water: crash-restarts replay
+    * `getBatch(prevStart, prevEnd)` before the first new `getOffset`
+    * (the Kafka-source assumption in MicroBatchExecution's
+    * populateStartOffsets) and re-seed the floor that way, but a CLEAN
+    * restart — last batch committed — replays nothing, and an
+    * in-memory-only floor would reset to the base: the first paced
+    * getOffset would then return base+m, BELOW the committed offset,
+    * and after the resulting empty batch the next trigger would span
+    * the whole already-processed range as one unbounded, DUPLICATE
+    * slice (breaking both the pacing promise and the non-overlapping
+    * CDC contract for non-idempotent consumers). So every paced
+    * advance drops a marker file `graft-feed-hw/<off>` under the
+    * query's own metadataPath (create-then-sweep — each marker is an
+    * atomic create, so a crash between the two leaves only a stale
+    * LOWER marker that the max() read ignores), and creation re-seeds
+    * the floor from the highest marker. Unpaced streams skip the
+    * write: their getOffset returns `current`, which never regresses. */
+  private val hwDir = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-feed-hw")
+  private val hwFs =
+    hwDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readHw(): Long =
+    if (!hwFs.exists(hwDir)) baseVersion
+    else hwFs.listStatus(hwDir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .foldLeft(baseVersion)(math.max)
+
+  private def persistHw(off: Long): Unit = {
+    hwFs.mkdirs(hwDir)
+    val marker = new org.apache.hadoop.fs.Path(hwDir, off.toString)
+    try hwFs.create(marker, false).close()
+    catch { case _: java.io.IOException if hwFs.exists(marker) => () }
+    // sweep lower markers, best-effort: the read takes the max, so a
+    // leftover only costs a directory entry
+    hwFs.listStatus(hwDir).foreach { st =>
+      if (scala.util.Try(st.getPath.getName.toLong).toOption
+            .exists(_ < off))
+        scala.util.Try(hwFs.delete(st.getPath, false))
+    }
+  }
 
   /** Highest offset this source instance has offered or seen — the
     * pacing floor, so a capped [[getOffset]] never regresses below an
-    * already-logged offset. Spark's V1 restart contract replays
-    * `getBatch(prevStart, prevEnd)` before the first new `getOffset`
-    * (the Kafka-source assumption in MicroBatchExecution's
-    * populateStartOffsets), so [[getBatch]] folding its `end` in here
-    * re-seeds the floor across restarts — mid-backlog included. */
-  @volatile private var lastOffered: Long = baseVersion
+    * already-logged offset. Seeded from the persisted high-water
+    * (clean restarts), re-seeded by [[getBatch]]'s replayed offsets
+    * (crash restarts) — both paths keep the floor monotone. */
+  @volatile private var lastOffered: Long =
+    if (maxVersionsPerTrigger.isDefined) readHw() else baseVersion
 
   override val schema: StructType =
     new ChangeFeedSourceProvider().feedSchema(spark, dir, partCol)
@@ -193,6 +235,8 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
           case Some(m) => math.max(math.min(cur, hi + m), hi)
           case None => cur
         }
+        if (maxVersionsPerTrigger.isDefined && off > lastOffered)
+          persistHw(off)
         lastOffered = off
         Some(LongOffset(off))
       case _ => None  // nothing past the base yet
@@ -201,7 +245,8 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(baseVersion)
     val to = versionOf(end)
-    // fold replayed/logged offsets into the pacing floor (restart path)
+    // fold replayed/logged offsets into the pacing floor (crash-restart
+    // path); the persisted marker catches up lazily at the next advance
     lastOffered = math.max(lastOffered, math.max(from, to))
     val batch =
       if (from >= to)

@@ -218,4 +218,50 @@ class Wave31Spec extends SparkTestBase {
       "the stale pin's dir must fall to the unreferenced rule")
     assert(readAll(dir).size == 5)
   }
+
+  test("vacuum enforces the pin-grace floor, and a heartbeated pin " +
+       "never ages out: a LIVE long-running writer keeps its dirs " +
+       "however far its initial pin mtime lies in the past") {
+    import spark.implicits._
+    val dir = freshDir("graft_pin_beat")
+    MergeOps.mergeUpsert(spark, dir, corpus(4), "k", "p")            // v1
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
+    // a too-small grace is refused outright: the age-out must sit well
+    // above any plausible stage duration
+    val e = intercept[IllegalArgumentException] {
+      Versioned.vacuum(spark, dir, keepVersions = 1, pinGraceMs = 1000L)
+    }
+    assert(e.getMessage.contains("floor"))
+    // a live writer whose stage outlives the grace: pin backdated 48h,
+    // but the heartbeat refreshes the mtime before the sweep reads it
+    val tok = Versioned.newToken()
+    val rel = Versioned.newStageRel(2L, tok)
+    val stage = new java.io.File(dir, rel)
+    stage.mkdirs()
+    java.nio.file.Files.write(stage.toPath.resolve("part-live.parquet"),
+      Array[Byte](1, 2, 3))
+    Versioned.pinStage(spark, dir, tok, Seq(rel))
+    val intent = new java.io.File(dir, s"intents/$tok.txt")
+    assert(intent.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val beat = Versioned.pinHeartbeat(spark, dir, tok, periodMs = 50L)
+    try {
+      // wait until a tick lands (mtime moves into the live window)
+      val deadline = System.currentTimeMillis() + 10000
+      while (intent.lastModified() <
+               System.currentTimeMillis() - 60000 &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      Versioned.vacuum(spark, dir, keepVersions = 1,
+        pinGraceMs = 24L * 3600 * 1000)
+      assert(intent.exists(),
+        "a heartbeated pin must survive the age-out")
+      assert(stage.exists(),
+        "the live writer's staged dir must survive the sweep")
+    } finally {
+      beat.close()
+      Versioned.unpinStage(spark, dir, tok)
+    }
+  }
 }

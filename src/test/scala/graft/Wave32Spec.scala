@@ -206,4 +206,69 @@ class Wave32Spec extends SparkTestBase {
     assert(wVals(1L) === None, "pre-evolution rows null-fill the new column")
     assert(readAll(dst) === readAll(src))
   }
+
+  test("the pacing floor survives a CLEAN restart: a re-created paced " +
+       "source seeds lastOffered from the persisted high-water, so the " +
+       "first offered offset never regresses below a committed one and " +
+       "slices stay non-overlapping") {
+    import spark.implicits._
+    val src = freshDir("graft_hw_src")
+    val meta = freshDir("graft_hw_meta")
+    MergeOps.mergeUpsert(spark, src, corpus(2), "k", "p")            // v1
+    (3 to 6).foreach { i =>                                      // v2..v5
+      MergeOps.mergeUpsert(spark, src,
+        Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+          .toDF("k", "v", "p"), "k", "p")
+    }
+    val provider = new ChangeFeedSourceProvider()
+    def create() = provider.createSource(spark.sqlContext, meta, None,
+      "graft-change-feed",
+      Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
+          "startversion" -> "0", "maxversionspertrigger" -> "2"))
+    val s1 = create()
+    assert(s1.getOffset.map(_.json.trim) == Some("2"))
+    assert(s1.getOffset.map(_.json.trim) == Some("4"))
+    // clean restart after both batches committed: V1 replays NOTHING,
+    // so only the persisted marker can carry the floor
+    val s2 = create()
+    val first = s2.getOffset.map(_.json.trim.toLong)
+    assert(first == Some(5L),
+      s"the re-created source must offer past the high-water 4 " +
+        s"(the next bounded slice), not regress to base+2=2; got $first")
+    // and the resumed slice is exactly the un-emitted tail
+    val tail = org.apache.spark.sql.graft.StreamingShim
+      .asBatchFrame(s2.getBatch(Some(LongOffset(4L)), LongOffset(5L)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(tail == Set(6L), s"the resumed slice must be v4->v5 only: $tail")
+  }
+
+  test("a chain of clean Trigger.Once runs drains a paced backlog " +
+       "end-to-end: each run advances exactly one bounded slice — " +
+       "without the persisted floor the second run would re-offer " +
+       "base+m, stall on the regressed offset, and never drain") {
+    import spark.implicits._
+    val src = freshDir("graft_hw_once_src")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    (5 to 8).foreach { i =>                                      // v2..v5
+      MergeOps.mergeUpsert(spark, src,
+        Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+          .toDF("k", "v", "p"), "k", "p")
+    }
+    val dst = freshDir("graft_hw_once_dst")
+    val ck = freshDir("graft_hw_once_ck")
+    def once() = {
+      val q = StreamOps.feedMirrorMaintenance(
+          StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+            maxVersionsPerTrigger = Some(2L)),
+          dst, "k", "p")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination(120000)
+    }
+    once(); once(); once()   // 0->2, 2->4, 4->5: three CLEAN restarts
+    assert(readAll(dst) === readAll(src),
+      "three clean Once runs must drain the 5-version backlog")
+    assert(Versioned.currentVersion(spark, dst).contains(3L),
+      "each clean run must land exactly one bounded mirror commit")
+  }
 }
