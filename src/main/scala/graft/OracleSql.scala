@@ -1288,6 +1288,16 @@ object OracleSql {
         |WHERE doc_id IN (2, 23, 41)
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_store_read: the bloom point lookup issued through the SQL
+    // front door (graft catalog) — same plain IN-filter oracle as
+    // scan_bloom_pruned, so equality proves the catalog path is
+    // invisible in the data.
+    "sql_store_read" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE doc_id IN (2, 23, 41)
+        |ORDER BY doc_id""".stripMargin,
+
     // scan_skip_composed: all three skipping tiers (range + dict +
     // bloom) intersected in one pruning pass — the oracle is the plain
     // conjunctive filter.

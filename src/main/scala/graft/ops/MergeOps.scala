@@ -1513,6 +1513,58 @@ object MergeOps {
       typedInResidual(base, c, vals) }.reduce(_ && _))
   }
 
+  /** The shared three-tier PRUNING KERNEL: keep a manifest entry only
+    * if every tier with an opinion admits it — range zone maps for the
+    * `ranges` predicates, dictionary + bloom for each `values`
+    * (equality/IN) predicate, plus (when `partCol` is given) the
+    * manifest NAME itself for values on the partition column — the
+    * zeroth tier every table format gets for free: `col=value` dir
+    * names ARE the partition index, no sidecar needed. A partition
+    * with no line in some tier is admitted by that tier (stats are an
+    * optimization, never a correctness gate). Tiers short-circuit
+    * cheapest-first, so a partition the name/range/dict tiers pruned
+    * never deserializes its bloom bitset (the
+    * [[graft.engine.LazyBloom]] contract — decoded driver heap is
+    * O(survivors × probed columns), not O(all partitions)). Shared by
+    * [[readCorpusSkipPruned]] and the SQL front door
+    * ([[graft.sql.GraftCatalog]]), so DataFrame and SQL reads prune
+    * through the ONE kernel. */
+  private[graft] def skipEntries(s: SparkSession, corpusDir: String,
+      v: Long, man: Seq[(String, String)],
+      ranges: Seq[(String, Long, Long)],
+      values: Seq[(String, Seq[String])],
+      partCol: Option[String],
+      stats: Map[String, Map[String, (Long, Long)]],
+      dicts: Map[String, Map[String, Set[String]]],
+      blooms: Map[String, Map[String, graft.engine.LazyBloom]])
+      : Seq[(String, String)] = {
+    val hashed = values.map { case (c, vals) =>
+      (c, vals.map(bloomProbeHash)) }
+    val partWanted = partCol.map { pc =>
+      values.filter(_._1.equalsIgnoreCase(pc)).map { case (_, vals) =>
+        vals.map(x => Versioned.partDirName(pc, x)).toSet }
+    }.getOrElse(Nil)
+    man.filter { case (n, _) =>
+      def nameOk = partWanted.forall(_.contains(n))
+      def rangeOk = stats.get(n).forall { cols =>
+        ranges.forall { case (c, lo, hi) =>
+          cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
+        }
+      }
+      def dictOk = dicts.get(n).forall { cols =>
+        values.forall { case (c, vals) =>
+          cols.get(c).forall(set => vals.exists(set.contains))
+        }
+      }
+      def bloomOk = blooms.get(n).forall { cols =>
+        hashed.forall { case (c, hs) =>
+          cols.get(c).forall(bf => hs.exists(bf.mightContainLong))
+        }
+      }
+      nameOk && rangeOk && dictOk && bloomOk
+    }
+  }
+
   /** COMPOSED data skipping — all three sidecar tiers in ONE pruning
     * pass: range zone maps for the `ranges` predicates, and BOTH the
     * dictionary and bloom tiers for each `values` (equality/IN)
@@ -1538,31 +1590,9 @@ object MergeOps {
     val dicts = Versioned.readStatsDict(s, corpusDir, v)
     val blooms = Versioned.readStatsBloom(s, corpusDir, v,
       Some(values.map(_._1).toSet))
-    val hashed = values.map { case (c, vals) =>
-      (c, vals, vals.map(bloomProbeHash)) }
     val man = Versioned.manifest(s, corpusDir, v)
-    // tiers short-circuit cheapest-first: a partition the range bounds
-    // or dictionary already pruned never deserializes its bloom bitset
-    // (the [[graft.engine.LazyBloom]] contract — decoded driver heap is
-    // O(survivors x probed columns), not O(all partitions))
-    val entries = man.filter { case (n, _) =>
-      def rangeOk = stats.get(n).forall { cols =>
-        ranges.forall { case (c, lo, hi) =>
-          cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
-        }
-      }
-      def dictOk = dicts.get(n).forall { cols =>
-        values.forall { case (c, vals) =>
-          cols.get(c).forall(set => vals.exists(set.contains))
-        }
-      }
-      def bloomOk = blooms.get(n).forall { cols =>
-        hashed.forall { case (c, _, hs) =>
-          cols.get(c).forall(bf => hs.exists(bf.mightContainLong))
-        }
-      }
-      rangeOk && dictOk && bloomOk
-    }
+    val entries = skipEntries(s, corpusDir, v, man, ranges, values, None,
+      stats, dicts, blooms)
     val base =
       if (entries.isEmpty) {
         val newest = man.maxBy(e =>

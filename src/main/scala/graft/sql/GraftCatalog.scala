@@ -1,0 +1,358 @@
+package graft.sql
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead,
+  Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+
+import graft.engine.Versioned
+import graft.ops.MergeOps
+
+/** The SQL FRONT DOOR for the versioned store: a DataSourceV2
+  * `TableCatalog` that makes every store under a root directory a
+  * SQL-addressable table — `SELECT … FROM graft.corpus WHERE doc_id = X`
+  * prunes through the SAME three-tier skipping kernel
+  * ([[graft.ops.MergeOps.skipEntries]]: manifest names → range zone
+  * maps → dictionaries → blooms) as the Scala readers, so the 100 TB
+  * read path is the DEFAULT path, not an API the caller must know.
+  *
+  * Register once per session:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *                  classOf[graft.sql.GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/corpora")
+  *   spark.sql("SELECT * FROM graft.docs WHERE doc_id = 42")
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 3")  // time travel
+  * }}}
+  *
+  * Architecture (the Delta/Iceberg connector shape, thinned): the
+  * catalog resolves `graft.<name>` to the store at `<root>/<name>`;
+  * the table's `ScanBuilder` takes Spark's pushed `Filter`s
+  * (`SupportsPushDownFilters`) and pruned columns
+  * (`SupportsPushDownRequiredColumns`); the scan routes equality/IN
+  * filters into the dictionary+bloom probes, integral comparisons into
+  * the range zone maps, and partition-column equality into the
+  * manifest names themselves, then reads ONLY the surviving entries —
+  * through [[graft.engine.Versioned.readEntriesLive]], so MOR deletes
+  * apply exactly as the Scala path. The scan hands Spark a `V1Scan`
+  * relation (the JDBC-connector migration idiom) whose inner plan is a
+  * plain pruned parquet read: whole-stage codegen, vectorization, and
+  * parquet row-group pushdown (via the typed residuals of
+  * [[graft.ops.MergeOps.typedInResidual]]) all apply inside it.
+  *
+  * Contract kept everywhere: pruning is ADVISORY — every pushed filter
+  * is also returned to Spark as a post-scan filter, so a sidecar false
+  * positive or a missing stats line costs a read, never a wrong
+  * answer. Writes stay with the MERGE API ([[graft.ops.MergeOps]]):
+  * the store's commit protocol is write-audit-publish, which SQL
+  * `INSERT` cannot express — DDL/DML methods fail loudly. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root — the " +
+          "directory whose versioned-store children become tables"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace :+ ident.name)
+      .foldLeft(new Path(root))((p, n) => new Path(p, n)).toString
+
+  override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    val v = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(spark, dir,
+      (ident.namespace :+ ident.name).mkString("."), v)
+  }
+
+  /** SQL time travel: `VERSION AS OF n` loads the store at committed
+    * version `n` — [[graft.engine.Versioned.readVersion]]'s semantics
+    * (that version's manifest, its deletion vectors applied). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new NoSuchTableException(ident))
+    if (!Versioned.committedVersions(spark, dir).contains(v))
+      throw new NoSuchTableException(ident)
+    new GraftTable(spark, dir,
+      (ident.namespace :+ ident.name).mkString(".") + s"@v$v", v)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val nsDir = namespace.foldLeft(new Path(root))((p, n) => new Path(p, n))
+    val fs = nsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(nsDir)) Array.empty
+    else fs.listStatus(nsDir).collect {
+      case st if st.isDirectory &&
+          fs.exists(new Path(st.getPath, "commits")) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is the READ front door: $what goes through the " +
+        "MERGE API (graft.ops.MergeOps) — the store's write-audit-" +
+        "publish commit protocol is not expressible as SQL DDL/DML")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}
+
+/** Test observable: the relative dirs the most recent [[GraftScan]]
+  * actually read (post-pruning) — the SQL twin of the Wave33
+  * never-reads-pruned-dirs input-files pin. */
+private[graft] object GraftScanObservable {
+  @volatile var lastKeptDirs: Seq[String] = Nil
+}
+
+/** One versioned store as a V2 table, pinned at `version`. */
+class GraftTable(spark: SparkSession, dir: String, ident: String,
+                 version: Long)
+    extends Table with SupportsRead {
+
+  private val man: Seq[(String, String)] =
+    Versioned.manifest(spark, dir, version)
+
+  /** The partition column, recovered from the manifest's own
+    * `col=value` entry names (absent for whole-table stores). */
+  private[sql] val partCol: Option[String] =
+    man.headOption.map(_._1).filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+
+  override def name(): String = ident
+
+  /** Schema from ONE entry's footers (the newest-staged idiom) — never
+    * a full file listing, however many partitions the table has. */
+  override val schema: StructType = {
+    val newest = man.maxBy(e =>
+      Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+    Versioned.readEntries(spark, dir, Seq(newest), partCol).schema
+  }
+
+  override def partitioning(): Array[Transform] =
+    partCol.map(pc => Expressions.identity(pc)).toArray
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(spark, dir, version, man, partCol, schema)
+}
+
+/** Routes Spark's pushed filters into prune specs: equality/IN on any
+  * column → the dictionary/bloom `values` probes (and the manifest-name
+  * tier when the column IS the partition key); integral comparisons →
+  * the range zone maps. EVERY filter is returned to Spark for
+  * post-scan evaluation — pruning is advisory, correctness never rides
+  * on a sidecar. */
+class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
+                       man: Seq[(String, String)],
+                       partCol: Option[String], fullSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var ranges: Seq[(String, Long, Long)] = Nil
+  private var values: Seq[(String, Seq[String])] = Nil
+
+  private def str(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case other => Some(String.valueOf(other))
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  /** Fold one filter into the prune specs; true if it contributed. */
+  private def accept(f: Filter): Boolean = f match {
+    case EqualTo(c, v) =>
+      val asVal = str(v).map(s => values :+= ((c, Seq(s)))).isDefined
+      longOf(v).foreach(n => ranges :+= ((c, n, n)))
+      asVal
+    case In(c, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) =>
+      values :+= ((c, vs.flatMap(str).toSeq)); true
+    case GreaterThan(c, v) =>
+      longOf(v).filter(_ < Long.MaxValue).exists { n =>
+        ranges :+= ((c, n + 1, Long.MaxValue)); true }
+    case GreaterThanOrEqual(c, v) =>
+      longOf(v).exists { n => ranges :+= ((c, n, Long.MaxValue)); true }
+    case LessThan(c, v) =>
+      longOf(v).filter(_ > Long.MinValue).exists { n =>
+        ranges :+= ((c, Long.MinValue, n - 1)); true }
+    case LessThanOrEqual(c, v) =>
+      longOf(v).exists { n => ranges :+= ((c, Long.MinValue, n)); true }
+    case And(l, r) =>
+      val a = accept(l); val b = accept(r); a || b
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(accept)
+    filters  // ALL filters re-evaluate post-scan: pruning is advisory
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, dir, version, man, partCol, required,
+                  ranges, values)
+}
+
+/** The pruned read, delivered through `V1Scan` (the JDBC-connector
+  * migration idiom): the inner relation is a plain parquet DataFrame
+  * over ONLY the kept manifest entries — Catalyst plans it with
+  * vectorized scans, whole-stage codegen, and (via the typed
+  * residuals) parquet row-group pushdown, so the SQL path's physics
+  * match the Scala readers'. */
+class GraftScan(spark: SparkSession, dir: String, version: Long,
+                man: Seq[(String, String)], partCol: Option[String],
+                required: StructType,
+                ranges: Seq[(String, Long, Long)],
+                values: Seq[(String, Seq[String])])
+    extends Scan with V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan[$dir@v$version, ranges=${ranges.size}, " +
+      s"values=${values.size}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context).asInstanceOf[T]
+
+  private class GraftRelation(context: SQLContext)
+      extends BaseRelation with TableScan {
+    override def sqlContext: SQLContext = context
+    override def schema: StructType = required
+
+    override def buildScan(): RDD[Row] = {
+      // sidecars load lazily and only for probed columns; partition-key
+      // values additionally prune on the manifest names themselves
+      val stats =
+        if (ranges.nonEmpty) Versioned.readStatsMulti(spark, dir, version)
+        else Map.empty[String, Map[String, (Long, Long)]]
+      val probed = values.map(_._1).toSet
+      val dicts =
+        if (values.nonEmpty) Versioned.readStatsDict(spark, dir, version)
+        else Map.empty[String, Map[String, Set[String]]]
+      val blooms =
+        if (values.nonEmpty)
+          Versioned.readStatsBloom(spark, dir, version, Some(probed))
+        else Map.empty[String, Map[String, graft.engine.LazyBloom]]
+      val kept = MergeOps.skipEntries(spark, dir, version, man,
+        ranges, values, partCol, stats, dicts, blooms)
+      GraftScanObservable.lastKeptDirs = kept.map(_._1)
+      val base =
+        if (kept.isEmpty) {
+          val newest = man.maxBy(e =>
+            Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+          Versioned.readEntries(spark, dir, Seq(newest), partCol).limit(0)
+        }
+        else Versioned.readEntriesLive(spark, dir, version, kept, partCol)
+      // typed residuals INSIDE the inner plan: parquet row-group stats
+      // skip within survivors; Spark re-applies the originals post-scan
+      val preds =
+        ranges.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi } ++
+          values.map { case (c, vals) =>
+            MergeOps.typedInResidual(base, c, vals) }
+      val filtered =
+        if (preds.nonEmpty) base.where(preds.reduce(_ && _)) else base
+      filtered.select(required.fieldNames.toSeq.map(col): _*).rdd
+    }
+  }
+}
+
+/** Declared queries for the SQL front door. */
+object GraftSqlQueries {
+  import graft.engine.Tables.documents
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.substring
+
+  /** Declared sql_store_read query: the bloom point lookup of
+    * scan_bloom_pruned, issued through PLAIN SQL — no Scala reader API
+    * anywhere on the query path. The store lands under the session
+    * tmpdir (the catalog root), the catalog is registered by conf, and
+    * `SELECT … WHERE doc_id IN (…)` prunes through the same three-tier
+    * kernel: the REQUIRE pins that the doc_id blooms admit fewer
+    * groups than the manifest holds, so the SQL path provably had
+    * pruning to exploit; the oracle is the plain IN-filter, so
+    * equality proves the front door is invisible in the data. */
+  def sqlStoreReadQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlstore_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp",
+                         bloomKeys = Seq("doc_id"))
+    val probes = Seq("2", "23", "41")
+    val blooms = Versioned.readStatsBloom(s, dir, 1L, Some(Set("doc_id")))
+    val kept = Versioned.manifest(s, dir, 1L).count { case (n, _) =>
+      blooms.get(n).forall(cols => cols.get("doc_id").forall(bf =>
+        probes.exists(v => bf.mightContainLong(MergeOps.bloomProbeHash(v)))))
+    }
+    require(kept < Versioned.manifest(s, dir, 1L).size,
+      s"the doc_id blooms must prune at least one source group, kept $kept")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl
+         |WHERE doc_id IN (2, 23, 41)
+         |ORDER BY doc_id""".stripMargin)
+  }
+}
