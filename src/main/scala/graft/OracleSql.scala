@@ -1308,6 +1308,18 @@ object OracleSql {
         |  AND source = 'src13'
         |ORDER BY doc_id""".stripMargin,
 
+    // merge_evolve_spec: METADATA-TIER partition evolution — old
+    // layout carried byte-identical under a range-disjoint append,
+    // then lazily migrated by a cross-layout upsert; the oracle is the
+    // plain restatement with the upsert's CASE'd n_chars.
+    "merge_evolve_spec" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id < 50 THEN n_chars * 3 ELSE n_chars END
+        |    AS n_chars,
+        |  lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // merge_repartition: partition evolution (source-group layout →
     // by-language layout) as one atomic full-rewrite commit with MOR
     // tombstones folding in — the oracle is the plain restatement of

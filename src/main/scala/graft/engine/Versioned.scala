@@ -1237,17 +1237,29 @@ object Versioned {
         else {
           val dv = rs.map(r => s.read.parquet(s"$dd/$r"))
             .reduce(_.unionByName(_))
-          // tombstone dirs are partitioned by the table's partCol, so
-          // the key column is the one data column that is not it — a
+          // tombstone dirs are partitioned by the partition column of
+          // the SPEC THAT WROTE THEM — under metadata-tier partition
+          // evolution that may differ from the partCol this read was
+          // asked for, so the key column is inferred against each ref
+          // dir's OWN `col=value` layout, never the caller's: the one
+          // data column that is not any ref dir's partition column — a
           // LOUD contract: a future tombstone writer adding a column
           // would silently anti-join on an arbitrary pick otherwise
           val kc = partCol match {
-            case Some(pc) =>
-              val dataCols = dv.columns.filterNot(_ == pc)
+            case Some(_) =>
+              val fs = fsOf(s, dd)
+              val dvParts = rs.flatMap { r =>
+                fs.listStatus(new Path(dd, r)).toSeq
+                  .map(_.getPath.getName).filter(_.contains('='))
+                  .map(_.takeWhile(_ != '='))
+              }.toSet
+              val dataCols = dv.columns.filterNot(dvParts)
               require(dataCols.length == 1,
                 s"tombstone dirs ${rs.mkString(", ")} must carry exactly " +
-                  s"(key, $pc) — got columns [${dv.columns.mkString(", ")}]; " +
-                  "the dv writer contract changed without updating the " +
+                  s"(key, <their own partition column>) — got columns " +
+                  s"[${dv.columns.mkString(", ")}] with dir-derived " +
+                  s"partition columns [${dvParts.mkString(", ")}]; the " +
+                  "dv writer contract changed without updating the " +
                   "read-side key inference")
               dataCols.head
             case None =>

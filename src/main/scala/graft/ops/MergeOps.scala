@@ -32,6 +32,13 @@ import graft.engine.Versioned
   * rows it would re-insert. */
 object MergeOps {
 
+  /** Cap on the exact-key probe a MIXED-LAYOUT upsert sends against
+    * foreign entries' dictionary/bloom sidecars: up to this many
+    * distinct batch keys collect to the driver (one bounded job, run
+    * only when the manifest holds foreign-layout entries); a larger
+    * batch falls back to the key-RANGE tier alone. */
+  private[graft] val MixedLayoutProbeCap = 10000
+
   /** Per-partition zone-map stats of a staged write: one partition-
     * pruned aggregate over what was just written (ALL stats columns in
     * the single job), collected as a bounded (#partitions) driver
@@ -470,7 +477,56 @@ object MergeOps {
         if (touched.isEmpty) return
         val man = Versioned.manifest(s, corpusDir, v)
         val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
-        val oldEntries = man.filter(e => touchedNames.contains(e._1))
+        // METADATA-TIER PARTITION EVOLUTION (Iceberg's spec-evolution
+        // shape): entries whose `col=` prefix differs from THIS write's
+        // partCol were written under an earlier spec. Evolving is just
+        // writing with a new partCol — no rewrite commit: new data
+        // lands under the new layout, foreign-layout entries carry
+        // byte-identical, and reads union the layouts (readEntries
+        // derives each version-group's partition column from its own
+        // dirs). The one correctness hazard is a batch key that already
+        // LIVES under the old layout — new-spec value pruning cannot
+        // see it, so a blind write would duplicate the key. Those
+        // entries are found with the same three-tier skipping kernel
+        // the readers use, probed on the KEY column (batch key range +
+        // up to [[MixedLayoutProbeCap]] exact keys against dict/bloom
+        // sidecars); every possibly-holding entry restages THROUGH the
+        // merge — its survivors rewrite under the NEW spec, so upserts
+        // migrate old partitions lazily, exactly the write that was
+        // needed anyway. Cost honesty: with no key-column sidecars
+        // recorded, every foreign entry is a candidate and the first
+        // overlapping upsert migrates the whole old layout — record
+        // statsKeys/bloomKeys on the key before evolving specs, and
+        // the candidate set shrinks to true range/bloom overlaps.
+        val foreign = man.filter(e => e._1.takeWhile(_ != '=') != partCol)
+        val foreignCand: Seq[(String, String)] =
+          if (foreign.isEmpty) Nil
+          else {
+            import org.apache.spark.sql.types.{ByteType, IntegerType,
+              LongType, ShortType}
+            val kr = batch.schema(keyCol).dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                val r = batch.agg(min(col(keyCol)).cast("long"),
+                                  max(col(keyCol)).cast("long")).head
+                if (r.isNullAt(0)) Nil
+                else Seq((keyCol, r.getLong(0), r.getLong(1)))
+              case _ => Nil
+            }
+            val keyStrs = batch.select(col(keyCol).cast("string"))
+              .distinct().limit(MixedLayoutProbeCap + 1)
+              .collect().map(_.getString(0)).toSeq
+            val kv =
+              if (keyStrs.size > MixedLayoutProbeCap) Nil
+              else Seq((keyCol, keyStrs))
+            if (kr.isEmpty && kv.isEmpty) foreign
+            else skipEntries(s, corpusDir, v, foreign, kr, kv,
+              Versioned.readStatsMulti(s, corpusDir, v),
+              Versioned.readStatsDict(s, corpusDir, v),
+              Versioned.readStatsBloom(s, corpusDir, v, Some(Set(keyCol))))
+          }
+        val touchedAll = touchedNames ++ foreignCand.map(_._1)
+        val oldEntries =
+          man.filter(e => touchedNames.contains(e._1)) ++ foreignCand
         val cols = batch.columns.toSeq
         // Survivors = old rows in touched partitions whose key the batch
         // does NOT replace; merged = survivors + batch. Brand-new
@@ -549,20 +605,20 @@ object MergeOps {
             Versioned.writeStatsLines(s, corpusDir, base + 1, tok2,
               (carried ++ fresh).sorted)
           carryMorSidecars(s, corpusDir, base, base + 1, tok2,
-            n => touchedNames(n) || stagedNames(n))
+            n => touchedAll(n) || stagedNames(n))
           ledgerId.foreach(id => Versioned.writeLedgerIds(s, corpusDir,
             base + 1, tok2,
             Versioned.ledgerAdd(
               Versioned.appliedLedgerIds(s, corpusDir, base), id)))
           Versioned.writeTouchLines(s, corpusDir, base + 1, tok2,
-            (touchedNames ++ stagedNames).toSeq)
+            (touchedAll ++ stagedNames).toSeq)
           Versioned.publish(s, corpusDir, base + 1, tok2,
             baseMan.filterNot(e =>
-              stagedNames.contains(e._1) || touchedNames.contains(e._1))
+              stagedNames.contains(e._1) || touchedAll.contains(e._1))
               ++ staged)
         }
         Hooks.onBeforePublish()
-        publishOrRebase(s, corpusDir, v, touchedNames ++ stagedNames,
+        publishOrRebase(s, corpusDir, v, touchedAll ++ stagedNames,
                         ledgerId, attemptPublish)
         } finally {
           beat.close()
@@ -1533,19 +1589,27 @@ object MergeOps {
       v: Long, man: Seq[(String, String)],
       ranges: Seq[(String, Long, Long)],
       values: Seq[(String, Seq[String])],
-      partCol: Option[String],
       stats: Map[String, Map[String, (Long, Long)]],
       dicts: Map[String, Map[String, Set[String]]],
       blooms: Map[String, Map[String, graft.engine.LazyBloom]])
       : Seq[(String, String)] = {
     val hashed = values.map { case (c, vals) =>
       (c, vals.map(bloomProbeHash)) }
-    val partWanted = partCol.map { pc =>
-      values.filter(_._1.equalsIgnoreCase(pc)).map { case (_, vals) =>
-        vals.map(x => Versioned.partDirName(pc, x)).toSet }
-    }.getOrElse(Nil)
+    // the name tier is LAYOUT-AWARE (metadata-tier partition
+    // evolution): an entry's own `col=` prefix says which spec wrote
+    // it, so a value predicate on THAT column prunes by dir name while
+    // entries of other layouts pass to the sidecar tiers — per-layout
+    // pruning over a mixed manifest, Iceberg's spec-evolution read
+    // shape
+    val nameWanted = values.map { case (c, vals) =>
+      (c, vals.map(x =>
+        Versioned.partDirName(c, x).drop(c.length + 1)).toSet) }
     man.filter { case (n, _) =>
-      def nameOk = partWanted.forall(_.contains(n))
+      val layout = n.takeWhile(_ != '=')
+      def nameOk = !n.contains('=') ||
+        nameWanted.forall { case (c, wantedVals) =>
+          !layout.equalsIgnoreCase(c) ||
+            wantedVals.contains(n.drop(layout.length + 1)) }
       def rangeOk = stats.get(n).forall { cols =>
         ranges.forall { case (c, lo, hi) =>
           cols.get(c).forall { case (slo, shi) => shi >= lo && slo <= hi }
@@ -1591,7 +1655,7 @@ object MergeOps {
     val blooms = Versioned.readStatsBloom(s, corpusDir, v,
       Some(values.map(_._1).toSet))
     val man = Versioned.manifest(s, corpusDir, v)
-    val entries = skipEntries(s, corpusDir, v, man, ranges, values, None,
+    val entries = skipEntries(s, corpusDir, v, man, ranges, values,
       stats, dicts, blooms)
     val base =
       if (entries.isEmpty) {
@@ -2979,6 +3043,68 @@ object MergeOps {
     * time-travels under the OLD layout. The oracle is the plain
     * restatement of the surviving rows, so equality proves the rewrite
     * changed nothing but the directory shape. */
+  /** Declared merge_evolve_spec query: METADATA-TIER partition
+    * evolution (the Iceberg trick, vs [[repartitionTable]]'s full-
+    * rewrite tier) — three commits on one table:
+    * v1 lands doc_id < 300 under the coarse source-group spec with
+    * doc_id range stats; v2 EVOLVES by simply writing doc_id ≥ 300
+    * under the by-language spec — the batch's key range is disjoint
+    * from every old entry's recorded bounds, so the mixed-layout
+    * candidate probe proves no old partition can hold a batch key and
+    * the old dirs carry BYTE-IDENTICAL (REQUIRED: same rel dirs in the
+    * v2 manifest, both layouts present); v3 upserts tripled n_chars
+    * for doc_id < 50 under the new spec — those keys DO live under the
+    * old layout, so the overlapping old partitions restage through the
+    * merge and their survivors migrate to by-language dirs (REQUIRED:
+    * the v3 manifest is pure new-layout — lazy migration completed
+    * because every source group's id range overlaps [0,50)). The
+    * oracle is the plain restatement with the CASE'd n_chars, so
+    * equality proves the whole mixed-layout lifecycle — spec change,
+    * union read over two layouts, cross-layout dedup — is invisible
+    * in the data. */
+  def mergeEvolveSpecQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_evolve_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                "doc_id", "src_grp", statsKeys = Seq("doc_id"))     // v1
+    val man1 = Versioned.manifest(s, dir, 1L).toMap
+    // v2: the spec EVOLVES — same table, new partition column; the
+    // append's key range sits beyond every old bound, so this commit
+    // is metadata-only for the old layout
+    mergeUpsert(s, dir, docs.where(col("doc_id") >= 300),
+                "doc_id", "lang", statsKeys = Seq("doc_id"))        // v2
+    val man2 = Versioned.manifest(s, dir, 2L)
+    val oldIn2 = man2.filter(_._1.startsWith("src_grp=")).toMap
+    require(oldIn2 == man1,
+      "a range-disjoint append under the new spec must carry every " +
+        "old-layout entry verbatim (metadata-only evolution)")
+    require(man2.exists(_._1.startsWith("lang=")),
+      "the new layout must land beside the old one")
+    // v3: a cross-layout upsert — its keys live under the OLD layout,
+    // so the candidate probe restages those partitions and their
+    // survivors migrate to the new spec through the merge itself
+    mergeUpsert(s, dir,
+      docs.where(col("doc_id") < 50)
+        .withColumn("n_chars", col("n_chars") * 3),
+      "doc_id", "lang", statsKeys = Seq("doc_id"))                  // v3
+    require(Versioned.manifest(s, dir, 3L)
+        .forall(_._1.startsWith("lang=")),
+      "every source group overlaps [0,50), so the upsert must have " +
+        "migrated the whole old layout")
+    readCorpus(s, dir, "lang")
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+              col("n_chars"), col("lang").cast("string").as("lang"))
+      .orderBy("doc_id")
+  }
+
   def mergeRepartitionQuery(s: SparkSession, d: String): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
     val dir = new java.io.File(

@@ -286,7 +286,7 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
           Versioned.readStatsBloom(spark, dir, version, Some(probed))
         else Map.empty[String, Map[String, graft.engine.LazyBloom]]
       val kept = MergeOps.skipEntries(spark, dir, version, man,
-        ranges, values, partCol, stats, dicts, blooms)
+        ranges, values, stats, dicts, blooms)
       GraftScanObservable.lastKeptDirs = kept.map(_._1)
       val base =
         if (kept.isEmpty) {
@@ -303,7 +303,14 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
             MergeOps.typedInResidual(base, c, vals) }
       val filtered =
         if (preds.nonEmpty) base.where(preds.reduce(_ && _)) else base
-      filtered.select(required.fieldNames.toSeq.map(col): _*).rdd
+      // cast-align to the DECLARED read schema: over a mixed-layout
+      // manifest a partition column is dir-derived in one version
+      // group and file-stored in another, and the union's coerced type
+      // can disagree with the table schema (inference types `p=2` as
+      // int, the files store string) — the no-op casts fold away when
+      // types already match
+      filtered.select(required.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*).rdd
     }
   }
 }

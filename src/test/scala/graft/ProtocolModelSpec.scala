@@ -72,7 +72,8 @@ class ProtocolModelSpec extends SparkTestBase {
       Vector(mergeModel(Map.empty, init)), floor = 1L)
 
     def readBack(): Map[Long, (Double, String)] =
-      MergeOps.readCorpus(spark, dir, "p").collect()
+      MergeOps.readCorpus(spark, dir, "p").select("k", "v", "p")
+        .collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
 
     // a REPLICA synced at random points (round 11): the change feed
@@ -90,10 +91,42 @@ class ProtocolModelSpec extends SparkTestBase {
     var pins = Map.empty[String, Int]  // tag name -> snapshot index
 
     for (step <- 1 to steps) {
-      val opDraw = rnd.nextInt(21)
+      val opDraw = rnd.nextInt(22)
       if (sys.env.contains("GRAFT_FUZZ_TRACE"))
         println(s"TRACE seed=$seed step=$step op=$opDraw")
       opDraw match {
+        case 21 =>                 // METADATA-TIER SPEC EVOLUTION (round 14)
+          // upsert under an ALTERNATE partition column (q = key
+          // parity): evolving is just writing with a new partCol —
+          // foreign-layout entries carry unless the key-sidecar probe
+          // says they might hold a batch key, in which case they
+          // MIGRATE through the merge. The mixed-layout union read and
+          // a mixed pruned read must equal the model mid-state; a
+          // full-rewrite back to the p layout then restores the
+          // pure-layout precondition the retention op assumes.
+          val b = batch(1 + rnd.nextInt(4))
+          val evo = b.map { case (k, v, p) =>
+            (k, v, p, if (k % 2 == 0) "even" else "odd") }
+          MergeOps.mergeUpsert(spark, dir, evo.toDF("k", "v", "p", "q"),
+            "k", "q", statsKeys = Seq("k"))
+          val next = mergeModel(model.rows, b)
+          model = model.copy(rows = next,
+            snapshots = model.snapshots :+ next)
+          assert(readBack() == next,
+            s"seed=$seed step=$step: mixed-layout read diverged")
+          val lo21 = rnd.nextInt(30).toLong
+          val hi21 = lo21 + rnd.nextInt(15).toLong
+          val mixedPruned = MergeOps.readCorpusSkipPruned(spark, dir, "p",
+              ranges = Seq(("k", lo21, hi21)))
+            .select("k", "v", "p").collect()
+            .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+            .toMap
+          assert(mixedPruned ==
+              next.filter { case (k, _) => k >= lo21 && k <= hi21 },
+            s"seed=$seed step=$step: mixed pruned read diverged")
+          MergeOps.repartitionTable(spark, dir, "q", "p",
+            statsKeys = Seq("k"))
+          model = model.copy(snapshots = model.snapshots :+ next)
         case 20 =>                               // VACUUM vs REBASE window
           // the round-12 latent defect's interleaving, deterministic: a
           // writer parks AFTER staging and BEFORE its first publish
@@ -274,7 +307,7 @@ class ProtocolModelSpec extends SparkTestBase {
             // the two predictions
             val midV = model.snapshots.size.toLong + 1
             val mid = Versioned.readVersion(spark, dir, midV, Some("p"))
-              .collect()
+              .select("k", "v", "p").collect()
               .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
               .toMap
             assert(mid == afterA || mid == afterB,
@@ -445,7 +478,7 @@ class ProtocolModelSpec extends SparkTestBase {
       val lo = rnd.nextInt(30).toLong
       val hi = lo + rnd.nextInt(15).toLong
       val prunedGot = MergeOps.readCorpusPruned(spark, dir, "p",
-          Seq(("k", lo, hi))).collect()
+          Seq(("k", lo, hi))).select("k", "v", "p").collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
       val prunedWant = model.current.filter { case (k, _) => k >= lo && k <= hi }
       assert(prunedGot == prunedWant,
@@ -476,7 +509,8 @@ class ProtocolModelSpec extends SparkTestBase {
           mirrorLast = 0L
         }
         mirrorLast = MergeOps.syncMirror(spark, dir, mirrorDir, "k", "p")
-        val mGot = MergeOps.readCorpus(spark, mirrorDir, "p").collect()
+        val mGot = MergeOps.readCorpus(spark, mirrorDir, "p")
+          .select("k", "v", "p").collect()
           .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
         assert(mGot == model.current,
           s"seed=$seed step=$step: mirror diverged from model\n" +
@@ -488,7 +522,8 @@ class ProtocolModelSpec extends SparkTestBase {
     // end state: every PIN reads back as the model snapshot it froze,
     // no matter what retention/vacuum/rollback churn followed
     pins.foreach { case (name, idx) =>
-      val got = Versioned.readTag(spark, dir, name, Some("p")).collect()
+      val got = Versioned.readTag(spark, dir, name, Some("p"))
+        .select("k", "v", "p").collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
       assert(got == model.snapshots(idx),
         s"seed=$seed: tag $name diverged from its pinned snapshot")
@@ -500,7 +535,8 @@ class ProtocolModelSpec extends SparkTestBase {
       s"seed=$seed: version count ${committed.last} != " +
         s"model ${model.snapshots.size}")
     committed.filter(_ >= model.floor).foreach { v =>
-      val got = Versioned.readVersion(spark, dir, v, Some("p")).collect()
+      val got = Versioned.readVersion(spark, dir, v, Some("p"))
+        .select("k", "v", "p").collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
       assert(got == model.snapshots(v.toInt - 1),
         s"seed=$seed: time travel to v$v diverged from model snapshot")
