@@ -37,6 +37,20 @@ import graft.ops.MergeOps
   * the concatenation of slices applies to the same mirror end state
   * as the single spanning slice.
   *
+  * Optional `maxBytesPerTrigger` paces by DATA instead of commit
+  * count (Delta's `maxBytesPerTrigger` shape): version count is a bad
+  * proxy for batch size — one compaction-day version can touch every
+  * partition while a hundred trickle versions touch one — so each
+  * trigger extends its offset version by version only while the
+  * cumulative CHANGED-PARTITION BYTES of the added steps stay within
+  * the cap, priced from the same manifest/dv/uv diff the batch plan
+  * prunes with (a `getContentSummary` per changed dir; nothing is
+  * read). A SOFT cap, like Delta's: the first version past the floor
+  * is always included — version granularity is the atom, a single fat
+  * version lands as its own (possibly over-cap) batch rather than
+  * stalling the stream. Composes with `maxVersionsPerTrigger` as the
+  * min of both limits, and shares its persisted pacing floor.
+  *
   * The INITIAL BASE VERSION is resolved once and persisted under the
   * query's `metadataPath` (the same write-once pattern as Spark's file
   * source and Delta's CDF source): with the default
@@ -99,6 +113,9 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     val maxPerTrigger = p.get("maxversionspertrigger").map(_.trim.toLong)
     maxPerTrigger.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
+    val maxBytes = p.get("maxbytespertrigger").map(_.trim.toLong)
+    maxBytes.foreach(b => require(b >= 1,
+      s"maxBytesPerTrigger must be >= 1, got $b"))
     // `startTag`: start from a NAMED pinned version — the mirror-restart
     // idiom (a mirror tags its high-water version to hold its data
     // through vacuums; the stream that resumes it starts exactly
@@ -117,7 +134,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     new ChangeFeedSource(spark, dir, required(p, "keycol"),
       required(p, "partcol"),
       resolveBase(spark, metadataPath, dir, startV),
-      maxPerTrigger, metadataPath)
+      maxPerTrigger, maxBytes, metadataPath)
   }
 
   /** Resolve-and-persist the stream's initial base version: first
@@ -162,8 +179,14 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
                          * into — batches emit changes strictly after it */
                        baseVersion: Long,
                        maxVersionsPerTrigger: Option[Long],
+                       maxBytesPerTrigger: Option[Long],
                        metadataPath: String)
     extends Source {
+
+  /** Either pacing option makes the source paced: the persisted floor
+    * and its clean-restart re-seed apply to both. */
+  private def paced: Boolean =
+    maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   /** The pacing floor's PERSISTED high-water: crash-restarts replay
     * `getBatch(prevStart, prevEnd)` before the first new `getOffset`
@@ -213,7 +236,45 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     * (clean restarts), re-seeded by [[getBatch]]'s replayed offsets
     * (crash restarts) — both paths keep the floor monotone. */
   @volatile private var lastOffered: Long =
-    if (maxVersionsPerTrigger.isDefined) readHw() else baseVersion
+    if (paced) readHw() else baseVersion
+
+  private lazy val storeFs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Upper bound on the bytes the feed slice grows by when its end
+    * extends across the single version step `prev -> v`: the on-disk
+    * size of every data dir (both sides) of a partition whose manifest
+    * entry, dv refs, or uv refs changed across the step — the SAME
+    * changed-partition rule [[graft.ops.MergeOps.changeFeed]] prunes
+    * with, priced via one `getContentSummary` per changed dir instead
+    * of a read. An upper bound, not exact: a partition rewritten in
+    * several steps of one slice is priced per step but read once, and
+    * <=> row-dedup can shrink the emitted rows further — conservative
+    * is the right direction for a pacing cap. `prev = None` (nothing
+    * committed at or below the floor — the bootstrap walk) prices the
+    * full version, which is what the bootstrap batch reads. */
+  private def deltaBytes(prev: Option[Long], v: Long): Long = {
+    val tm = Versioned.manifest(spark, dir, v).toMap
+    val fm = prev.map(p => Versioned.manifest(spark, dir, p).toMap)
+      .getOrElse(Map.empty[String, String])
+    val dvF = prev.map(p => Versioned.readDvRefs(spark, dir, p))
+      .getOrElse(Map.empty[String, Seq[String]])
+    val uvF = prev.map(p => Versioned.readUvRefs(spark, dir, p))
+      .getOrElse(Map.empty[String, Seq[(String, String)]])
+    val dvT = Versioned.readDvRefs(spark, dir, v)
+    val uvT = Versioned.readUvRefs(spark, dir, v)
+    val changed = (fm.keySet ++ tm.keySet).filter { n =>
+      fm.get(n) != tm.get(n) ||
+        dvF.getOrElse(n, Nil) != dvT.getOrElse(n, Nil) ||
+        uvF.getOrElse(n, Nil) != uvT.getOrElse(n, Nil)
+    }
+    changed.flatMap(n => fm.get(n).toSeq ++ tm.get(n).toSeq)
+      .toSeq.distinct.map { rel =>
+        scala.util.Try(storeFs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength)
+          .getOrElse(0L)
+      }.sum
+  }
 
   override val schema: StructType =
     new ChangeFeedSourceProvider().feedSchema(spark, dir, partCol)
@@ -228,14 +289,37 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     Versioned.currentVersion(spark, dir) match {
       case Some(cur) if cur > baseVersion =>
         val hi = math.max(lastOffered, baseVersion)
-        // pacing: advance at most maxVersionsPerTrigger past what was
-        // already offered; a backlog then drains as bounded batches,
-        // each with its own checkpoint
-        val off = maxVersionsPerTrigger match {
+        // version pacing: advance at most maxVersionsPerTrigger past
+        // what was already offered; a backlog then drains as bounded
+        // batches, each with its own checkpoint
+        val vCap = maxVersionsPerTrigger match {
           case Some(m) => math.max(math.min(cur, hi + m), hi)
           case None => cur
         }
-        if (maxVersionsPerTrigger.isDefined && off > lastOffered)
+        // byte pacing: within the version cap, extend the offset one
+        // committed version at a time while the cumulative changed-
+        // partition bytes stay under the cap — soft (the first version
+        // always lands, so one fat commit can't stall the stream)
+        val off = maxBytesPerTrigger match {
+          case Some(maxB) if vCap > hi =>
+            val all = Versioned.committedVersions(spark, dir)
+            val candidates = all.filter(v => v > hi && v <= vCap)
+            var prev = all.filter(_ <= hi).lastOption
+            var chosen = hi
+            var acc = 0L
+            val it = candidates.iterator
+            var full = false
+            while (it.hasNext && !full) {
+              val v = it.next()
+              val b = deltaBytes(prev, v)
+              if (chosen == hi || acc + b <= maxB) {
+                chosen = v; acc += b; prev = Some(v)
+              } else full = true
+            }
+            chosen
+          case _ => vCap
+        }
+        if (paced && off > lastOffered)
           persistHw(off)
         lastOffered = off
         Some(LongOffset(off))

@@ -219,15 +219,18 @@ object StreamOps {
   def feedStream(s: org.apache.spark.sql.SparkSession, srcDir: String,
                  keyCol: String, partCol: String,
                  startVersion: Option[Long] = None,
-                 maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+                 maxVersionsPerTrigger: Option[Long] = None,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r0 = s.readStream
       .format("graft.streaming.ChangeFeedSourceProvider")
       .option("dir", srcDir)
       .option("keyCol", keyCol)
       .option("partCol", partCol)
     val r1 = startVersion.fold(r0)(v => r0.option("startVersion", v.toString))
-    maxVersionsPerTrigger
+    val r2 = maxVersionsPerTrigger
       .fold(r1)(m => r1.option("maxVersionsPerTrigger", m.toString))
+    maxBytesPerTrigger
+      .fold(r2)(b => r2.option("maxBytesPerTrigger", b.toString))
       .load()
   }
 

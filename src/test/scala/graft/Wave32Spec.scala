@@ -271,4 +271,69 @@ class Wave32Spec extends SparkTestBase {
     assert(Versioned.currentVersion(spark, dst).contains(3L),
       "each clean run must land exactly one bounded mirror commit")
   }
+
+  test("maxBytesPerTrigger paces a backlog by changed-partition bytes: " +
+       "a 1-byte cap lands every version as its own batch (soft cap — " +
+       "the first version past the floor always flows), a huge cap " +
+       "coalesces the whole backlog, and a mid-backlog Trigger.Once " +
+       "restart resumes at the byte-paced floor") {
+    import spark.implicits._
+    val src = freshDir("graft_bp_src")
+    MergeOps.mergeUpsert(spark, src, corpus(6), "k", "p")            // v1
+    (7 to 10).foreach { i =>                                     // v2..v5
+      MergeOps.mergeUpsert(spark, src,
+        Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+          .toDF("k", "v", "p"), "k", "p")
+    }
+    // 1-byte cap: every delta is over-cap, so each committed version
+    // drains as its own soft-capped batch — 5 mirror commits
+    val dst = freshDir("graft_bp_dst")
+    val ck = freshDir("graft_bp_ck")
+    def paced() = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+          maxBytesPerTrigger = Some(1L)),
+        dst, "k", "p")
+      .option("checkpointLocation", ck)
+    val qOnce = paced()
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    qOnce.awaitTermination(120000)
+    // after one paced batch the mirror must equal the source AT v1
+    val srcAtV1 = Versioned.readVersion(spark, src, 1L, Some("p"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+      .toMap
+    assert(readAll(dst) === srcAtV1,
+      "the first byte-paced batch must stop at the first version")
+    // mid-backlog clean restart: the floor persisted, so the remaining
+    // four versions drain as four more bounded batches
+    val q2 = paced().start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readAll(dst) === readAll(src))
+    assert(Versioned.currentVersion(spark, dst).contains(5L),
+      "a 1-byte cap must land each of the 5 source versions as its " +
+        "own mirror commit")
+    // huge cap: the whole backlog coalesces into ONE batch
+    val dstAll = freshDir("graft_bp_all")
+    val qAll = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+          maxBytesPerTrigger = Some(Long.MaxValue / 2)),
+        dstAll, "k", "p")
+      .option("checkpointLocation", freshDir("graft_bp_all_ck")).start()
+    try qAll.processAllAvailable() finally qAll.stop()
+    assert(readAll(dstAll) === readAll(src))
+    assert(Versioned.currentVersion(spark, dstAll).contains(1L),
+      "an uncapping byte limit must coalesce the backlog as one batch")
+    // composition: bytes uncapped + maxVersionsPerTrigger=2 behaves as
+    // the version-paced min — 3 mirror commits (0→2, 2→4, 4→5)
+    val dstMin = freshDir("graft_bp_min")
+    val qMin = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+          maxVersionsPerTrigger = Some(2L),
+          maxBytesPerTrigger = Some(Long.MaxValue / 2)),
+        dstMin, "k", "p")
+      .option("checkpointLocation", freshDir("graft_bp_min_ck")).start()
+    try qMin.processAllAvailable() finally qMin.stop()
+    assert(readAll(dstMin) === readAll(src))
+    assert(Versioned.currentVersion(spark, dstMin).contains(3L),
+      "both caps set must pace at the min of the two limits")
+  }
 }
