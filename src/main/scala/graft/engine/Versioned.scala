@@ -716,8 +716,30 @@ object Versioned {
     finally out.close()
   }
 
-  /** Raw committed DV lines of version `v` (`partition-dir-name \t
-    * dvdata-relpath`, empty if none) — the carry surface, filtered by
+  /** Parse one DV sidecar line: `partition-dir-name \t dvdata-relpath
+    * [\t file1,file2,…]`. The OPTIONAL third field (round 14) is the
+    * FILE SCOPE — the leaf names of the data files within that
+    * partition's dir that contained at least one tombstoned key when
+    * the delete ran (data dirs are immutable, so the set stays valid
+    * for as long as the ref itself carries; any restaging write drops
+    * the line). Scoped refs let the read side anti-join ONLY those
+    * files and stream every other file of the partition verbatim —
+    * Delta/Iceberg's per-file deletion-vector granularity, so one
+    * deleted key in a hot 10 GB partition taxes one file's rows, not
+    * the partition. A 2-field line (every pre-round-14 writer, or one
+    * that cannot price the scope) means "unknown — anti-join the whole
+    * partition", the always-correct fallback. */
+  private[graft] def dvLineFields(line: String)
+      : (String, String, Option[Set[String]]) = {
+    val fs = line.split('\t')
+    val scope =
+      if (fs.length >= 3 && fs(2).nonEmpty) Some(fs(2).split(',').toSet)
+      else None
+    (fs(0), fs(1), scope)
+  }
+
+  /** Raw committed DV lines of version `v` (see [[dvLineFields]] for
+    * the format, empty if none) — the carry surface, filtered by
     * partition name exactly as stats lines are. */
   private[graft] def readDvLines(s: SparkSession, dir: String,
                                  v: Long): Seq[String] = {
@@ -773,14 +795,22 @@ object Versioned {
     }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sortBy(_._1) }
 
   /** Committed DV refs of version `v`: partition dir name → tombstone
-    * dirs to anti-join out. Empty map for tables with no MOR deletes —
-    * the fast path every non-DV read takes. */
+    * dirs to anti-join out (file scopes stripped — the dir identity is
+    * the change-detection and vacuum surface). Empty map for tables
+    * with no MOR deletes — the fast path every non-DV read takes. */
   def readDvRefs(s: SparkSession, dir: String,
                  v: Long): Map[String, Seq[String]] =
-    readDvLines(s, dir, v).map { line =>
-      val i = line.indexOf('\t')
-      (line.substring(0, i), line.substring(i + 1))
-    }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
+    readDvLines(s, dir, v).map(dvLineFields)
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
+
+  /** [[readDvRefs]] WITH each ref's optional file scope (see
+    * [[dvLineFields]]) — the read-path surface: [[readEntriesLive]]
+    * anti-joins only a scoped ref's named files. */
+  def readDvRefsScoped(s: SparkSession, dir: String, v: Long)
+      : Map[String, Seq[(String, Option[Set[String]])]] =
+    readDvLines(s, dir, v).map(dvLineFields)
+      .groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
 
   /** The cumulative APPLIED-ID ledger as of version `v` — the newest
     * COMMITTED `ledger/` sidecar at or below `v` (walk-back bounded by
@@ -1189,7 +1219,7 @@ object Versioned {
     // BRANCHES, whose metadata tree lives under the table root while the
     // staged data (and tombstone dirs) stay in the root's own data dirs
     val dd = dataDir.getOrElse(dir)
-    val refs = readDvRefs(s, dir, v)
+    val refs = readDvRefsScoped(s, dir, v)
     val uvRefs = readUvRefs(s, dir, v)
     if (refs.isEmpty && uvRefs.isEmpty)
       return readEntries(s, dd, entries, partCol)
@@ -1235,7 +1265,8 @@ object Versioned {
         }
         if (rs.isEmpty) base
         else {
-          val dv = rs.map(r => s.read.parquet(s"$dd/$r"))
+          val rdirs = rs.map(_._1)
+          val dv = rdirs.map(r => s.read.parquet(s"$dd/$r"))
             .reduce(_.unionByName(_))
           // tombstone dirs are partitioned by the partition column of
           // the SPEC THAT WROTE THEM — under metadata-tier partition
@@ -1248,28 +1279,83 @@ object Versioned {
           val kc = partCol match {
             case Some(_) =>
               val fs = fsOf(s, dd)
-              val dvParts = rs.flatMap { r =>
+              val dvParts = rdirs.flatMap { r =>
                 fs.listStatus(new Path(dd, r)).toSeq
                   .map(_.getPath.getName).filter(_.contains('='))
                   .map(_.takeWhile(_ != '='))
               }.toSet
               val dataCols = dv.columns.filterNot(dvParts)
               require(dataCols.length == 1,
-                s"tombstone dirs ${rs.mkString(", ")} must carry exactly " +
-                  s"(key, <their own partition column>) — got columns " +
-                  s"[${dv.columns.mkString(", ")}] with dir-derived " +
-                  s"partition columns [${dvParts.mkString(", ")}]; the " +
-                  "dv writer contract changed without updating the " +
-                  "read-side key inference")
+                s"tombstone dirs ${rdirs.mkString(", ")} must carry " +
+                  s"exactly (key, <their own partition column>) — got " +
+                  s"columns [${dv.columns.mkString(", ")}] with " +
+                  s"dir-derived partition columns " +
+                  s"[${dvParts.mkString(", ")}]; the dv writer contract " +
+                  "changed without updating the read-side key inference")
               dataCols.head
             case None =>
               require(dv.columns.length == 1,
-                s"unpartitioned tombstone dirs ${rs.mkString(", ")} must " +
-                  s"carry exactly the key column — got " +
+                s"unpartitioned tombstone dirs ${rdirs.mkString(", ")} " +
+                  s"must carry exactly the key column — got " +
                   s"[${dv.columns.mkString(", ")}]")
               dv.columns.head
           }
-          base.join(dv.select(kc).distinct(), Seq(kc), "left_anti")
+          val dvKeys = dv.select(kc).distinct()
+          // FILE-SCOPED refs (round 14, see [[dvLineFields]]): when no
+          // uv substitution ran (substituted rows have no base-file
+          // identity) and EVERY ref carries a scope, split each
+          // partition dir's files into tainted (named by some scope —
+          // they held a doomed key when their delete ran) and clean,
+          // anti-join only the tainted files' rows, and stream the
+          // clean files verbatim: one deleted key taxes one file's
+          // rows, not the partition. Any unscoped (legacy) ref
+          // disables the split for its group — always-correct
+          // whole-partition fallback.
+          val canScope = us.isEmpty && rs.forall(_._2.isDefined)
+          if (!canScope) base.join(dvKeys, Seq(kc), "left_anti")
+          else {
+            val tainted = rs.flatMap(_._2.get).toSet
+            val fsys = fsOf(s, dd)
+            val byVer = es.groupBy(_._2.split("/").take(2).mkString("/"))
+              .toSeq.sortBy(_._1)
+            def readSplit(keep: String => Boolean): Option[DataFrame] =
+              byVer.flatMap { case (verDir, ves) =>
+                val paths =
+                  try ves.flatMap(e =>
+                        fsys.listStatus(new Path(dd, e._2)).toSeq)
+                      .filter(_.isFile).map(_.getPath)
+                      .filter(p => !p.getName.startsWith("_") &&
+                                   !p.getName.startsWith(".") &&
+                                   keep(p.getName))
+                  catch {
+                    case e: java.io.FileNotFoundException =>
+                      throw new ConcurrentCommitException(
+                        s"a manifest-referenced data dir under $dd " +
+                          "vanished mid-read — a concurrent vacuum swept " +
+                          "this version below its retention floor; " +
+                          "re-derive from the current commit log", e)
+                  }
+                if (paths.isEmpty) None
+                else Some(partCol match {
+                  case Some(_) =>
+                    s.read.option("basePath", s"$dd/$verDir")
+                      .parquet(paths.map(_.toString): _*)
+                  case None => s.read.parquet(paths.map(_.toString): _*)
+                })
+              }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+            val clean = readSplit(n => !tainted(n))
+            val doomed = readSplit(tainted)
+              .map(_.join(dvKeys, Seq(kc), "left_anti"))
+            (clean, doomed) match {
+              case (Some(c), Some(t)) =>
+                c.unionByName(t, allowMissingColumns = true)
+              case (Some(c), None) => c
+              case (None, Some(t)) => t
+              // every file scoped out of existence (a restage raced the
+              // listing) — an empty frame at the group's schema
+              case (None, None) => base.limit(0)
+            }
+          }
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1844,10 +1930,10 @@ object Versioned {
     // branch heads' carried refs pin theirs too.
     val referencedDv = retained
       .flatMap(rv => readDvLines(s, dir, rv))
-      .map(l => l.substring(l.indexOf('\t') + 1)).toSet ++
+      .map(l => dvLineFields(l)._2).toSet ++
       branchHeads.flatMap { case (bd, bv) =>
         scala.util.Try(readDvLines(s, bd, bv)).toOption.getOrElse(Nil)
-          .map(l => l.substring(l.indexOf('\t') + 1))
+          .map(l => dvLineFields(l)._2)
       }
     dvList.foreach { st =>
       val name = st.getPath.getName

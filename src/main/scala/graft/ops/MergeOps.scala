@@ -955,13 +955,17 @@ object MergeOps {
   }
 
   /** MERGE-ON-READ row-level DELETE (Delta/Iceberg deletion vectors, at
-    * this store's partition granularity): instead of restaging every
+    * FILE granularity since round 14): instead of restaging every
     * touched partition ([[mergeDelete]]'s copy-on-write), publish ONE
-    * small tombstone-key dir plus a `dv` sidecar line per touched
-    * partition — the manifest, data dirs, and zone-map stats all carry
-    * VERBATIM (bounds stay valid supersets after row removal). Write
-    * cost ∝ deleted keys; the read-side tax is one anti-join on the
-    * tombstone set ([[graft.engine.Versioned.readEntriesLive]]), paid
+    * small tombstone-key dir plus a `dv` sidecar line per holder
+    * manifest entry — the manifest, data dirs, and zone-map stats all
+    * carry VERBATIM (bounds stay valid supersets after row removal).
+    * Each line names the data FILES that held a doomed key (see
+    * [[graft.engine.Versioned.dvLineFields]]), so the read-side tax is
+    * one anti-join over ONLY those files' rows
+    * ([[graft.engine.Versioned.readEntriesLive]]) — every other file
+    * of a touched partition streams verbatim, and one deleted key in a
+    * hot 10 GB partition taxes one file, not the partition — paid
     * until [[compactDeletes]] or any restaging write materializes it.
     * At 100 TB this is the difference between a GDPR sweep that
     * rewrites a terabyte-scale partition set and one that writes
@@ -997,8 +1001,61 @@ object MergeOps {
         .delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$dvRel"), true)
       return
     }
-    val lines = Versioned.readDvLines(s, corpusDir, v) ++
-      touched.map(p => s"$p\t$dvRel")
+    // FILE SCOPE + HOLDER-ENTRY KEYING (round 14). One more bounded
+    // pass over the candidate entries' BASE dirs, reading each row's
+    // file identity, finds which manifest entries — and which data
+    // FILES within them — contain a doomed key. Two things fall out:
+    //  - Per-file deletion-vector granularity (Delta/Iceberg's): the
+    //    read side anti-joins ONLY the named files' rows and streams
+    //    every other file of the partition verbatim
+    //    ([[graft.engine.Versioned.readEntriesLive]]).
+    //  - METADATA-TIER EVOLUTION correctness: lines key by the HOLDER
+    //    entry's own manifest name, not partDirName(partCol, value) —
+    //    a doomed key living under an older spec's layout gets its ref
+    //    attached to the entry that actually holds it (the old keying
+    //    could never match a foreign-layout entry's name, so its
+    //    tombstones silently never applied).
+    // Candidates: same-layout entries named by the live batch's
+    // partition values, plus every FOREIGN-layout entry (value pruning
+    // cannot see into an older spec's dirs — unevolved tables have
+    // none, so the common case scans exactly the touched partitions).
+    // Scopes come from the BASE files, ignoring earlier tombstones: a
+    // superset is always correct, and any base file holding a doomed
+    // key must be covered. Data dirs are immutable and any restage
+    // drops the line, so file names stay valid for the ref's life.
+    val touchedSet = touched.toSet
+    val layoutPrefix = s"$partCol="
+    val bearing = man.filter(e =>
+      if (e._1.startsWith(layoutPrefix)) touchedSet(e._1) else true)
+    val hitPaths: Seq[String] =
+      if (bearing.isEmpty) Seq.empty
+      else bearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+        .map { case (verDir, es) =>
+          s.read.option("basePath", s"$corpusDir/$verDir")
+            .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
+            .select(col(keyCol), col("_metadata.file_path").as("__dv_f"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+        .select("__dv_f").distinct().collect().map(_.getString(0)).toSeq
+    val scopeByEntry: Map[String, Seq[String]] = hitPaths
+      .flatMap { path =>
+        bearing.find(e => path.contains(s"/${e._2}/"))
+          .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
+      }
+      .groupBy(_._1)
+      .map { case (n, fs) => n -> fs.map(_._2).distinct.sorted }
+    // Defensive floor: a LIVE doomed key always has a base row (uv
+    // images substitute for existing keys only), so a non-empty
+    // tombstone write implies base hits. If that invariant ever broke,
+    // fall back to the legacy whole-partition lines rather than lose
+    // the delete.
+    val newLines =
+      if (scopeByEntry.nonEmpty)
+        scopeByEntry.toSeq.sortBy(_._1).map { case (n, fs) =>
+          s"$n\t$dvRel\t${fs.mkString(",")}"
+        }
+      else touched.map(p => s"$p\t$dvRel")
+    val lines = Versioned.readDvLines(s, corpusDir, v) ++ newLines
     Versioned.writeDvLines(s, corpusDir, nv, tok, lines.sorted)
     // update-vector refs carry VERBATIM: nothing restages here, and the
     // read order (substitute, then anti-join) makes a tombstone shadow
