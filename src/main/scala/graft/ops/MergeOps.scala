@@ -2816,7 +2816,7 @@ object MergeOps {
   /** Declared pipeline_feed_stream query: the STREAMED replication
     * composition — the same source lifecycle as pipeline_cdc_mirror
     * (fold<90 snapshot, then the CDC batch), but the mirror is fed by
-    * the [[graft.streaming.ChangeFeedSource]] STREAM: batch 0
+    * the [[graft.streaming.ChangeFeedStream]] STREAM: batch 0
     * bootstraps from version 0 (full snapshot as inserts), the next
     * micro-batch ships the net feed when the source advances, an idle
     * drain must commit nothing, and the mirror read-back must equal the

@@ -1,11 +1,25 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{BytesWritable, NullWritable, SequenceFile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
 import graft.engine.Versioned
 import graft.ops.MergeOps
 
@@ -20,6 +34,23 @@ import graft.ops.MergeOps
   * a replayed batch id recomputes the SAME version range (versions are
   * immutable), so the replay applies the identical feed and the
   * destination ledger no-ops it.
+  *
+  * DSv2 `MicroBatchStream` implementation (round 14 — the V1 `Source`
+  * + `private[sql]` shim hop is gone). The V2 reader contract wants
+  * executor-side row production, but a feed batch is a COMPUTED
+  * distributed plan (manifest-pruned diff + a key join), not a
+  * partitioned scan — so each batch runs its full Catalyst plan ONCE
+  * as a distributed job that stages the result's UnsafeRows into
+  * SequenceFiles under the stream's own checkpoint dir
+  * (`<checkpoint>/graft-feed-stage/<from>_<to>`), and
+  * `planInputPartitions` hands one staged file to each
+  * [[StagedRowReader]], which replays the raw UnsafeRow bytes — no row
+  * ever transits the driver, no private API, and the staged bytes are
+  * exactly the CHANGE rows (bounded by the pacing options, never
+  * corpus-sized). Staging is also what makes crash-replay free: a
+  * replayed range finds its `_SUCCESS`-marked stage dir and re-serves
+  * the identical bytes without recomputing; committed ranges' dirs are
+  * swept in `commit`.
   *
   * Options (case-insensitive): `dir` (the store root), `keyCol`,
   * `partCol`, optional `startVersion` — absent: emit changes
@@ -51,30 +82,28 @@ import graft.ops.MergeOps
   * stalling the stream. Composes with `maxVersionsPerTrigger` as the
   * min of both limits, and shares its persisted pacing floor.
   *
+  * `startTag` starts from a NAMED pinned version — the mirror-restart
+  * idiom (a mirror tags its high-water version to hold its data
+  * through vacuums; the stream that resumes it starts exactly there).
+  * Resolved once at first creation and persisted like any base, so a
+  * later re-tag cannot silently move a running stream.
+  *
   * The INITIAL BASE VERSION is resolved once and persisted under the
-  * query's `metadataPath` (the same write-once pattern as Spark's file
-  * source and Delta's CDF source): with the default
+  * stream's checkpoint dir (the same write-once pattern as Spark's
+  * file source and Delta's CDF source): with the default
   * startVersion-absent mode the base is "current at FIRST creation",
   * and a crash-restart that replays a logged-but-uncommitted batch 0
-  * must recompute the SAME range — recomputing "current" at re-creation
-  * would fold the crashed batch's changes into the new base and
-  * silently lose them at the mirror.
+  * must recompute the SAME range — recomputing "current" at
+  * re-creation would fold the crashed batch's changes into the new
+  * base and silently lose them at the mirror.
   *
   * Contracts shared with every table format's CDC stream: the schema
   * is pinned at stream start (an evolving table needs a stream
   * restart); a `from` version vacuumed below the retention floor while
   * the stream was down fails LOUDLY with the floor error (tag the
-  * mirror's high-water version to pin it); each getOffset is one
-  * bounded `commits/` listing.
-  *
-  * Scale shape: the batch plan is [[graft.ops.MergeOps.changeFeed]]'s —
-  * manifest+dv-ref pruning reads only changed partitions, one
-  * key-shuffled full-outer join on the changed slice — wrapped
-  * streaming via the single `private[sql]` hop
-  * ([[org.apache.spark.sql.graft.StreamingShim]]); nothing is
-  * collected to the driver. */
-class ChangeFeedSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+  * mirror's high-water version to pin it); each latestOffset is one
+  * bounded `commits/` listing. */
+class ChangeFeedSourceProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-change-feed"
 
@@ -95,57 +124,88 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     base.add("change_type", StringType, nullable = false)
   }
 
-  override def sourceSchema(sqlContext: SQLContext,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String])
-      : (String, StructType) = {
-    val p = lower(parameters)
-    (shortName(), feedSchema(sqlContext.sparkSession,
-      required(p, "dir"), required(p, "partcol")))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = lower(options.asScala.toMap)
+    feedSchema(SparkSession.active, required(p, "dir"),
+      required(p, "partcol"))
   }
 
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val p = lower(parameters)
-    val spark = sqlContext.sparkSession
-    val dir = required(p, "dir")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangeFeedTable(schema, lower(properties.asScala.toMap))
+
+  private[streaming] def parse(p: Map[String, String])
+      : (String, String, String, Option[Long], Option[Long], Option[Long],
+         Option[String]) = {
     val maxPerTrigger = p.get("maxversionspertrigger").map(_.trim.toLong)
     maxPerTrigger.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
     val maxBytes = p.get("maxbytespertrigger").map(_.trim.toLong)
     maxBytes.foreach(b => require(b >= 1,
       s"maxBytesPerTrigger must be >= 1, got $b"))
-    // `startTag`: start from a NAMED pinned version — the mirror-restart
-    // idiom (a mirror tags its high-water version to hold its data
-    // through vacuums; the stream that resumes it starts exactly
-    // there). Resolved once at first creation and persisted like any
-    // base, so a later re-tag cannot silently move a running stream.
     require(!(p.contains("startversion") && p.contains("starttag")),
       "pass startVersion or startTag, not both")
-    val startV = p.get("startversion").map(_.trim.toLong)
-      .orElse(p.get("starttag").map { t =>
-        Versioned.tags(spark, dir).getOrElse(t.trim,
-          throw new IllegalArgumentException(
-            s"no tag '${t.trim}' under $dir — live tags: " +
-              Versioned.tags(spark, dir).keys.toSeq.sorted
-                .mkString(", ")))
-      })
-    new ChangeFeedSource(spark, dir, required(p, "keycol"),
-      required(p, "partcol"),
-      resolveBase(spark, metadataPath, dir, startV),
-      maxPerTrigger, maxBytes, metadataPath)
+    (required(p, "dir"), required(p, "keycol"), required(p, "partcol"),
+      p.get("startversion").map(_.trim.toLong), maxPerTrigger, maxBytes,
+      p.get("starttag").map(_.trim))
   }
+}
 
+private[streaming] class ChangeFeedTable(schema: StructType,
+                                         props: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-change-feed(${props.getOrElse("dir", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = {
+        val spark = SparkSession.active
+        val (dir, keyCol, partCol, startV0, maxV, maxB, startTag) =
+          new ChangeFeedSourceProvider().parse(props)
+        // `startTag`: resolved once at first creation; the persisted
+        // base (below) makes a later re-tag invisible to this stream
+        val startV = startV0.orElse(startTag.map { t =>
+          Versioned.tags(spark, dir).getOrElse(t,
+            throw new IllegalArgumentException(
+              s"no tag '$t' under $dir — live tags: " +
+                Versioned.tags(spark, dir).keys.toSeq.sorted
+                  .mkString(", ")))
+        })
+        new ChangeFeedStream(spark, dir, keyCol, partCol,
+          ChangeFeedStream.resolveBase(spark, checkpointLocation, dir,
+            startV),
+          maxV, maxB, checkpointLocation, schema)
+      }
+    }
+}
+
+/** The stream's offset: the source-table version already fully
+  * emitted. */
+case class FeedOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+object ChangeFeedStream {
   /** Resolve-and-persist the stream's initial base version: first
     * creation computes it (explicit `startVersion`, else current) and
-    * records it write-once under the query's own metadataPath; every
-    * re-creation — including a crash-restart about to REPLAY a logged
-    * batch 0 — reads the recorded value back, so `getBatch(None, end)`
-    * is deterministic across restarts. */
-  private def resolveBase(spark: SparkSession, metadataPath: String,
-                          dir: String, startVersion: Option[Long]): Long = {
-    val mp = new org.apache.hadoop.fs.Path(metadataPath, "graft-feed-base")
+    * records it write-once under the stream's own checkpoint dir;
+    * every re-creation — including a crash-restart about to REPLAY a
+    * logged batch 0 — reads the recorded value back, so the batch-0
+    * range is deterministic across restarts. */
+  private[streaming] def resolveBase(spark: SparkSession,
+                                     checkpointLocation: String,
+                                     dir: String,
+                                     startVersion: Option[Long]): Long = {
+    val mp = new Path(checkpointLocation, "graft-feed-base")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readBack(): Long = {
       val in = fs.open(mp)
@@ -172,16 +232,17 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
   }
 }
 
-class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
+class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
                        partCol: String,
-                       /** resolved-and-persisted by the provider: the
+                       /** resolved-and-persisted by the scan: the
                          * version everything BEFORE the stream is folded
                          * into — batches emit changes strictly after it */
                        baseVersion: Long,
                        maxVersionsPerTrigger: Option[Long],
                        maxBytesPerTrigger: Option[Long],
-                       metadataPath: String)
-    extends Source {
+                       checkpointLocation: String,
+                       pinnedSchema: StructType)
+    extends MicroBatchStream {
 
   /** Either pacing option makes the source paced: the persisted floor
     * and its clean-restart re-seed apply to both. */
@@ -189,24 +250,23 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   /** The pacing floor's PERSISTED high-water: crash-restarts replay
-    * `getBatch(prevStart, prevEnd)` before the first new `getOffset`
-    * (the Kafka-source assumption in MicroBatchExecution's
-    * populateStartOffsets) and re-seed the floor that way, but a CLEAN
+    * `planInputPartitions(prevStart, prevEnd)` before the first new
+    * `latestOffset` and re-seed the floor that way, but a CLEAN
     * restart — last batch committed — replays nothing, and an
     * in-memory-only floor would reset to the base: the first paced
-    * getOffset would then return base+m, BELOW the committed offset,
-    * and after the resulting empty batch the next trigger would span
-    * the whole already-processed range as one unbounded, DUPLICATE
-    * slice (breaking both the pacing promise and the non-overlapping
-    * CDC contract for non-idempotent consumers). So every paced
-    * advance drops a marker file `graft-feed-hw/<off>` under the
-    * query's own metadataPath (create-then-sweep — each marker is an
-    * atomic create, so a crash between the two leaves only a stale
-    * LOWER marker that the max() read ignores), and creation re-seeds
-    * the floor from the highest marker. Unpaced streams skip the
-    * write: their getOffset returns `current`, which never regresses. */
-  private val hwDir = new org.apache.hadoop.fs.Path(
-    metadataPath, "graft-feed-hw")
+    * latestOffset would then return base+m, BELOW the committed
+    * offset, and after the resulting empty batch the next trigger
+    * would span the whole already-processed range as one unbounded,
+    * DUPLICATE slice (breaking both the pacing promise and the
+    * non-overlapping CDC contract for non-idempotent consumers). So
+    * every paced advance drops a marker file `graft-feed-hw/<off>`
+    * under the stream's own checkpoint dir (create-then-sweep — each
+    * marker is an atomic create, so a crash between the two leaves
+    * only a stale LOWER marker that the max() read ignores), and
+    * creation re-seeds the floor from the highest marker. Unpaced
+    * streams skip the write: their latestOffset returns `current`,
+    * which never regresses. */
+  private val hwDir = new Path(checkpointLocation, "graft-feed-hw")
   private val hwFs =
     hwDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -218,7 +278,7 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
 
   private def persistHw(off: Long): Unit = {
     hwFs.mkdirs(hwDir)
-    val marker = new org.apache.hadoop.fs.Path(hwDir, off.toString)
+    val marker = new Path(hwDir, off.toString)
     try hwFs.create(marker, false).close()
     catch { case _: java.io.IOException if hwFs.exists(marker) => () }
     // sweep lower markers, best-effort: the read takes the max, so a
@@ -230,16 +290,16 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     }
   }
 
-  /** Highest offset this source instance has offered or seen — the
-    * pacing floor, so a capped [[getOffset]] never regresses below an
-    * already-logged offset. Seeded from the persisted high-water
-    * (clean restarts), re-seeded by [[getBatch]]'s replayed offsets
-    * (crash restarts) — both paths keep the floor monotone. */
+  /** Highest offset this stream instance has offered or seen — the
+    * pacing floor, so a capped [[latestOffset]] never regresses below
+    * an already-logged offset. Seeded from the persisted high-water
+    * (clean restarts), re-seeded by [[planInputPartitions]]' replayed
+    * offsets (crash restarts) — both paths keep the floor monotone. */
   @volatile private var lastOffered: Long =
     if (paced) readHw() else baseVersion
 
-  private lazy val storeFs = new org.apache.hadoop.fs.Path(dir)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private lazy val storeFs =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Upper bound on the bytes the feed slice grows by when its end
     * extends across the single version step `prev -> v`: the on-disk
@@ -271,21 +331,16 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     changed.flatMap(n => fm.get(n).toSeq ++ tm.get(n).toSeq)
       .toSeq.distinct.map { rel =>
         scala.util.Try(storeFs.getContentSummary(
-          new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength)
-          .getOrElse(0L)
+          new Path(s"$dir/$rel")).getLength).getOrElse(0L)
       }.sum
   }
 
-  override val schema: StructType =
-    new ChangeFeedSourceProvider().feedSchema(spark, dir, partCol)
+  override def initialOffset(): Offset = FeedOffset(baseVersion)
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => other.json.trim.toLong
-  }
+  override def deserializeOffset(json: String): Offset =
+    FeedOffset(json.trim.toLong)
 
-  override def getOffset: Option[Offset] =
+  override def latestOffset(): Offset =
     Versioned.currentVersion(spark, dir) match {
       case Some(cur) if cur > baseVersion =>
         val hi = math.max(lastOffered, baseVersion)
@@ -321,22 +376,23 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
         }
         if (paced && off > lastOffered)
           persistHw(off)
-        lastOffered = off
-        Some(LongOffset(off))
-      case _ => None  // nothing past the base yet
+        lastOffered = math.max(lastOffered, off)
+        FeedOffset(off)
+      case _ => FeedOffset(math.max(lastOffered, baseVersion))
     }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(baseVersion)
-    val to = versionOf(end)
-    // fold replayed/logged offsets into the pacing floor (crash-restart
-    // path); the persisted marker catches up lazily at the next advance
-    lastOffered = math.max(lastOffered, math.max(from, to))
+  private def versionOf(o: Offset): Long = o match {
+    case f: FeedOffset => f.v
+    case other => other.json.trim.toLong
+  }
+
+  /** The batch's DataFrame — the same plan the V1 source wrapped
+    * streaming: a bootstrap snapshot at `to` for `from == 0`, else the
+    * net [[graft.ops.MergeOps.changeFeed]] slice, aligned to the
+    * pinned schema with the loud-evolution guard. */
+  private def batchFrame(from: Long, to: Long): DataFrame = {
     val batch =
-      if (from >= to)
-        return org.apache.spark.sql.graft.StreamingShim
-          .emptyStreamingFrame(spark, schema)
-      else if (from == 0L)
+      if (from == 0L)
         // bootstrap: the content diff from empty IS the full snapshot
         Versioned.readVersion(spark, dir, to, Some(partCol))
           .withColumn("change_type", lit("insert"))
@@ -350,7 +406,7 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     // the mirror would diverge (the round-12 verdict's "not silent
     // nulls" contract). Restarting the stream re-creates the source,
     // re-pins the WIDENED schema, and the replayed batch flows.
-    val extra = batch.columns.filterNot(schema.fieldNames.contains)
+    val extra = batch.columns.filterNot(pinnedSchema.fieldNames.contains)
     require(extra.isEmpty,
       s"the source table under $dir evolved mid-stream: column(s) " +
         s"[${extra.mkString(", ")}] are not in this stream's pinned " +
@@ -360,15 +416,121 @@ class ChangeFeedSource(spark: SparkSession, dir: String, keyCol: String,
     // widened schema; the replayed slice was computed before the new
     // column existed): those rows null-fill at the pinned type —
     // exactly the value they'd carry read through the widened table.
-    val aligned = batch.select(schema.fields.map(f =>
+    batch.select(pinnedSchema.fields.map(f =>
       if (batch.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
-    org.apache.spark.sql.graft.StreamingShim.internalStreamingFrame(
-      spark, aligned.queryExecution.toRdd, schema)
   }
 
-  override def commit(end: Offset): Unit = ()
+  private def stageRoot = new Path(checkpointLocation, "graft-feed-stage")
+
+  /** Stage the batch's rows once, distributed: run the feed plan as an
+    * ordinary job whose tasks write their partitions' UnsafeRow BYTES
+    * to SequenceFiles — the full Catalyst plan (pruned reads, one key
+    * shuffle) executes exactly as the V1 source's did, nothing transits
+    * the driver, and the staged payload is the change rows only. The
+    * dir is keyed by the range, committed by rename, and reused
+    * verbatim on replay (versions are immutable, so the recompute
+    * would be identical anyway — the reuse just makes replay free). */
+  private def stage(from: Long, to: Long): Path = {
+    val dest = new Path(stageRoot, s"${from}_$to")
+    if (hwFs.exists(new Path(dest, "_SUCCESS"))) return dest
+    val tmp = new Path(stageRoot,
+      s".${from}_${to}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val schema = pinnedSchema
+    batchFrame(from, to).queryExecution.toRdd
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        it.map { r =>
+          val u = proj(r)
+          (NullWritable.get(), new BytesWritable(u.getBytes))
+        }
+      }
+      .saveAsSequenceFile(tmp.toString)
+    hwFs.delete(dest, true)  // a torn earlier attempt without _SUCCESS
+    require(hwFs.rename(tmp, dest),
+      s"could not commit staged feed batch $tmp -> $dest")
+    dest
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = versionOf(start)
+    val to = versionOf(end)
+    // fold replayed/logged offsets into the pacing floor (crash-restart
+    // path); the persisted marker catches up lazily at the next advance
+    lastOffered = math.max(lastOffered, math.max(from, to))
+    if (from >= to) return Array.empty
+    val dest = stage(from, to)
+    hwFs.listStatus(dest).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .sortBy(_.getName)
+      .map(p => StagedFilePartition(p.toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StagedRowReaderFactory(pinnedSchema.fields.length,
+      new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+
+  /** A committed range's staged bytes can never be replayed — sweep
+    * every stage dir whose end is at or below the committed offset
+    * (and any torn tmp attempt). */
+  override def commit(end: Offset): Unit = {
+    val committed = versionOf(end)
+    if (!hwFs.exists(stageRoot)) return
+    hwFs.listStatus(stageRoot).foreach { st =>
+      val n = st.getPath.getName
+      val sweep =
+        if (n.startsWith(".")) true  // torn tmp attempt
+        else n.split('_') match {
+          case Array(_, t) =>
+            scala.util.Try(t.toLong).toOption.exists(_ <= committed)
+          case _ => false
+        }
+      if (sweep) scala.util.Try(hwFs.delete(st.getPath, true))
+    }
+  }
+
   override def stop(): Unit = ()
   override def toString: String =
-    s"ChangeFeedSource[$dir, key=$keyCol, part=$partCol, base=$baseVersion]"
+    s"ChangeFeedStream[$dir, key=$keyCol, part=$partCol, base=$baseVersion]"
+}
+
+/** One staged SequenceFile of UnsafeRow bytes. */
+case class StagedFilePartition(path: String) extends InputPartition
+
+class StagedRowReaderFactory(numFields: Int,
+                             conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new StagedRowReader(
+      partition.asInstanceOf[StagedFilePartition].path, numFields,
+      conf.value)
+}
+
+/** Replays one staged SequenceFile: each record's bytes ARE an
+  * UnsafeRow of the pinned schema — `pointTo` re-wraps them with zero
+  * decoding (the same-version write/read pairing every shuffle relies
+  * on). */
+class StagedRowReader(path: String, numFields: Int, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val reader =
+    new SequenceFile.Reader(conf, SequenceFile.Reader.file(new Path(path)))
+  private val key = NullWritable.get()
+  private val value = new BytesWritable()
+  private var row: UnsafeRow = _
+
+  override def next(): Boolean =
+    if (reader.next(key, value)) {
+      val r = new UnsafeRow(numFields)
+      r.pointTo(value.copyBytes(), value.getLength)
+      row = r
+      true
+    } else false
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
 }

@@ -210,7 +210,7 @@ object StreamOps {
       }
 
   /** Open a versioned store's change feed as a STREAM — the read-side
-    * CDC completion ([[ChangeFeedSource]]): one micro-batch per
+    * CDC completion ([[ChangeFeedStream]]): one micro-batch per
     * source-version advance, offset = last emitted source version,
     * restart-safe through Spark's own offset log. `startVersion`:
     * None = changes after stream start; Some(0) = bootstrap (first

@@ -1,10 +1,11 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.Versioned
 import graft.ops.MergeOps
-import graft.streaming.{ChangeFeedSourceProvider, StreamOps}
+import graft.streaming.{ChangeFeedSourceProvider, ChangeFeedStream, FeedOffset, StreamOps}
 
 /** Round-13 wave 2: change-feed source hardening — backlog pacing
   * (`maxVersionsPerTrigger`), the persisted initial base version
@@ -26,6 +27,37 @@ class Wave32Spec extends SparkTestBase {
   private def readAll(dir: String): Map[Long, (Double, String)] =
     MergeOps.readCorpus(spark, dir, "p").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+
+  /** Build the V2 stream exactly as MicroBatchExecution would: infer
+    * the schema, get the table, build the scan, bind the checkpoint. */
+  private def createStream(meta: String,
+                           opts: Map[String, String]): ChangeFeedStream = {
+    val provider = new ChangeFeedSourceProvider()
+    val cis = new CaseInsensitiveStringMap(opts.asJava)
+    provider.getTable(provider.inferSchema(cis), Array.empty,
+        new java.util.HashMap[String, String](opts.asJava))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(cis).build()
+      .toMicroBatchStream(meta).asInstanceOf[ChangeFeedStream]
+  }
+
+  /** Drain one planned range through the V2 reader factory —
+    * (k, change_type) pairs at the (k, v, p, change_type) feed
+    * schema. */
+  private def drain(st: ChangeFeedStream, from: Long,
+                    to: Long): Seq[(Long, String)] = {
+    val parts = st.planInputPartitions(FeedOffset(from), FeedOffset(to))
+    val rf = st.createReaderFactory()
+    parts.toSeq.flatMap { p =>
+      val r = rf.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getUTF8String(3).toString))
+      } finally r.close()
+      buf.toSeq
+    }
+  }
 
   test("maxVersionsPerTrigger drains a 5-version backlog as multiple " +
        "bounded batches with the same end state as the one-batch run, " +
@@ -88,34 +120,29 @@ class Wave32Spec extends SparkTestBase {
     val src = freshDir("graft_base_src")
     val meta = freshDir("graft_base_meta")
     MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
-    val provider = new ChangeFeedSourceProvider()
-    def create() = provider.createSource(spark.sqlContext, meta, None,
-      "graft-change-feed",
+    def create() = createStream(meta,
       Map("dir" -> src, "keycol" -> "k", "partcol" -> "p"))
     val s1 = create()   // default mode: base = current at FIRST creation
-    assert(s1.getOffset.isEmpty, "nothing past the base yet")
+    assert(s1.latestOffset().json.trim.toLong == 1L,
+      "nothing past the base yet — latest stays at the base")
     // the table advances while the offset 3 is (conceptually) logged
     // but the sink never committed — then the source is re-created
     MergeOps.mergeUpsert(spark, src,
       Seq((5L, 50.0, "O")).toDF("k", "v", "p"), "k", "p")            // v2
     MergeOps.mergeUpsert(spark, src,
       Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
-    val s2 = create()   // crash-restart: same metadataPath
-    val replay = org.apache.spark.sql.graft.StreamingShim
-      .asBatchFrame(s2.getBatch(None, LongOffset(3L)))
-    val keys = replay.select("k", "change_type").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = create()   // crash-restart: same checkpoint dir
+    val keys = drain(s2, s2.initialOffset().json.trim.toLong, 3L).toMap
     assert(keys === Map(5L -> "insert", 6L -> "insert"),
       s"batch-0 replay must cover the ORIGINAL base→3 range, got $keys")
     // and an explicit startVersion is persisted the same way: the
-    // recorded value wins over a recomputed one on re-creation
+    // recorded value wins over a recomputed one on re-creation — and
+    // the second drain re-serves the _SUCCESS-marked staged bytes
     val meta2 = freshDir("graft_base_meta2")
-    def createAt0() = provider.createSource(spark.sqlContext, meta2, None,
-      "graft-change-feed",
+    def createAt0() = createStream(meta2,
       Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
           "startversion" -> "0"))
-    def bootCount(): Long = org.apache.spark.sql.graft.StreamingShim
-      .asBatchFrame(createAt0().getBatch(None, LongOffset(3L))).count()
+    def bootCount(): Long = drain(createAt0(), 0L, 3L).size.toLong
     assert(bootCount() == 6L, "bootstrap replay must emit the full snapshot")
     assert(bootCount() == 6L,
       "re-created bootstrap source must replay the same range")
@@ -133,26 +160,24 @@ class Wave32Spec extends SparkTestBase {
     Versioned.tagVersion(spark, src, "hw", 1L)
     MergeOps.mergeUpsert(spark, src,
       Seq((6L, 60.0, "E")).toDF("k", "v", "p"), "k", "p")            // v3
-    val provider = new ChangeFeedSourceProvider()
-    def create() = provider.createSource(spark.sqlContext, meta, None,
-      "graft-change-feed",
+    def create() = createStream(meta,
       Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
           "starttag" -> "hw"))
-    val batch = org.apache.spark.sql.graft.StreamingShim
-      .asBatchFrame(create().getBatch(None, LongOffset(3L)))
-    val keys = batch.select("k").collect().map(_.getLong(0)).toSet
+    val s1 = create()
+    assert(s1.initialOffset().json.trim.toLong == 1L,
+      "the tag must resolve to its pinned version as the base")
+    val keys = drain(s1, 1L, 3L).map(_._1).toSet
     assert(keys == Set(5L, 6L),
       s"the tag-based stream must emit exactly the post-tag changes: $keys")
     // re-tag to v2: the persisted base must win on re-creation
     Versioned.tagVersion(spark, src, "hw", 2L)
-    val replay = org.apache.spark.sql.graft.StreamingShim
-      .asBatchFrame(create().getBatch(None, LongOffset(3L)))
-    assert(replay.select("k").collect().map(_.getLong(0)).toSet ==
-      Set(5L, 6L), "a re-tag must not move a running stream's base")
+    val s2 = create()
+    assert(s2.initialOffset().json.trim.toLong == 1L,
+      "a re-tag must not move a running stream's base")
+    assert(drain(s2, 1L, 3L).map(_._1).toSet == Set(5L, 6L))
     // an unknown tag fails loudly with the live tag list
     val e = intercept[IllegalArgumentException] {
-      provider.createSource(spark.sqlContext, freshDir("graft_tag_m2"),
-        None, "graft-change-feed",
+      createStream(freshDir("graft_tag_m2"),
         Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
             "starttag" -> "ghost"))
     }
@@ -220,25 +245,21 @@ class Wave32Spec extends SparkTestBase {
         Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
           .toDF("k", "v", "p"), "k", "p")
     }
-    val provider = new ChangeFeedSourceProvider()
-    def create() = provider.createSource(spark.sqlContext, meta, None,
-      "graft-change-feed",
+    def create() = createStream(meta,
       Map("dir" -> src, "keycol" -> "k", "partcol" -> "p",
           "startversion" -> "0", "maxversionspertrigger" -> "2"))
     val s1 = create()
-    assert(s1.getOffset.map(_.json.trim) == Some("2"))
-    assert(s1.getOffset.map(_.json.trim) == Some("4"))
-    // clean restart after both batches committed: V1 replays NOTHING,
-    // so only the persisted marker can carry the floor
+    assert(s1.latestOffset().json.trim == "2")
+    assert(s1.latestOffset().json.trim == "4")
+    // clean restart after both batches committed: nothing replays, so
+    // only the persisted marker can carry the floor
     val s2 = create()
-    val first = s2.getOffset.map(_.json.trim.toLong)
-    assert(first == Some(5L),
+    val first = s2.latestOffset().json.trim.toLong
+    assert(first == 5L,
       s"the re-created source must offer past the high-water 4 " +
         s"(the next bounded slice), not regress to base+2=2; got $first")
     // and the resumed slice is exactly the un-emitted tail
-    val tail = org.apache.spark.sql.graft.StreamingShim
-      .asBatchFrame(s2.getBatch(Some(LongOffset(4L)), LongOffset(5L)))
-      .select("k").collect().map(_.getLong(0)).toSet
+    val tail = drain(s2, 4L, 5L).map(_._1).toSet
     assert(tail == Set(6L), s"the resumed slice must be v4->v5 only: $tail")
   }
 
