@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -242,7 +242,21 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
                        maxBytesPerTrigger: Option[Long],
                        checkpointLocation: String,
                        pinnedSchema: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** `Trigger.AvailableNow` + pacing: without this interface Spark's
+    * generic wrapper captures latestOffset ONCE as the run's target —
+    * on a paced stream that is just the FIRST bounded slice, so the
+    * run would stop with the backlog undrained. Implementing it
+    * ourselves, `prepare` pins the UNPACED current version as the
+    * run's ceiling and [[latestOffset]] keeps pacing bounded batches
+    * toward it (never past it — versions committed after the trigger
+    * fired belong to the next run). */
+  @volatile private var availableNowCeiling: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling =
+      Some(Versioned.currentVersion(spark, dir).getOrElse(baseVersion))
 
   /** Either pacing option makes the source paced: the persisted floor
     * and its clean-restart re-seed apply to both. */
@@ -337,11 +351,22 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
 
   override def initialOffset(): Offset = FeedOffset(baseVersion)
 
+  /** SupportsAdmissionControl entry point (what Spark actually calls
+    * once SupportsTriggerAvailableNow is in play): this source's
+    * admission control is its own option-driven pacing — the engine's
+    * ReadLimit is always allAvailable here (we declare no default
+    * limit), so both arguments delegate to the paced walk. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+
   override def deserializeOffset(json: String): Offset =
     FeedOffset(json.trim.toLong)
 
   override def latestOffset(): Offset =
-    Versioned.currentVersion(spark, dir) match {
+    Versioned.currentVersion(spark, dir)
+        .map(c => availableNowCeiling.fold(c)(math.min(c, _))) match {
       case Some(cur) if cur > baseVersion =>
         val hi = math.max(lastOffered, baseVersion)
         // version pacing: advance at most maxVersionsPerTrigger past

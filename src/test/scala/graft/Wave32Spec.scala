@@ -293,6 +293,34 @@ class Wave32Spec extends SparkTestBase {
       "each clean run must land exactly one bounded mirror commit")
   }
 
+  test("Trigger.AvailableNow drains a PACED backlog fully in one run: " +
+       "prepareForTriggerAvailableNow pins the unpaced current as the " +
+       "ceiling and the paced batches walk to it — the generic wrapper " +
+       "would have stopped after the first bounded slice") {
+    import spark.implicits._
+    val src = freshDir("graft_an_src")
+    MergeOps.mergeUpsert(spark, src, corpus(4), "k", "p")            // v1
+    (5 to 8).foreach { i =>                                      // v2..v5
+      MergeOps.mergeUpsert(spark, src,
+        Seq((i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+          .toDF("k", "v", "p"), "k", "p")
+    }
+    val dst = freshDir("graft_an_dst")
+    val q = StreamOps.feedMirrorMaintenance(
+        StreamOps.feedStream(spark, src, "k", "p", Some(0L),
+          maxVersionsPerTrigger = Some(2L)),
+        dst, "k", "p")
+      .option("checkpointLocation", freshDir("graft_an_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(readAll(dst) === readAll(src),
+      "one AvailableNow run must drain the whole paced backlog")
+    assert(Versioned.currentVersion(spark, dst).contains(3L),
+      "the drain must still respect pacing: 3 bounded mirror commits " +
+        "(0→2, 2→4, 4→5), not one spanning batch")
+  }
+
   test("maxBytesPerTrigger paces a backlog by changed-partition bytes: " +
        "a 1-byte cap lands every version as its own batch (soft cap — " +
        "the first version past the floor always flows), a huge cap " +
