@@ -752,7 +752,8 @@ object Versioned {
 
   /** Merge-on-read UPDATE VECTORS — the DV idea for updates
     * ([[graft.ops.MergeOps.mergeUpdateMor]]): the `uv/<v>_<token>.txt`
-    * sidecar lines are `partition-dir-name \t uvdata-relpath \t keyCol`,
+    * sidecar lines are `partition-dir-name \t uvdata-relpath \t keyCol
+    * [\t file-scope]` (see [[uvLineFields]]),
     * each naming a dir of FULL replacement row images (under `uvdata/`,
     * partitioned by the table's partCol) that SUBSTITUTE for the base
     * rows with the same key on read — applied BEFORE the DV anti-join
@@ -784,15 +785,43 @@ object Versioned {
     finally out.close()
   }
 
+  /** Parse one UV sidecar line: `partition-dir-name \t uvdata-relpath
+    * \t keyCol [\t file1,file2,…]`. The OPTIONAL fourth field (round
+    * 14) is the FILE SCOPE, the exact analogue of [[dvLineFields]]'
+    * third: the base data files that held an imaged key when the
+    * update ran — the read side anti-joins only those files' rows
+    * before unioning the images in, and every other file streams
+    * verbatim. A 3-field line means "unknown — anti-join the whole
+    * partition". */
+  private[graft] def uvLineFields(line: String)
+      : (String, String, String, Option[Set[String]]) = {
+    val fs = line.split('\t')
+    val scope =
+      if (fs.length >= 4 && fs(3).nonEmpty) Some(fs(3).split(',').toSet)
+      else None
+    (fs(0), fs(1), fs(2), scope)
+  }
+
   /** Committed UV refs of version `v`: partition dir name →
-    * ((uvdata relpath, keyCol)) list, highest-version dirs last. Empty
-    * for tables with no MOR updates — the fast path. */
+    * ((uvdata relpath, keyCol)) list, highest-version dirs last (file
+    * scopes stripped — the dir identity is the change-detection and
+    * vacuum surface). Empty for tables with no MOR updates — the fast
+    * path. */
   def readUvRefs(s: SparkSession, dir: String,
                  v: Long): Map[String, Seq[(String, String)]] =
-    readUvLines(s, dir, v).map { line =>
-      val parts = line.split('\t')
-      (parts(0), (parts(1), parts(2)))
-    }.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sortBy(_._1) }
+    readUvLines(s, dir, v).map(uvLineFields)
+      .groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+
+  /** [[readUvRefs]] WITH each ref's optional file scope (see
+    * [[uvLineFields]]) — the read-path surface. */
+  def readUvRefsScoped(s: SparkSession, dir: String, v: Long)
+      : Map[String, Seq[(String, String, Option[Set[String]])]] =
+    readUvLines(s, dir, v).map(uvLineFields)
+      .groupBy(_._1)
+      .map { case (p, rs) =>
+        p -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+      }
 
   /** Committed DV refs of version `v`: partition dir name → tombstone
     * dirs to anti-join out (file scopes stripped — the dir identity is
@@ -1220,7 +1249,7 @@ object Versioned {
     // staged data (and tombstone dirs) stay in the root's own data dirs
     val dd = dataDir.getOrElse(dir)
     val refs = readDvRefsScoped(s, dir, v)
-    val uvRefs = readUvRefs(s, dir, v)
+    val uvRefs = readUvRefsScoped(s, dir, v)
     if (refs.isEmpty && uvRefs.isEmpty)
       return readEntries(s, dd, entries, partCol)
     entries.groupBy(e =>
@@ -1228,6 +1257,38 @@ object Versioned {
       .toSeq.sortBy(_._2.head._1)
       .map { case ((rs, us), es) =>
         var base = readEntries(s, dd, es, partCol)
+        // FILE-SCOPED MOR shared kernel (round 14): list the group's
+        // data files once and read a keep-subset at the right basePath
+        // — both sidecar kinds use it to anti-join ONLY the files their
+        // scopes name while every other file streams verbatim.
+        val fsys = fsOf(s, dd)
+        lazy val byVer = es.groupBy(_._2.split("/").take(2).mkString("/"))
+          .toSeq.sortBy(_._1)
+        def readSplit(keep: String => Boolean): Option[DataFrame] =
+          byVer.flatMap { case (verDir, ves) =>
+            val paths =
+              try ves.flatMap(e =>
+                    fsys.listStatus(new Path(dd, e._2)).toSeq)
+                  .filter(_.isFile).map(_.getPath)
+                  .filter(p => !p.getName.startsWith("_") &&
+                               !p.getName.startsWith(".") &&
+                               keep(p.getName))
+              catch {
+                case e: java.io.FileNotFoundException =>
+                  throw new ConcurrentCommitException(
+                    s"a manifest-referenced data dir under $dd " +
+                      "vanished mid-read — a concurrent vacuum swept " +
+                      "this version below its retention floor; " +
+                      "re-derive from the current commit log", e)
+              }
+            if (paths.isEmpty) None
+            else Some(partCol match {
+              case Some(_) =>
+                s.read.option("basePath", s"$dd/$verDir")
+                  .parquet(paths.map(_.toString): _*)
+              case None => s.read.parquet(paths.map(_.toString): _*)
+            })
+          }.reduceOption(_.unionByName(_, allowMissingColumns = true))
         // UPDATE substitution first (see [[readUvLines]] for why that
         // order is always right): latest image per key across the
         // group's uv generations replaces the base row wholesale.
@@ -1243,7 +1304,7 @@ object Versioned {
           // whole-dir read would leak other partitions' images into this
           // group (the refs are per-partition lines for exactly this
           // reason). Unpartitioned tables read the dir whole.
-          val imgs = us.map { case (rel, _) =>
+          val imgs = us.map { case (rel, _, _) =>
             val ver = stageDirVersion(rel.split("/")(1)).getOrElse(0L)
             val df = partCol match {
               case Some(_) =>
@@ -1259,9 +1320,27 @@ object Versioned {
               Window.partitionBy(col(kc)).orderBy(col("__uv_v").desc)))
             .where(col("__uv_rn") === 1)
             .drop("__uv_v", "__uv_rn")
-          base = base.join(latest.select(kc).distinct(), Seq(kc),
-                           "left_anti")
-            .unionByName(latest, allowMissingColumns = true)
+          val latestKeys = latest.select(kc).distinct()
+          // FILE-SCOPED image refs (round 14, see [[uvLineFields]]):
+          // every imaged key's base row lives in some scope-named file
+          // (scopes are computed from the base files at write time and
+          // carry for the ref's life), so when EVERY generation carries
+          // a scope the substitution anti-join runs over only those
+          // files' rows and the rest of the partition streams verbatim.
+          // Any unscoped (legacy) line falls back to the whole-group
+          // anti-join.
+          base =
+            if (!us.forall(_._3.isDefined))
+              base.join(latestKeys, Seq(kc), "left_anti")
+                .unionByName(latest, allowMissingColumns = true)
+            else {
+              val uvTainted = us.flatMap(_._3.get).toSet
+              val clean = readSplit(n => !uvTainted(n))
+              val shadowed = readSplit(uvTainted)
+                .map(_.join(latestKeys, Seq(kc), "left_anti"))
+              (clean.toSeq ++ shadowed.toSeq :+ latest)
+                .reduce(_.unionByName(_, allowMissingColumns = true))
+            }
         }
         if (rs.isEmpty) base
         else {
@@ -1315,34 +1394,6 @@ object Versioned {
           if (!canScope) base.join(dvKeys, Seq(kc), "left_anti")
           else {
             val tainted = rs.flatMap(_._2.get).toSet
-            val fsys = fsOf(s, dd)
-            val byVer = es.groupBy(_._2.split("/").take(2).mkString("/"))
-              .toSeq.sortBy(_._1)
-            def readSplit(keep: String => Boolean): Option[DataFrame] =
-              byVer.flatMap { case (verDir, ves) =>
-                val paths =
-                  try ves.flatMap(e =>
-                        fsys.listStatus(new Path(dd, e._2)).toSeq)
-                      .filter(_.isFile).map(_.getPath)
-                      .filter(p => !p.getName.startsWith("_") &&
-                                   !p.getName.startsWith(".") &&
-                                   keep(p.getName))
-                  catch {
-                    case e: java.io.FileNotFoundException =>
-                      throw new ConcurrentCommitException(
-                        s"a manifest-referenced data dir under $dd " +
-                          "vanished mid-read — a concurrent vacuum swept " +
-                          "this version below its retention floor; " +
-                          "re-derive from the current commit log", e)
-                  }
-                if (paths.isEmpty) None
-                else Some(partCol match {
-                  case Some(_) =>
-                    s.read.option("basePath", s"$dd/$verDir")
-                      .parquet(paths.map(_.toString): _*)
-                  case None => s.read.parquet(paths.map(_.toString): _*)
-                })
-              }.reduceOption(_.unionByName(_, allowMissingColumns = true))
             val clean = readSplit(n => !tainted(n))
             val doomed = readSplit(tainted)
               .map(_.join(dvKeys, Seq(kc), "left_anti"))

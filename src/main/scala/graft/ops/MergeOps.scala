@@ -524,9 +524,19 @@ object MergeOps {
               Versioned.readStatsDict(s, corpusDir, v),
               Versioned.readStatsBloom(s, corpusDir, v, Some(Set(keyCol))))
           }
-        val touchedAll = touchedNames ++ foreignCand.map(_._1)
+        // COLLISION expansion (the foreignLayoutTouch rule): a migrated
+        // candidate survivor stages into the current-spec dir of ITS
+        // partition value — if an untouched same-layout entry carries
+        // that name, publish would replace it by staged name and drop
+        // its rows, so every such entry must restage into the merge.
+        val migratedNames: Set[String] =
+          if (foreignCand.isEmpty) Set.empty
+          else migratedDirNames(s, corpusDir, foreignCand, partCol)
+        val touchedAll = touchedNames ++ foreignCand.map(_._1) ++
+          migratedNames
         val oldEntries =
-          man.filter(e => touchedNames.contains(e._1)) ++ foreignCand
+          man.filter(e => touchedNames.contains(e._1) ||
+            migratedNames.contains(e._1)) ++ foreignCand
         val cols = batch.columns.toSeq
         // Survivors = old rows in touched partitions whose key the batch
         // does NOT replace; merged = survivors + batch. Brand-new
@@ -695,6 +705,97 @@ object MergeOps {
     }
   }
 
+  /** MIXED-LAYOUT write support (metadata-tier partition evolution —
+    * the round-14 fuzz catch, seed 131): every restaging writer that
+    * finds its touched set by `partDirName(partCol, value)` is blind
+    * to FOREIGN-layout entries — a hit row living under an older
+    * spec's dir has a partition VALUE whose current-spec name matches
+    * no foreign entry, so the old copy silently survived the restage.
+    * This helper closes both halves of the gap for a writer whose hit
+    * rows are selected by `hits`:
+    *
+    *  - `_1` foreignTouched: foreign-layout manifest entries whose
+    *    BASE files hold at least one hit row (one bounded pass reading
+    *    `_metadata.file_path`, attributed back to entries — a
+    *    conservative superset: a tombstoned hit row forces a restage
+    *    whose LIVE read then resolves it correctly). These entries
+    *    must restage through the write, migrating their survivors to
+    *    the current spec — the lazy-migration rule mergeUpsert's
+    *    candidate probe established.
+    *  - `_2` migratedNames: current-spec partition dir names of EVERY
+    *    row in those entries — the COLLISION set. A migrated survivor
+    *    stages into one of these dirs, and publish replaces manifest
+    *    entries by staged NAME, so an untouched same-layout entry with
+    *    a colliding name must also restage into the merge or its rows
+    *    would be silently dropped with the replaced entry.
+    *
+    * Unevolved tables have no foreign entries — (Nil, empty), zero
+    * cost, the common case. */
+  private def foreignLayoutTouch(s: SparkSession, corpusDir: String,
+                                 man: Seq[(String, String)],
+                                 partCol: String,
+                                 hits: DataFrame => DataFrame)
+      : (Seq[(String, String)], Set[String]) = {
+    val layoutPrefix = s"$partCol="
+    val foreign = man.filterNot(_._1.startsWith(layoutPrefix))
+    if (foreign.isEmpty) return (Nil, Set.empty)
+    val base = foreign.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+      .map { case (verDir, es) =>
+        s.read.option("basePath", s"$corpusDir/$verDir")
+          .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
+          .withColumn("__ml_f", col("_metadata.file_path"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // A predicate referencing a column the old layout's files predate
+    // cannot be evaluated against them — fall back to treating EVERY
+    // foreign entry as touched (a conservative restage superset; the
+    // live merge read aligns and null-fills, so content stays right).
+    val paths =
+      try hits(base).select("__ml_f").distinct()
+        .collect().map(_.getString(0)).toSeq
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          foreign.map(e => s"x/${e._2}/x")
+      }
+    val touched = foreign.filter(e => paths.exists(_.contains(s"/${e._2}/")))
+    if (touched.isEmpty) return (Nil, Set.empty)
+    (touched, migratedDirNames(s, corpusDir, touched, partCol))
+  }
+
+  /** Current-spec partition dir names every row of `entries` would
+    * stage under — the collision surface of a migration. Rows that
+    * PREDATE the current partition column null-fill it on the aligned
+    * restage (the scan_evolved union rule), so an absent column maps
+    * to the default-partition dir name rather than failing the read. */
+  private def migratedDirNames(s: SparkSession, corpusDir: String,
+                               entries: Seq[(String, String)],
+                               partCol: String): Set[String] = {
+    val df = Versioned.readEntries(s, corpusDir, entries, Some(partCol))
+    if (!df.columns.contains(partCol))
+      Set(Versioned.partDirName(partCol, null))
+    else df.select(partCol).distinct().collect()
+      .map(r => Versioned.partDirName(partCol, r.get(0))).toSet
+  }
+
+  /** Collision expansion for a MAINTENANCE restage of `targets`
+    * (compaction/materialization — the whole entry restages, no hit
+    * predicate): any manifest entry whose name matches the current-spec
+    * dir name of a row in a FOREIGN-layout target must restage too
+    * (the [[foreignLayoutTouch]] `_2` rule — publish replaces entries
+    * by staged name, so a colliding untouched entry's rows would
+    * silently drop). A same-layout-only target set returns unchanged:
+    * it stages back under its own names. */
+  private def expandForMigration(s: SparkSession, corpusDir: String,
+                                 man: Seq[(String, String)],
+                                 targets: Seq[(String, String)],
+                                 partCol: String): Seq[(String, String)] = {
+    val layoutPrefix = s"$partCol="
+    val foreign = targets.filterNot(_._1.startsWith(layoutPrefix))
+    if (foreign.isEmpty) return targets
+    val migrated = migratedDirNames(s, corpusDir, foreign, partCol)
+    val names = targets.map(_._1).toSet
+    targets ++ man.filter(e => migrated.contains(e._1) && !names(e._1))
+  }
+
   /** Row-level DELETE (the GDPR / right-to-be-forgotten write every
     * lakehouse needs): remove every corpus row whose `keyCol` appears in
     * `keys`, by RESTAGING only the partitions that contain such a key —
@@ -725,7 +826,15 @@ object MergeOps {
         Seq(keyCol), "left_semi")
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
-    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    // mixed layouts: fold in foreign-layout entries holding a doomed
+    // key (their survivors migrate to the current spec) and any
+    // same-layout entry a migrated survivor would collide with
+    val (foreignTouched, migratedNames) = foreignLayoutTouch(
+      s, corpusDir, man, partCol,
+      df => df.join(keys.select(keyCol).distinct(), Seq(keyCol),
+                    "left_semi"))
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet ++
+      migratedNames ++ foreignTouched.map(_._1)
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
     val survivors = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
         Some(partCol))
@@ -779,7 +888,13 @@ object MergeOps {
     val touched = corpus.where(hit)
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
-    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    // mixed layouts: foreign-layout entries holding a hit row restage
+    // (survivors migrate), plus any collision entry (see
+    // foreignLayoutTouch)
+    val (foreignTouched, migratedNames) = foreignLayoutTouch(
+      s, corpusDir, man, partCol, _.where(hit))
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet ++
+      migratedNames ++ foreignTouched.map(_._1)
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
     val survivors = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
         Some(partCol))
@@ -841,7 +956,13 @@ object MergeOps {
     val touched = corpus.where(hit)
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
-    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet
+    // mixed layouts: foreign-layout entries holding a hit row restage
+    // (their updated rows and survivors migrate), plus any collision
+    // entry (see foreignLayoutTouch)
+    val (foreignTouched, migratedNames) = foreignLayoutTouch(
+      s, corpusDir, man, partCol, _.where(hit))
+    val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet ++
+      migratedNames ++ foreignTouched.map(_._1)
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
     val old = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
         Some(partCol))
@@ -940,18 +1061,91 @@ object MergeOps {
     validateStaged(s, corpusDir, uvRel, persistedConstraintCols(
       tableConstraints(s, corpusDir, v), corpus.columns.toSeq))
     val touchedSet = touched.toSet
-    val uvLines = Versioned.readUvLines(s, corpusDir, v) ++
-      touched.map(p => s"$p\t$uvRel\t$keyCol")
+    // FILE SCOPE (round 14, the dv analogue — see mergeDeleteMor): one
+    // bounded pass over the candidate entries' BASE dirs finds which
+    // data files hold an imaged key, so the read-side substitution
+    // anti-join runs over only those files' rows. The same pass is the
+    // metadata-tier evolution detector: an imaged key living under an
+    // older spec's layout cannot be substituted in place — the
+    // per-partition image subdir lookup is keyed by the CURRENT spec's
+    // names, so a foreign-layout base row would silently keep its
+    // stale value beside the new image. Those HOLDER entries migrate
+    // in this same commit (a pure live restage under the current spec,
+    // plus collision entries — the foreignLayoutTouch rule), after
+    // which the images substitute against the migrated base like any
+    // other partition's.
+    val layoutPrefix = s"$partCol="
+    val uvBearing = man.filter(e =>
+      if (e._1.startsWith(layoutPrefix)) touchedSet(e._1) else true)
+    val imageKeys = images.select(col(keyCol)).distinct()
+    val uvHitPaths: Seq[String] =
+      if (uvBearing.isEmpty) Seq.empty
+      else uvBearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+        .map { case (verDir, es) =>
+          s.read.option("basePath", s"$corpusDir/$verDir")
+            .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
+            .select(col(keyCol), col("_metadata.file_path").as("__uv_f"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        .join(imageKeys, Seq(keyCol), "left_semi")
+        .select("__uv_f").distinct().collect().map(_.getString(0)).toSeq
+    val uvScopeByEntry: Map[String, Seq[String]] = uvHitPaths
+      .flatMap { path =>
+        uvBearing.find(e => path.contains(s"/${e._2}/"))
+          .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
+      }
+      .groupBy(_._1)
+      .map { case (n, fs) => n -> fs.map(_._2).distinct.sorted }
+    val foreignHolders =
+      uvScopeByEntry.keys.filterNot(_.startsWith(layoutPrefix)).toSet
+    val migrate =
+      if (foreignHolders.isEmpty) Nil
+      else expandForMigration(s, corpusDir, man,
+        man.filter(e => foreignHolders.contains(e._1)), partCol)
+    val migrateNames = migrate.map(_._1).toSet
+    val (newMan, stagedNames) =
+      if (migrate.isEmpty) (man, Set.empty[String])
+      else {
+        // pure migration: the update is NOT applied here — the images
+        // substitute on read exactly as they do for in-place holders;
+        // old dv/uv refs on the migrated entries materialize in the
+        // live read and their lines drop below
+        val stageRel = Versioned.newStageRel(nv, tok)
+        Versioned.readEntriesLive(s, corpusDir, v, migrate, Some(partCol))
+          .sortWithinPartitions(col(partCol), col(keyCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$corpusDir/$stageRel")
+        val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                                  partCol)
+        (man.filterNot(e => migrateNames.contains(e._1)) ++ staged,
+          staged.map(_._1).toSet)
+      }
+    val uvLines = Versioned.readUvLines(s, corpusDir, v)
+      .filterNot(l => migrateNames(Versioned.statsLinePart(l))) ++
+      touched.map { p =>
+        // a partition whose base just migrated has new file names — its
+        // scope (computed from the pre-migration base) is stale, so the
+        // line falls back to the whole-partition form
+        uvScopeByEntry.get(p) match {
+          case Some(fs) if !stagedNames(p) =>
+            s"$p\t$uvRel\t$keyCol\t${fs.mkString(",")}"
+          case _ => s"$p\t$uvRel\t$keyCol"
+        }
+      }
     Versioned.writeUvLines(s, corpusDir, nv, tok, uvLines.sorted)
     val dvLines = Versioned.readDvLines(s, corpusDir, v)
+      .filterNot(l => migrateNames(Versioned.statsLinePart(l)))
     if (dvLines.nonEmpty)
       Versioned.writeDvLines(s, corpusDir, nv, tok, dvLines)
     val stats = Versioned.readStatsLines(s, corpusDir, v)
-      .filterNot(l => touchedSet(Versioned.statsLinePart(l)))
+      .filterNot { l =>
+        val n = Versioned.statsLinePart(l)
+        touchedSet(n) || migrateNames(n)
+      }
     if (stats.nonEmpty)
       Versioned.writeStatsLines(s, corpusDir, nv, tok, stats)
-    Versioned.writeTouchLines(s, corpusDir, nv, tok, touched)
-    Versioned.publish(s, corpusDir, nv, tok, man)
+    Versioned.writeTouchLines(s, corpusDir, nv, tok,
+      (touchedSet ++ migrateNames ++ stagedNames).toSeq)
+    Versioned.publish(s, corpusDir, nv, tok, newMan)
   }
 
   /** MERGE-ON-READ row-level DELETE (Delta/Iceberg deletion vectors, at
@@ -1093,7 +1287,10 @@ object MergeOps {
     val refs = dvRefs.keySet ++ uvRefs.keySet
     if (refs.isEmpty) return
     val man = Versioned.manifest(s, corpusDir, v)
-    val bearing = man.filter(e => refs.contains(e._1))
+    // mixed layouts: a foreign-layout bearing entry's rows migrate to
+    // the current spec in this restage — fold in collision entries
+    val bearing = expandForMigration(s, corpusDir, man,
+      man.filter(e => refs.contains(e._1)), partCol)
     val bearingNames = bearing.map(_._1).toSet
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
@@ -1213,8 +1410,16 @@ object MergeOps {
         Some(partCol))
     val deleteParts = corpus.join(deleteKeys, Seq(keyCol), "left_semi")
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    // mixed layouts: foreign-layout entries holding ANY changed key
+    // restage through the apply (survivors migrate), plus collision
+    // entries (see foreignLayoutTouch)
+    val (foreignTouched, migratedNames) = foreignLayoutTouch(
+      s, corpusDir, man, partCol,
+      df => df.join(changes.select(keyCol).distinct(), Seq(keyCol),
+                    "left_semi"))
     val touchedNames = (upsertParts ++ deleteParts)
-      .map(Versioned.partDirName(partCol, _)).toSet
+      .map(Versioned.partDirName(partCol, _)).toSet ++
+      migratedNames ++ foreignTouched.map(_._1)
     if (touchedNames.isEmpty) {
       // No rows to move. An UNidentified apply publishes nothing; an
       // identified one still must RECORD the id — a ledger tick: one
@@ -1754,9 +1959,12 @@ object MergeOps {
                         sortCol: Option[String] = None): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
-    val frag = man.filter(e =>
+    val frag0 = man.filter(e =>
       Versioned.dataFileCount(s, corpusDir, e._2) > maxFilesPerPart)
-    if (frag.isEmpty) return
+    if (frag0.isEmpty) return
+    // mixed layouts: a foreign-layout fragmented entry migrates to the
+    // current spec in this restage — fold in collision entries
+    val frag = expandForMigration(s, corpusDir, man, frag0, partCol)
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)

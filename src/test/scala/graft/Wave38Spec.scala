@@ -164,4 +164,120 @@ class Wave38Spec extends SparkTestBase {
       (96 to 105).map(i => (i.toLong, 0.0))
     assert(got == want)
   }
+
+  /** k with g = k%3 (old spec — every group holds BOTH parities) and
+    * q = parity (new spec): the layout pair that exposes migration
+    * collisions. */
+  private def corpus3(r: Range) = {
+    import spark.implicits._
+    r.map(i => (i.toLong, i * 1.5, (i % 3).toString,
+                if (i % 2 == 0) "even" else "odd"))
+      .toDF("k", "v", "g", "q")
+  }
+
+  private def uniqueNames(dir: String): Unit = {
+    val v = Versioned.currentVersion(spark, dir).get
+    val names = Versioned.manifest(spark, dir, v).map(_._1)
+    assert(names.distinct.size == names.size,
+      s"manifest at v$v carries duplicate entry names: " +
+        names.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
+  }
+
+  private def contents(dir: String, partCol: String): Map[Long, Double] =
+    MergeOps.readCorpus(spark, dir, partCol).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("the CoW DML family is evolution-aware (round-14 fuzz catch, " +
+       "seed 131): a delete/update/changelog whose hit rows live under " +
+       "the OLD layout restages the foreign entries — the partDirName " +
+       "touched set alone could never name them, so the old copies " +
+       "silently survived") {
+    import spark.implicits._
+    val dir = freshDir("graft_evo_dml")
+    MergeOps.mergeUpsert(spark, dir, corpus3(1 to 100), "k", "g",
+                         statsKeys = Seq("k"))                       // v1
+    MergeOps.mergeUpsert(spark, dir, corpus3(101 to 200), "k", "q",
+                         statsKeys = Seq("k"))                       // v2
+    val man2 = Versioned.manifest(spark, dir, 2L)
+    assert(man2.exists(_._1.startsWith("g=")) &&
+           man2.exists(_._1.startsWith("q=")), "mixed precondition")
+    var model = (1 to 200).map(i => i.toLong -> i * 1.5).toMap
+    // DELETE by keys: 7 lives under g=1 (old layout), 150 under q
+    MergeOps.mergeDelete(spark, dir, Seq(7L, 150L).toDF("k"), "k", "q")
+    model = model -- Seq(7L, 150L)
+    assert(contents(dir, "q") === model,
+      "a key delete must reach rows under the old layout")
+    uniqueNames(dir)
+    // DELETE WHERE: the value predicate hits rows of BOTH layouts
+    MergeOps.mergeDeleteWhere(spark, dir, col("v") > 250.0, "q",
+                              sortCol = Some("k"))
+    model = model.filter { case (_, v) => !(v > 250.0) }
+    assert(contents(dir, "q") === model,
+      "a predicate delete must reach rows under the old layout")
+    uniqueNames(dir)
+    // UPDATE WHERE: in-place transform across layouts
+    MergeOps.mergeUpdateWhere(spark, dir,
+      col("k") >= 10L && col("k") <= 120L,
+      Seq("v" -> (col("v") * 2)), "k", "q")
+    model = model.map { case (k, v) =>
+      k -> (if (k >= 10L && k <= 120L) v * 2 else v) }
+    assert(contents(dir, "q") === model,
+      "a predicate update must reach rows under the old layout")
+    uniqueNames(dir)
+    // CHANGELOG apply: upsert an old-layout key, delete another
+    MergeOps.mergeApplyChangelog(spark, dir,
+      Seq((4L, -4.0, "1", "even", "u"), (5L, 0.0, "2", "odd", "d"))
+        .toDF("k", "v", "g", "q", "op"),
+      "k", "q", "op")
+    model = model + (4L -> -4.0) - 5L
+    assert(contents(dir, "q") === model,
+      "a changelog apply must reach rows under the old layout")
+    uniqueNames(dir)
+  }
+
+  test("migration COLLISION: a cross-layout upsert whose candidate's " +
+       "survivors stage into a partition name an UNTOUCHED same-layout " +
+       "entry already carries must fold that entry into the merge — " +
+       "publish replaces entries by staged name, so its rows would " +
+       "silently drop otherwise") {
+    import spark.implicits._
+    val dir = freshDir("graft_evo_collide")
+    MergeOps.mergeUpsert(spark, dir, corpus3(1 to 100), "k", "g",
+                         statsKeys = Seq("k"))                       // v1
+    MergeOps.mergeUpsert(spark, dir, corpus3(101 to 200), "k", "q",
+                         statsKeys = Seq("k"))                       // v2
+    // batch = key 3 only (g=0, odd): candidate g=0's survivors carry
+    // BOTH parities, so q=even receives migrated rows while the batch
+    // touches only q=odd — the collision shape
+    MergeOps.mergeUpsert(spark, dir,
+      corpus3(3 to 3).withColumn("v", lit(-3.0)), "k", "q",
+      statsKeys = Seq("k"))                                          // v3
+    val model = ((1 to 200).map(i => i.toLong -> i * 1.5).toMap +
+      (3L -> -3.0))
+    assert(contents(dir, "q") === model,
+      "the untouched colliding entry's rows must survive the migration")
+    uniqueNames(dir)
+  }
+
+  test("compactDeletes with a FOREIGN-layout bearing entry migrates it " +
+       "and folds in collision entries — materialization keeps every " +
+       "row exactly once") {
+    import spark.implicits._
+    val dir = freshDir("graft_evo_compact")
+    MergeOps.mergeUpsert(spark, dir, corpus3(1 to 100), "k", "g",
+                         statsKeys = Seq("k"))                       // v1
+    MergeOps.mergeUpsert(spark, dir, corpus3(101 to 200), "k", "q",
+                         statsKeys = Seq("k"))                       // v2
+    // MOR delete of an old-layout key: the dv ref keys by the g-entry
+    MergeOps.mergeDeleteMor(spark, dir, Seq(9L).toDF("k"), "k", "q")
+    val model = (1 to 200).map(i => i.toLong -> i * 1.5).toMap - 9L
+    assert(contents(dir, "q") === model)
+    MergeOps.compactDeletes(spark, dir, "q", sortCol = Some("k"))
+    assert(Versioned.readDvRefs(spark, dir,
+      Versioned.currentVersion(spark, dir).get).isEmpty,
+      "materialization must clear the refs")
+    assert(contents(dir, "q") === model,
+      "the migration must keep every row exactly once")
+    uniqueNames(dir)
+  }
 }

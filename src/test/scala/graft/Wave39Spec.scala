@@ -186,6 +186,117 @@ class Wave39Spec extends SparkTestBase {
         s"${refs.keySet}")
   }
 
+  private def uvSidecar(dir: String, v: Long): org.apache.hadoop.fs.Path =
+    Versioned.committedSidecar(spark, dir, v, "uv").getOrElse(
+      fail(s"no committed uv sidecar at version $v under $dir"))
+
+  private def rewriteUv(dir: String, v: Long,
+                        edit: Seq[String] => Seq[String]): Unit = {
+    val p = uvSidecar(dir, v)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.write(edit(lines).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("a MOR update writes FILE-SCOPED uv lines: the scope is exactly " +
+       "the base files holding an imaged key, the substitution applies, " +
+       "and a handcrafted scope that omits the key's real file leaves " +
+       "the stale base row beside the image — proof the uv split is " +
+       "real too") {
+    val dir = freshDir("graft_fuv")
+    seed(dir, 12, 3)                                                 // v1
+    MergeOps.mergeUpdateMor(spark, dir, col("k") === 6L,
+      Seq("v" -> lit(666.0)), "k", "p")                              // v2
+    val vals = MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(6L) === 666.0 && vals.size === 12)
+    // the committed line carries a fourth field naming exactly the
+    // base files that contain key 6
+    val man = Versioned.manifest(spark, dir, 1L).toMap
+    val expected = spark.read
+      .option("basePath",
+        s"$dir/${man.head._2.split("/").take(2).mkString("/")}")
+      .parquet(man.values.map(r => s"$dir/$r").toSeq: _*)
+      .select(col("k"), col("_metadata.file_path").as("f"))
+      .where(col("k") === 6L)
+      .select("f").distinct().collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+    val scoped = Versioned.readUvRefsScoped(spark, dir, 2L)
+    val allScoped = scoped.values.flatten.flatMap(_._3).flatten.toSet
+    assert(allScoped === expected,
+      s"uv file scopes $allScoped must equal the files holding the " +
+        s"imaged key $expected")
+    // now point the scope at a clean file: key 6's real file streams
+    // verbatim, so the STALE row survives beside the image (two rows)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewriteUv(dir, 2L, lines => lines.map { l =>
+      val (part, rel, kc, scope) = Versioned.uvLineFields(l)
+      val others = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/${man(part)}")).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+                     !scope.get.contains(n))
+      assert(others.nonEmpty)
+      s"$part\t$rel\t$kc\t${others.head}"
+    })
+    val dup = MergeOps.readCorpus(spark, dir, "p")
+      .where(col("k") === 6L).collect().map(_.getDouble(1)).sorted
+    assert(dup.toSeq === Seq(60.0, 666.0),
+      "a file outside every uv scope must stream verbatim — its stale " +
+        "row never sees the substitution anti-join")
+  }
+
+  test("a LEGACY 3-field uv line still anti-joins the whole partition, " +
+       "and a MOR update of an OLD-layout key on an evolved table " +
+       "MIGRATES the holder entry in the same commit instead of " +
+       "leaving the stale row beside the image") {
+    val dir = freshDir("graft_fuv_legacy")
+    seed(dir, 12, 3)                                                 // v1
+    MergeOps.mergeUpdateMor(spark, dir, col("k") === 6L,
+      Seq("v" -> lit(666.0)), "k", "p")                              // v2
+    rewriteUv(dir, 2L, lines => lines.map { l =>
+      val (part, rel, kc, _) = Versioned.uvLineFields(l)
+      s"$part\t$rel\t$kc"
+    })
+    val vals = MergeOps.readCorpus(spark, dir, "p").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(6L) === 666.0 && vals.size === 12,
+      "an unscoped uv line must fall back to the whole-partition " +
+        "substitution")
+    // evolution guard
+    import spark.implicits._
+    val evo = freshDir("graft_fuv_evo")
+    val docs = (1 to 100).map(i =>
+        (i.toLong, i * 1.0, s"g${i % 3}", s"l${i % 2}"))
+      .toDF("k", "v", "g", "l")
+    MergeOps.mergeUpsert(spark, evo, docs.where(col("k") < 60),
+                         "k", "g", statsKeys = Seq("k"))             // v1
+    MergeOps.mergeUpsert(spark, evo, docs.where(col("k") >= 60),
+                         "k", "l", statsKeys = Seq("k"))             // v2
+    MergeOps.mergeUpdateMor(spark, evo, col("k") === 7L,
+      Seq("v" -> lit(-1.0)), "k", "l")
+    val got = MergeOps.readCorpus(spark, evo, "l").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (1 to 100).map(i =>
+      i.toLong -> (if (i == 7) -1.0 else i * 1.0)).toMap
+    assert(got === want,
+      "the old-layout key must update exactly once — holder migrated, " +
+        "image substituted, no stale twin")
+    // the holder's g-entry migrated out of the manifest in the same
+    // commit: the update's version holds no foreign-layout ghost of it
+    val man3 = Versioned.manifest(spark, evo, 3L)
+    assert(man3.map(_._1).distinct.size == man3.size,
+      "migration must not leave duplicate entry names")
+  }
+
   test("vacuum keeps a SCOPED dv line's tombstone dir (the ref parse " +
        "reads the dir field, not everything after the first tab)") {
     val dir = freshDir("graft_fdv_vac")
