@@ -776,6 +776,22 @@ object MergeOps {
       .map(r => Versioned.partDirName(partCol, r.get(0))).toSet
   }
 
+  /** Make a corpus-derived frame SAFE to stage `partitionBy(partCol)`:
+    * a mixed-layout live read can surface the current partition column
+    * as VOID (a basePath read over a dir whose only value is the
+    * default partition infers NullType) or drop it entirely (every
+    * group predates the column) — both crash the writer. partitionBy
+    * never persists the column's TYPE into the data files (it only
+    * names dirs, and null names the default dir regardless), so a
+    * naming-only string cast is exact. */
+  private def stageable(df: DataFrame, partCol: String): DataFrame =
+    if (!df.columns.contains(partCol))
+      df.withColumn(partCol, lit(null).cast("string"))
+    else if (df.schema(partCol).dataType ==
+             org.apache.spark.sql.types.NullType)
+      df.withColumn(partCol, col(partCol).cast("string"))
+    else df
+
   /** Collision expansion for a MAINTENANCE restage of `targets`
     * (compaction/materialization — the whole entry restages, no hit
     * predicate): any manifest entry whose name matches the current-spec
@@ -842,7 +858,8 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    survivors.sortWithinPartitions(col(partCol), col(keyCol))
+    stageable(survivors, partCol)
+      .sortWithinPartitions(col(partCol), col(keyCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
@@ -902,8 +919,9 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    sortCol.fold(survivors.sortWithinPartitions(col(partCol)))(c =>
-        survivors.sortWithinPartitions(col(partCol), col(c)))
+    val survivable = stageable(survivors, partCol)
+    sortCol.fold(survivable.sortWithinPartitions(col(partCol)))(c =>
+        survivable.sortWithinPartitions(col(partCol), col(c)))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
     val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
@@ -975,7 +993,8 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    updated.sortWithinPartitions(col(partCol), col(keyCol))
+    stageable(updated, partCol)
+      .sortWithinPartitions(col(partCol), col(keyCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$stageRel")
     // persisted constraints: a SET transform can manufacture violations
@@ -1048,7 +1067,8 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val uvRel = s"uvdata/${nv}_$tok"
-    images.write.mode("overwrite").partitionBy(partCol)
+    stageable(images, partCol).write.mode("overwrite")
+      .partitionBy(partCol)
       .parquet(s"$corpusDir/$uvRel")
     val touched = Versioned.listStagedPartDirs(s, corpusDir, uvRel, partCol)
       .map(_._1)
@@ -1110,7 +1130,8 @@ object MergeOps {
         // old dv/uv refs on the migrated entries materialize in the
         // live read and their lines drop below
         val stageRel = Versioned.newStageRel(nv, tok)
-        Versioned.readEntriesLive(s, corpusDir, v, migrate, Some(partCol))
+        stageable(Versioned.readEntriesLive(s, corpusDir, v, migrate,
+            Some(partCol)), partCol)
           .sortWithinPartitions(col(partCol), col(keyCol))
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$corpusDir/$stageRel")
@@ -1183,7 +1204,8 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val dvRel = s"dvdata/${nv}_$tok"
-    corpus.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+    stageable(corpus.join(keys.select(keyCol).distinct(), Seq(keyCol),
+        "left_semi"), partCol)
       .select(col(keyCol), col(partCol)).distinct()
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$corpusDir/$dvRel")
@@ -1295,8 +1317,8 @@ object MergeOps {
     val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
     val tok = Versioned.newToken()
     val stageRel = Versioned.newStageRel(nv, tok)
-    val live = Versioned.readEntriesLive(s, corpusDir, v, bearing,
-        Some(partCol))
+    val live = stageable(Versioned.readEntriesLive(s, corpusDir, v,
+        bearing, Some(partCol)), partCol)
       .repartition(col(partCol))
     sortCol.fold(live)(c => live.sortWithinPartitions(col(partCol), col(c)))
       .write.mode("overwrite").partitionBy(partCol)
@@ -1972,8 +1994,8 @@ object MergeOps {
     // deletion vectors on the fragmented partitions (Delta's OPTIMIZE
     // does the same) — their tombstones fold into the rewrite and their
     // dv lines drop below.
-    val clustered = Versioned.readEntriesLive(s, corpusDir, v, frag,
-        Some(partCol))
+    val clustered = stageable(Versioned.readEntriesLive(s, corpusDir, v,
+        frag, Some(partCol)), partCol)
       .repartition(col(partCol))
     sortCol.fold(clustered)(c =>
         clustered.sortWithinPartitions(col(partCol), col(c)))

@@ -124,9 +124,60 @@ class ProtocolModelSpec extends SparkTestBase {
           assert(mixedPruned ==
               next.filter { case (k, _) => k >= lo21 && k <= hi21 },
             s"seed=$seed step=$step: mixed pruned read diverged")
+          // MID-STATE DML on the mixed manifest (round-14 fuzz-catch
+          // coverage, seed 131's shape without waiting for a rollback):
+          // a random restaging write whose hit rows may live under the
+          // OLD layout must fold the foreign holders in — this draws
+          // the foreignLayoutTouch/collision kernel every time op 21
+          // fires, not only on rollback-reached mixed states. The write
+          // runs under the CURRENT (q) spec like any post-evolution
+          // caller would.
+          rnd.nextInt(3) match {
+            case 0 =>                          // predicate delete, mixed
+              val t = math.floor(rnd.nextDouble() * 1e4) / 1e2
+              val hit21 = model.rows.filter { case (_, (v, _)) => v > t }
+              val rem = model.rows -- hit21.keys
+              if (rem.nonEmpty) {
+                MergeOps.mergeDeleteWhere(spark, dir, col("v") > t, "q",
+                  sortCol = Some("k"))
+                if (hit21.nonEmpty)
+                  model = model.copy(rows = rem,
+                    snapshots = model.snapshots :+ rem)
+              }
+            case 1 =>                          // key delete, mixed
+              val ks = (1 to (1 + rnd.nextInt(3)))
+                .map(_ => rnd.nextInt(30).toLong).distinct
+              val hit21 = model.rows.keySet.intersect(ks.toSet)
+              val rem = model.rows -- ks
+              if (rem.nonEmpty) {
+                MergeOps.mergeDelete(spark, dir, ks.toDF("k"), "k", "q")
+                if (hit21.nonEmpty)
+                  model = model.copy(rows = rem,
+                    snapshots = model.snapshots :+ rem)
+              }
+            case _ =>                          // MOR update, mixed
+              val lo = rnd.nextInt(30).toLong
+              val hi = lo + rnd.nextInt(10).toLong
+              val hit21 = model.rows.exists { case (k, _) =>
+                k >= lo && k <= hi }
+              MergeOps.mergeUpdateMor(spark, dir,
+                col("k") >= lo && col("k") <= hi,
+                Seq("v" -> (col("v") * 2)), "k", "q")
+              if (hit21) {
+                val next2 = model.rows.map {
+                  case (k, (v, p)) if k >= lo && k <= hi => k -> (v * 2, p)
+                  case other => other
+                }
+                model = model.copy(rows = next2,
+                  snapshots = model.snapshots :+ next2)
+              }
+          }
+          assert(readBack() == model.rows,
+            s"seed=$seed step=$step: mixed-state DML diverged")
           MergeOps.repartitionTable(spark, dir, "q", "p",
             statsKeys = Seq("k"))
-          model = model.copy(snapshots = model.snapshots :+ next)
+          model = model.copy(
+            snapshots = model.snapshots :+ model.rows)
         case 20 =>                               // VACUUM vs REBASE window
           // the round-12 latent defect's interleaving, deterministic: a
           // writer parks AFTER staging and BEFORE its first publish
