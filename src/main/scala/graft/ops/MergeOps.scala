@@ -2452,7 +2452,14 @@ object MergeOps {
     * auditable, and reversible (time travel still reaches the dropped
     * days until [[Versioned.vacuum]] reclaims their dirs — the
     * soft-delete / hard-delete split every retention policy wants).
-    * No-op (no new version) when nothing expires. */
+    * No-op (no new version) when nothing expires.
+    *
+    * MIXED-LAYOUT caveat: the rule sees manifest NAMES, so on a table
+    * carrying entries of an older partition spec a current-spec
+    * predicate cannot reach rows living under foreign names (and a
+    * rollback can resurrect such a manifest). Restore the layout first
+    * ([[repartitionTable]]) when retention must be exhaustive — the
+    * name rule stays the honest primitive either way. */
   def applyRetention(s: SparkSession, corpusDir: String,
                      keep: String => Boolean): Unit = {
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)

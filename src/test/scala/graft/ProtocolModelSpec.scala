@@ -218,9 +218,18 @@ class ProtocolModelSpec extends SparkTestBase {
             }
             val err =
               new java.util.concurrent.atomic.AtomicReference[Throwable]()
+            // withCommitRetry: the documented caller contract — a lost
+            // claim that cannot REBASE re-derives the whole operation.
+            // On a pure-layout store disjoint writers always rebase, but
+            // a rollback can land a MIXED snapshot where both writers
+            // migrate the SAME foreign entry (a genuine touch overlap),
+            // and the rebase must refuse — the retry is what production
+            // callers do with that signal (round-14 deep-fuzz find).
             val t = new Thread(() => {
-              try MergeOps.mergeUpsert(spark, dir,
-                gb.toDF("k", "v", "p"), "k", "p", statsKeys = Seq("k"))
+              try Versioned.withCommitRetry() {
+                MergeOps.mergeUpsert(spark, dir,
+                  gb.toDF("k", "v", "p"), "k", "p", statsKeys = Seq("k"))
+              }
               catch { case x: Throwable => err.set(x) }
             })
             try {
@@ -236,7 +245,9 @@ class ProtocolModelSpec extends SparkTestBase {
             } finally MergeOps.Hooks.onBeforePublish = () => ()
             assert(err.get() == null,
               s"seed=$seed step=$step: gated rebase writer failed: " +
-                s"${err.get()}")
+                s"${err.get()}\n" +
+                Option(err.get()).map(_.getStackTrace.take(14)
+                  .mkString("  at ", "\n  at ", "")).getOrElse(""))
             val midV = model.snapshots.size.toLong + 1
             val mid = mergeModel(model.rows, mb)
             val finalRows = mergeModel(mid, gb)
@@ -478,6 +489,18 @@ class ProtocolModelSpec extends SparkTestBase {
         case 6 =>                                            // retention
           val drop = Parts(rnd.nextInt(Parts.size))
           val dropName = Versioned.partDirName("p", drop)
+          // Retention's keep rule is a MANIFEST-NAME predicate — on a
+          // mixed-layout manifest (a rollback can resurrect one) a
+          // p-name rule cannot see rows living under q-entries, so the
+          // caller's move is to restore the layout first (exactly what
+          // the repartition tier is for). The fuzz models that caller.
+          if (Versioned.manifest(spark, dir,
+                Versioned.currentVersion(spark, dir).get)
+              .exists(!_._1.startsWith("p="))) {
+            MergeOps.repartitionTable(spark, dir, "q", "p",
+              statsKeys = Seq("k"))
+            model = model.copy(snapshots = model.snapshots :+ model.rows)
+          }
           // PHYSICAL presence decides whether retention publishes: with
           // MOR tombstones a partition can be logically empty yet still
           // hold a manifest entry, and dropping it is a real (content-
