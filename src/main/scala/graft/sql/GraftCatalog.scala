@@ -86,6 +86,20 @@ class GraftCatalog extends TableCatalog {
       (ident.namespace :+ ident.name).mkString("."), v)
   }
 
+  /** [[graft.engine.Versioned.readVersion]]'s loud below-floor guard,
+    * shared by both time-travel doors: a version below the retention
+    * floor may have had its data vacuumed, and reading a partial
+    * snapshot silently is the one thing time travel must never do —
+    * tagged versions are exempt (their dirs survive the sweep). */
+  private def requireAboveFloor(spark: SparkSession, dir: String,
+                                v: Long): Unit =
+    Versioned.retentionFloor(spark, dir).foreach(f => require(
+      v >= f || Versioned.tags(spark, dir).values.exists(_ == v),
+      s"version $v is below the retention floor $f under $dir — " +
+        "its data dirs may have been vacuumed; raise keepVersions " +
+        "before vacuuming (or tag the version) if you need deeper " +
+        "time travel"))
+
   /** SQL time travel: `VERSION AS OF n` loads the store at committed
     * version `n` — [[graft.engine.Versioned.readVersion]]'s semantics
     * (that version's manifest, its deletion vectors applied). */
@@ -96,6 +110,25 @@ class GraftCatalog extends TableCatalog {
       throw new NoSuchTableException(ident))
     if (!Versioned.committedVersions(spark, dir).contains(v))
       throw new NoSuchTableException(ident)
+    requireAboveFloor(spark, dir, v)
+    new GraftTable(spark, dir,
+      (ident.namespace :+ ident.name).mkString(".") + s"@v$v", v)
+  }
+
+  /** SQL time travel by instant: `TIMESTAMP AS OF ts` resolves to the
+    * newest version whose commit instant (the marker's store mtime —
+    * [[graft.engine.Versioned.versionAsOf]]'s store-clock resolution,
+    * the same mapping `readAsOf` uses) is at or before `ts`. Spark
+    * hands the instant in MICROSECONDS. An instant that predates the
+    * log fails as a missing table; a resolved version below the
+    * retention floor fails loudly, exactly like the Scala path. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    val v = Versioned.versionAsOf(spark, dir,
+        Math.floorDiv(timestamp, 1000L)).getOrElse(
+      throw new NoSuchTableException(ident))
+    requireAboveFloor(spark, dir, v)
     new GraftTable(spark, dir,
       (ident.namespace :+ ident.name).mkString(".") + s"@v$v", v)
   }
@@ -148,9 +181,15 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     Versioned.manifest(spark, dir, version)
 
   /** The partition column, recovered from the manifest's own
-    * `col=value` entry names (absent for whole-table stores). */
+    * `col=value` entry names (absent for whole-table stores). On a
+    * MIXED-layout manifest (mid metadata-tier spec evolution) any
+    * `col=` entry will do: the readers only use Some-ness to choose
+    * the per-version-group `basePath` read, which re-derives each
+    * group's own dir column — so scan the whole manifest for one
+    * rather than trusting the first entry's sort luck (a whole-table
+    * entry sorting first must not blind the read to dir columns). */
   private[sql] val partCol: Option[String] =
-    man.headOption.map(_._1).filter(_.contains('='))
+    man.map(_._1).find(_.contains('='))
       .map(_.takeWhile(_ != '='))
 
   override def name(): String = ident
@@ -191,10 +230,28 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   private var ranges: Seq[(String, Long, Long)] = Nil
   private var values: Seq[(String, Seq[String])] = Nil
 
+  /** Render a pushed literal EXACTLY as the sidecar writer rendered the
+    * column: the dict/bloom sidecars record `col.cast("string")` values
+    * (and the manifest names hold Spark's own partition-value
+    * rendering), so the probe must go through Spark's `Cast` too —
+    * `String.valueOf` disagrees for timestamps (`java.time.Instant`
+    * stringifies ISO-8601 `2026-08-16T00:00:00Z`, `java.sql.Timestamp`
+    * appends `.0`; the recorded cast form is `2026-08-16 00:00:00`),
+    * and a rendering mismatch is a FALSE-NEGATIVE prune — silently
+    * missing rows, the one failure advisory pruning cannot absorb. A
+    * value `Cast` cannot render returns None, which withholds the
+    * probe: no pruning, never a wrong answer. */
   private def str(v: Any): Option[String] = v match {
     case null => None
     case s: String => Some(s)
-    case other => Some(String.valueOf(other))
+    case other =>
+      scala.util.Try {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val c = Cast(Literal(other),
+          org.apache.spark.sql.types.StringType,
+          Option(spark.sessionState.conf.sessionLocalTimeZone))
+        Option(c.eval(null)).map(_.toString)
+      }.toOption.flatten
   }
 
   private def longOf(v: Any): Option[Long] = v match {
@@ -212,7 +269,12 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       longOf(v).foreach(n => ranges :+= ((c, n, n)))
       asVal
     case In(c, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) =>
-      values :+= ((c, vs.flatMap(str).toSeq)); true
+      // all-or-nothing: probing a SUBSET of the IN values would prune a
+      // partition holding only an unrendered value — a false negative
+      val rendered = vs.flatMap(str)
+      if (rendered.length == vs.length) {
+        values :+= ((c, rendered.toSeq)); true
+      } else false
     case GreaterThan(c, v) =>
       longOf(v).filter(_ < Long.MaxValue).exists { n =>
         ranges :+= ((c, n + 1, Long.MaxValue)); true }

@@ -456,9 +456,36 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     * dir is keyed by the range, committed by rename, and reused
     * verbatim on replay (versions are immutable, so the recompute
     * would be identical anyway — the reuse just makes replay free). */
+  /** The staged bytes are raw UnsafeRows of the schema that was pinned
+    * WHEN THEY WERE WRITTEN — replaying them under a different pin
+    * (crash with an uncommitted batch, source schema widened, restart
+    * re-pins the wider schema) would re-wrap old-width bytes with the
+    * new numFields and silently misread the null bitset and offsets.
+    * So each stage dir records its schema, and reuse is conditional on
+    * the recorded schema matching the CURRENT pin — a mismatch (or a
+    * legacy dir with no record) deletes the dir and restages through
+    * [[batchFrame]], which aligns/null-fills the recomputed slice to
+    * the new pin (versions are immutable, so the recompute is the same
+    * logical batch in the new width). */
+  private val stageSchemaFile = "_graft_schema.json"
+
+  private def stagedSchemaMatches(dest: Path): Boolean = {
+    val sp = new Path(dest, stageSchemaFile)
+    hwFs.exists(sp) && {
+      val in = hwFs.open(sp)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      recorded == pinnedSchema.json
+    }
+  }
+
   private def stage(from: Long, to: Long): Path = {
     val dest = new Path(stageRoot, s"${from}_$to")
-    if (hwFs.exists(new Path(dest, "_SUCCESS"))) return dest
+    if (hwFs.exists(new Path(dest, "_SUCCESS"))) {
+      if (stagedSchemaMatches(dest)) return dest
+      hwFs.delete(dest, true)  // stale-pin bytes: restage under the new pin
+    }
     val tmp = new Path(stageRoot,
       s".${from}_${to}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val schema = pinnedSchema
@@ -471,6 +498,8 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
         }
       }
       .saveAsSequenceFile(tmp.toString)
+    val out = hwFs.create(new Path(tmp, stageSchemaFile), true)
+    try out.write(pinnedSchema.json.getBytes("UTF-8")) finally out.close()
     hwFs.delete(dest, true)  // a torn earlier attempt without _SUCCESS
     require(hwFs.rename(tmp, dest),
       s"could not commit staged feed batch $tmp -> $dest")

@@ -138,4 +138,79 @@ class Wave37Spec extends SparkTestBase {
     // map is consulted — with k%4 layout all groups hold k<=100, so
     // this is a no-prune case that must still be exact (it is, above)
   }
+
+  test("a TIMESTAMP probe through SQL renders like the sidecar writer " +
+       "(Spark cast, not toString): the rows come back AND pruning " +
+       "still bites — the round-14 false-negative-prune regression") {
+    import spark.implicits._
+    val dir = freshDir("graft_sql_ts")
+    val tbl = new java.io.File(dir).getName
+    // partition p holds ONLY the timestamp 2026-01-0(p+1): a ts probe
+    // that dict/bloom-prunes correctly keeps exactly one group, and a
+    // probe whose rendering mismatches the recorded cast form keeps
+    // NONE — missing rows, the bug this test pins
+    val rows = (1 to 64).map { i =>
+      val p = i % 4
+      (i.toLong,
+       java.sql.Timestamp.valueOf(s"2026-01-0${p + 1} 00:00:00"),
+       p.toString)
+    }.toDF("k", "ts", "p")
+    MergeOps.mergeUpsert(spark, dir, rows, "k", "p",
+                         dictKeys = Seq("ts"), bloomKeys = Seq("ts"))
+    register()
+    GraftScanObservable.lastKeptDirs = Nil
+    val got = spark.sql(
+      s"SELECT k FROM gtest.`$tbl` " +
+        "WHERE ts = TIMESTAMP'2026-01-03 00:00:00' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (1 to 64).filter(_ % 4 == 2).map(_.toLong),
+      s"the timestamp probe must return the holding partition's rows: $got")
+    assert(GraftScanObservable.lastKeptDirs == Seq("p=2"),
+      "the dict/bloom tiers must still prune the three non-holding " +
+        s"groups: ${GraftScanObservable.lastKeptDirs}")
+    // IN over timestamps takes the same path, all-or-nothing rendered
+    GraftScanObservable.lastKeptDirs = Nil
+    val twoDays = spark.sql(
+      s"SELECT count(*) AS n FROM gtest.`$tbl` WHERE ts IN " +
+        "(TIMESTAMP'2026-01-01 00:00:00', TIMESTAMP'2026-01-04 00:00:00')")
+      .collect().head.getLong(0)
+    assert(twoDays == 32L, s"two days = two groups' rows: $twoDays")
+    assert(GraftScanObservable.lastKeptDirs.toSet == Set("p=0", "p=3"),
+      s"the IN probe must keep exactly the two holding groups: " +
+        s"${GraftScanObservable.lastKeptDirs}")
+  }
+
+  test("TIMESTAMP AS OF through SQL resolves by the store clock like " +
+       "readAsOf: an instant between commits reads the earlier " +
+       "version, predating the log is a missing table") {
+    import spark.implicits._
+    val dir = freshDir("graft_sql_tsasof")
+    val tbl = new java.io.File(dir).getName
+    MergeOps.mergeUpsert(spark, dir, corpus(8), "k", "p")           // v1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Long) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, s"commits/$v")).getModificationTime
+    val t1 = mtime(1L)
+    Thread.sleep(20)  // distinct store mtimes across commits
+    MergeOps.mergeUpsert(spark, dir,
+      Seq((1L, -1.0, "1")).toDF("k", "v", "p"), "k", "p")           // v2
+    val t2 = mtime(2L)
+    assert(t2 > t1, "precondition: distinct commit instants")
+    register()
+    def vAt(ts: Long): Map[Long, Double] = spark.sql(
+      s"SELECT k, v FROM gtest.`$tbl` TIMESTAMP AS OF " +
+        s"timestamp_millis(${ts}L)")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vAt(t1)(1L) == 1.5, "AS OF v1's instant reads v1's data")
+    assert(vAt((t1 + t2) / 2)(1L) == 1.5,
+      "an instant between commits resolves to the earlier version")
+    assert(vAt(t2)(1L) == -1.0, "AS OF the newest instant reads current")
+    val pre = intercept[Exception] {
+      spark.sql(s"SELECT k FROM gtest.`$tbl` TIMESTAMP AS OF " +
+        s"timestamp_millis(${t1 - 1000000L}L)").collect()
+    }
+    assert(pre.getMessage.toLowerCase.contains("table"),
+      s"predating the log must fail as a missing table: ${pre.getMessage}")
+  }
 }
