@@ -1298,6 +1298,29 @@ object OracleSql {
         |WHERE doc_id IN (2, 23, 41)
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_timetravel: TIMESTAMP AS OF through the SQL catalog reads
+    // exactly version 1's snapshot (REQUIRE-pinned equal to VERSION AS
+    // OF 1, strictly behind current) — the oracle is the pre-update
+    // filter.
+    "sql_timetravel" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
+
+    // stream_table_read: the plain table streamed as row images
+    // (readStream.table): an append sink accumulates the bootstrap
+    // snapshot plus exactly one image per later insert/update — the
+    // oracle is the UNION ALL of the three phases.
+    "stream_table_read" ->
+      """SELECT doc_id, n_chars FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, n_chars + 1000 AS n_chars FROM documents
+        |WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, n_chars FROM documents WHERE doc_id >= 300
+        |ORDER BY doc_id, n_chars""".stripMargin,
+
     // scan_skip_composed: all three skipping tiers (range + dict +
     // bloom) intersected in one pruning pass — the oracle is the plain
     // conjunctive filter.

@@ -77,8 +77,31 @@ class GraftCatalog extends TableCatalog {
     (ident.namespace :+ ident.name)
       .foldLeft(new Path(root))((p, n) => new Path(p, n)).toString
 
+  /** The CDC door: `<catalog>.changes.<store>` is the store's change
+    * FEED as a streaming table — schema = table schema + change_type,
+    * `spark.readStream.table("graft.changes.corpus")` with the feed's
+    * options (`keyCol` required; `startVersion`/`startTag`, pacing,
+    * `pinRetention`) passed as reader options. The namespace is
+    * virtual: it resolves against the same stores the root lists. */
+  private val ChangesNs = "changes"
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
+    if (ident.namespace.sameElements(Array(ChangesNs))) {
+      val dir = new Path(root, ident.name).toString
+      val v = Versioned.currentVersion(spark, dir).getOrElse(
+        throw new NoSuchTableException(ident))
+      val pc = Versioned.manifest(spark, dir, v)
+        .map(_._1).find(_.contains('=')).map(_.takeWhile(_ != '='))
+      val base = Versioned.readCurrent(spark, dir, pc).schema
+      require(!base.fieldNames.contains("change_type"),
+        s"the table under $dir already has a change_type column — the " +
+          "feed cannot add its classification column")
+      val feedSchema = base.add("change_type",
+        org.apache.spark.sql.types.StringType, nullable = false)
+      return new graft.streaming.ChangeFeedTable(feedSchema,
+        Map("dir" -> dir) ++ pc.map("partcol" -> _))
+    }
     val dir = dirOf(ident)
     val v = Versioned.currentVersion(spark, dir).getOrElse(
       throw new NoSuchTableException(ident))
@@ -135,7 +158,10 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
-    val nsDir = namespace.foldLeft(new Path(root))((p, n) => new Path(p, n))
+    // the virtual changes namespace mirrors the root's store listing
+    val nsDir =
+      if (namespace.sameElements(Array(ChangesNs))) new Path(root)
+      else namespace.foldLeft(new Path(root))((p, n) => new Path(p, n))
     val fs = nsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(nsDir)) Array.empty
     else fs.listStatus(nsDir).collect {
@@ -206,11 +232,14 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     partCol.map(pc => Expressions.identity(pc)).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftScanBuilder(spark, dir, version, man, partCol, schema)
+    new GraftScanBuilder(spark, dir, version, man, partCol, schema,
+      options.asScala.toMap.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v })
 }
 
 /** Routes Spark's pushed filters into prune specs: equality/IN on any
@@ -221,7 +250,8 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
   * on a sidecar. */
 class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
                        man: Seq[(String, String)],
-                       partCol: Option[String], fullSchema: StructType)
+                       partCol: Option[String], fullSchema: StructType,
+                       options: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -302,7 +332,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
 
   override def build(): Scan =
     new GraftScan(spark, dir, version, man, partCol, required,
-                  ranges, values)
+                  ranges, values, fullSchema, options)
 }
 
 /** The pruned read, delivered through `V1Scan` (the JDBC-connector
@@ -315,7 +345,9 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
                 man: Seq[(String, String)], partCol: Option[String],
                 required: StructType,
                 ranges: Seq[(String, Long, Long)],
-                values: Seq[(String, Seq[String])])
+                values: Seq[(String, Seq[String])],
+                fullSchema: StructType = new StructType(),
+                options: Map[String, String] = Map.empty)
     extends Scan with V1Scan {
 
   override def readSchema(): StructType = required
@@ -323,6 +355,46 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
   override def description(): String =
     s"GraftScan[$dir@v$version, ranges=${ranges.size}, " +
       s"values=${values.size}]"
+
+  /** `spark.readStream.table("graft.corpus")`: the plain-table stream —
+    * a bootstrap snapshot then ROW IMAGES of every later insert/update
+    * at the table schema (Delta's readStream-on-a-table shape).
+    * Deletes fail loudly unless `ignoreDeletes`; the CDC stream with
+    * change_type rows is the catalog's `changes` namespace. Reader
+    * options: `keyCol` (required — the store does not record its merge
+    * key), optional `partCol` (unpartitioned stores), `startVersion`
+    * (default 0 = bootstrap), `maxVersionsPerTrigger` /
+    * `maxBytesPerTrigger` pacing, `pinRetention` (tag the unread floor
+    * against vacuum), `ignoreDeletes`. Batch pushdown state (pruned
+    * columns, pushed filters) never reaches this path: streaming scans
+    * are built without the pushdown rules, so the stream emits the
+    * full table schema — exactly the relation's analysis output. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val keyCol = options.getOrElse("keycol",
+      throw new IllegalArgumentException(
+        "streaming a graft table needs .option(\"keyCol\", ...) — the " +
+          "store does not record its merge key"))
+    val pc = partCol.orElse(options.get("partcol")).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming a graft table needs a partition column: the store " +
+          "is unpartitioned, pass .option(\"partCol\", ...)"))
+    val maxV = options.get("maxversionspertrigger").map(_.trim.toLong)
+    val maxB = options.get("maxbytespertrigger").map(_.trim.toLong)
+    // default 0 = BOOTSTRAP: "the table, as a stream" means the full
+    // snapshot first, then the changes — Delta's readStream semantics
+    val startV = options.get("startversion").map(_.trim.toLong)
+      .orElse(Some(0L))
+    new graft.streaming.ChangeFeedStream(spark, dir, keyCol, pc,
+      graft.streaming.ChangeFeedStream.resolveBase(
+        spark, checkpointLocation, dir, startV),
+      maxV, maxB, checkpointLocation, fullSchema,
+      rowImage = true,
+      ignoreDeletes =
+        options.get("ignoredeletes").exists(_.trim.toBoolean),
+      pinRetention =
+        options.get("pinretention").exists(_.trim.toBoolean))
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
@@ -423,5 +495,102 @@ object GraftSqlQueries {
          |FROM graft.$tbl
          |WHERE doc_id IN (2, 23, 41)
          |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_timetravel query: time travel through PLAIN SQL —
+    * `TIMESTAMP AS OF` resolved by the store clock (the commit
+    * marker's mtime) and pinned equal to `VERSION AS OF 1` by REQUIRE,
+    * with the current read REQUIRE-d to have moved past both. The
+    * result is version 1's content, so the oracle is the plain
+    * pre-update filter — equality proves the instant resolution reads
+    * exactly the committed snapshot, not a mix. */
+  def sqlTimeTravelQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqltt_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    val t1 = fs.getFileStatus(new Path(dir, "commits/1"))
+      .getModificationTime
+    Thread.sleep(30)  // distinct store-clock instants across commits
+    MergeOps.mergeUpsert(s, dir,                                    // v2
+      docs.where(col("doc_id") >= 300).unionByName(
+        docs.where(col("doc_id") < 50)
+          .withColumn("n_chars", col("n_chars") + 1000)),
+      "doc_id", "src_grp")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    def snap(suffix: String) = s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl $suffix""".stripMargin)
+    val asOf = snap(s"TIMESTAMP AS OF timestamp_millis(${t1}L)")
+    val pinned = snap("VERSION AS OF 1")
+    require(asOf.exceptAll(pinned).isEmpty &&
+              pinned.exceptAll(asOf).isEmpty,
+      "TIMESTAMP AS OF v1's instant must read exactly VERSION AS OF 1")
+    require(snap("").count() > asOf.count(),
+      "the current read must see the post-v1 inserts")
+    asOf.orderBy("doc_id")
+  }
+
+  /** Declared stream_table_read query: the PLAIN TABLE as a stream —
+    * `spark.readStream.table("graft.t")` bootstraps the snapshot then
+    * streams ROW IMAGES of later upserts at the table schema (no
+    * change_type column; the CDC shape lives behind the `changes`
+    * namespace). The sink accumulates bootstrap + images, so the
+    * oracle is the three-way UNION ALL of what each phase emitted —
+    * equality proves the stream delivered exactly one image per
+    * change and nothing else. */
+  def streamTableReadQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlstream_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val out = new java.io.File(rootDir, s"${tbl}_out").getAbsolutePath
+    val ck = new java.io.File(rootDir, s"${tbl}_ck").getAbsolutePath
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(dir, out, ck).foreach { dd =>
+      val pp = new Path(dd)
+      if (fs.exists(pp)) fs.delete(pp, true)
+    }
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    val q = s.readStream
+      .option("keyCol", "doc_id")
+      .table(s"graft.$tbl")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      q.processAllAvailable()   // bootstrap: the v1 snapshot
+      MergeOps.mergeUpsert(s, dir,                                  // v2
+        docs.where(col("doc_id") >= 300).unionByName(
+          docs.where(col("doc_id") < 50)
+            .withColumn("n_chars", col("n_chars") + 1000)),
+        "doc_id", "src_grp")
+      q.processAllAvailable()   // one image per insert/update
+    } finally q.stop()
+    val res = s.read.parquet(out)
+    require(!res.columns.contains("change_type"),
+      "a row-image stream must carry the TABLE schema, not the feed's")
+    res.select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id", "n_chars")
   }
 }

@@ -151,8 +151,8 @@ class ChangeFeedSourceProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-private[streaming] class ChangeFeedTable(schema: StructType,
-                                         props: Map[String, String])
+private[graft] class ChangeFeedTable(schema: StructType,
+                                     props: Map[String, String])
     extends Table with SupportsRead {
 
   override def name(): String =
@@ -164,13 +164,20 @@ private[streaming] class ChangeFeedTable(schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new ScanBuilder with Scan {
+      // scan-time options override table properties: on the V1-format
+      // path both maps are the same stream options (merge is a no-op);
+      // on the CATALOG path props carry what the table derived (dir,
+      // partcol) and the reader's .option(...) calls land here
+      private val merged: Map[String, String] = props ++
+        options.asScala.toMap.map { case (k, v) =>
+          k.toLowerCase(java.util.Locale.ROOT) -> v }
       override def build(): Scan = this
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream = {
         val spark = SparkSession.active
         val (dir, keyCol, partCol, startV0, maxV, maxB, startTag) =
-          new ChangeFeedSourceProvider().parse(props)
+          new ChangeFeedSourceProvider().parse(merged)
         // `startTag`: resolved once at first creation; the persisted
         // base (below) makes a later re-tag invisible to this stream
         val startV = startV0.orElse(startTag.map { t =>
@@ -183,7 +190,14 @@ private[streaming] class ChangeFeedTable(schema: StructType,
         new ChangeFeedStream(spark, dir, keyCol, partCol,
           ChangeFeedStream.resolveBase(spark, checkpointLocation, dir,
             startV),
-          maxV, maxB, checkpointLocation, schema)
+          maxV, maxB, checkpointLocation, schema,
+          // rowImage stays false here: this table IS the CDC stream
+          // (its schema carries change_type); the row-image shape is
+          // the plain-table door, [[graft.sql.GraftTable]]'s
+          ignoreDeletes =
+            merged.get("ignoredeletes").exists(_.trim.toBoolean),
+          pinRetention =
+            merged.get("pinretention").exists(_.trim.toBoolean))
       }
     }
 }
@@ -201,7 +215,7 @@ object ChangeFeedStream {
     * every re-creation — including a crash-restart about to REPLAY a
     * logged batch 0 — reads the recorded value back, so the batch-0
     * range is deterministic across restarts. */
-  private[streaming] def resolveBase(spark: SparkSession,
+  private[graft] def resolveBase(spark: SparkSession,
                                      checkpointLocation: String,
                                      dir: String,
                                      startVersion: Option[Long]): Long = {
@@ -241,7 +255,29 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
                        maxVersionsPerTrigger: Option[Long],
                        maxBytesPerTrigger: Option[Long],
                        checkpointLocation: String,
-                       pinnedSchema: StructType)
+                       pinnedSchema: StructType,
+                       /** ROW-IMAGE mode (the plain
+                         * `readStream.table("graft.t")` semantics): emit
+                         * insert/update row images AT THE TABLE SCHEMA —
+                         * no change_type column — and fail LOUDLY when a
+                         * slice contains deletes (a row-image stream
+                         * cannot represent them; the CDC stream can).
+                         * `ignoreDeletes` drops them instead, Delta's
+                         * escape hatch for append-mostly corpora. */
+                       rowImage: Boolean = false,
+                       ignoreDeletes: Boolean = false,
+                       /** Pin the stream's unread floor against vacuum:
+                         * each committed offset re-tags
+                         * `__feed_<ckhash>` to itself, so an aggressive
+                         * retention sweep during a paced backlog keeps
+                         * the next batch's `from` endpoint readable
+                         * (tagged versions are retention-exempt)
+                         * instead of failing with the floor error.
+                         * OPT-IN: the loud floor failure is the
+                         * documented default contract, and the tag
+                         * outlives the stream by design — drop the
+                         * stream's checkpoint, drop its tag. */
+                       pinRetention: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** `Trigger.AvailableNow` + pacing: without this interface Spark's
@@ -369,11 +405,20 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
         .map(c => availableNowCeiling.fold(c)(math.min(c, _))) match {
       case Some(cur) if cur > baseVersion =>
         val hi = math.max(lastOffered, baseVersion)
-        // version pacing: advance at most maxVersionsPerTrigger past
-        // what was already offered; a backlog then drains as bounded
-        // batches, each with its own checkpoint
+        // version pacing: advance at most maxVersionsPerTrigger
+        // COMMITTED versions past what was already offered; a backlog
+        // then drains as bounded batches, each with its own checkpoint.
+        // Walking the committed list (not hi + m arithmetic) matters
+        // once a vacuum has swept mid-backlog versions: every offset
+        // this source logs must be a version whose manifest still
+        // exists, or the batch endpoints can't be diffed — swept
+        // versions simply collapse into their successor's net slice.
         val vCap = maxVersionsPerTrigger match {
-          case Some(m) => math.max(math.min(cur, hi + m), hi)
+          case Some(m) =>
+            val nexts = Versioned.committedVersions(spark, dir)
+              .filter(v => v > hi && v <= cur)
+              .take(math.min(m, Int.MaxValue.toLong).toInt)
+            if (nexts.isEmpty) hi else nexts.last
           case None => cur
         }
         // byte pacing: within the version cap, extend the offset one
@@ -415,7 +460,16 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     * streaming: a bootstrap snapshot at `to` for `from == 0`, else the
     * net [[graft.ops.MergeOps.changeFeed]] slice, aligned to the
     * pinned schema with the loud-evolution guard. */
+  /** The staged row layout: the pinned schema, plus — in row-image
+    * mode, where the pin IS the table schema — a trailing change_type
+    * the staging pass consumes (delete guard + filter) and strips. */
+  private def stagedFrameSchema: StructType =
+    if (rowImage) pinnedSchema.add("change_type", StringType,
+      nullable = false)
+    else pinnedSchema
+
   private def batchFrame(from: Long, to: Long): DataFrame = {
+    val frameSchema = stagedFrameSchema
     val batch =
       if (from == 0L)
         // bootstrap: the content diff from empty IS the full snapshot
@@ -431,7 +485,7 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     // the mirror would diverge (the round-12 verdict's "not silent
     // nulls" contract). Restarting the stream re-creates the source,
     // re-pins the WIDENED schema, and the replayed batch flows.
-    val extra = batch.columns.filterNot(pinnedSchema.fieldNames.contains)
+    val extra = batch.columns.filterNot(frameSchema.fieldNames.contains)
     require(extra.isEmpty,
       s"the source table under $dir evolved mid-stream: column(s) " +
         s"[${extra.mkString(", ")}] are not in this stream's pinned " +
@@ -441,8 +495,14 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     // widened schema; the replayed slice was computed before the new
     // column existed): those rows null-fill at the pinned type —
     // exactly the value they'd carry read through the widened table.
-    batch.select(pinnedSchema.fields.map(f =>
-      if (batch.columns.contains(f.name)) col(f.name)
+    // Present columns CAST-ALIGN to the pinned type (no-op casts fold
+    // away): on a mixed-layout store the slice's union can coerce a
+    // dir-derived column wider than the pin recorded, and the staged
+    // UnsafeRow bytes must be laid out at exactly the pinned types the
+    // replaying projection reads them with.
+    batch.select(frameSchema.fields.map(f =>
+      if (batch.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
@@ -488,16 +548,42 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     }
     val tmp = new Path(stageRoot,
       s".${from}_${to}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val schema = pinnedSchema
+    val emitSchema = pinnedSchema
+    val frameSchema = stagedFrameSchema
+    val imageMode = rowImage
+    // row-image delete guard: counted DURING the one staging pass (no
+    // second action over the computed feed plan), checked after it
+    val deleted = spark.sparkContext.longAccumulator("graft-feed-deletes")
     batchFrame(from, to).queryExecution.toRdd
       .mapPartitions { it =>
-        val proj = UnsafeProjection.create(schema)
-        it.map { r =>
-          val u = proj(r)
-          (NullWritable.get(), new BytesWritable(u.getBytes))
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        // in row-image mode the frame carries a trailing change_type
+        // the emitted rows strip; the no-op projection otherwise
+        val proj = UnsafeProjection.create(
+          emitSchema.fields.toIndexedSeq.zipWithIndex.map {
+            case (f, i) => BoundReference(i, f.dataType, f.nullable) })
+        val ctOrd = frameSchema.length - 1
+        it.flatMap { r =>
+          if (imageMode) {
+            val ct = r.getUTF8String(ctOrd).toString
+            if (ct == "delete") { deleted.add(1L); None }
+            else Some((NullWritable.get(),
+                       new BytesWritable(proj(r).getBytes)))
+          } else Some((NullWritable.get(),
+                       new BytesWritable(proj(r).getBytes)))
         }
       }
       .saveAsSequenceFile(tmp.toString)
+    if (imageMode && deleted.value > 0L && !ignoreDeletes) {
+      hwFs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"the change feed $from -> $to under $dir contains " +
+          s"${deleted.value} DELETE row(s): a plain table stream is an " +
+          "append/upsert row-image stream and cannot represent " +
+          "deletions — read the CDC stream (the catalog's " +
+          "`changes` namespace, or format(\"graft-change-feed\")) for " +
+          "change_type rows, or pass ignoreDeletes=true to drop them")
+    }
     val out = hwFs.create(new Path(tmp, stageSchemaFile), true)
     try out.write(pinnedSchema.json.getBytes("UTF-8")) finally out.close()
     hwFs.delete(dest, true)  // a torn earlier attempt without _SUCCESS
@@ -515,6 +601,7 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     lastOffered = math.max(lastOffered, math.max(from, to))
     if (from >= to) return Array.empty
     val dest = stage(from, to)
+    pinFloor(to)  // staged: the source is only needed beyond `to` now
     hwFs.listStatus(dest).toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("part-"))
@@ -528,11 +615,47 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
       new SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
 
+  /** The stream's vacuum pin: one tag per checkpoint (stable across
+    * restarts — the checkpoint IS the stream's identity), re-pointed
+    * to each batch's END as soon as its bytes are STAGED — from then
+    * on the staged SequenceFiles serve any replay of the range, and
+    * everything the stream still needs from the source is versions
+    * > end (the next slice's from-side) — so every advance releases
+    * the versions behind it. Staging time, not `commit`, because Spark
+    * defers the source-commit callback to the NEXT trigger (or the
+    * next restart): a Trigger.Once run would otherwise end with its
+    * pin one batch behind, and a vacuum between runs could sweep the
+    * very version the next slice diffs FROM. Registered at creation
+    * too (the base would otherwise be sweepable between stream start
+    * and the first batch). Tag writes are atomic rename-replace, so a
+    * racing vacuum sees old-or-new — both safe. One lagging edge,
+    * documented: a schema-widening RESTAGE of an already-staged range
+    * needs the from-side's data again, and a vacuum past it fails with
+    * the loud floor error. */
+  private val retentionTag: String = "__feed_" + java.security.MessageDigest
+    .getInstance("MD5").digest(checkpointLocation.getBytes("UTF-8"))
+    .take(6).map("%02x".format(_)).mkString
+
+  private def pinFloor(v: Long): Unit =
+    if (pinRetention &&
+        Versioned.committedVersions(spark, dir).contains(v) &&
+        // MONOTONE: the deferred source-commit callback of an already-
+        // superseded batch (Spark fires it a trigger late) must not
+        // regress the pin a newer staging already advanced
+        !Versioned.tags(spark, dir).get(retentionTag).exists(_ >= v) &&
+        // already below the floor: tagging is refused (the data may be
+        // gone) — skip, and let the feed's own floor check fail loudly
+        Versioned.retentionFloor(spark, dir).forall(f => v >= f))
+      Versioned.tagVersion(spark, dir, retentionTag, v)
+
+  pinFloor(math.max(readHw(), baseVersion))
+
   /** A committed range's staged bytes can never be replayed — sweep
     * every stage dir whose end is at or below the committed offset
     * (and any torn tmp attempt). */
   override def commit(end: Offset): Unit = {
     val committed = versionOf(end)
+    pinFloor(committed)
     if (!hwFs.exists(stageRoot)) return
     hwFs.listStatus(stageRoot).foreach { st =>
       val n = st.getPath.getName
