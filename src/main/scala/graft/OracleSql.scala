@@ -1321,6 +1321,14 @@ object OracleSql {
         |SELECT doc_id, n_chars FROM documents WHERE doc_id >= 300
         |ORDER BY doc_id, n_chars""".stripMargin,
 
+    // sql_store_agg: COUNT(*)/MIN/MAX through the SQL catalog answered
+    // from parquet footers + manifest names (REQUIRE-pinned: zero data
+    // files in the plan) — the oracle proves the metadata numbers are
+    // exactly the table's.
+    "sql_store_agg" ->
+      """SELECT count(*) AS cnt, min(doc_id) AS mn, max(doc_id) AS mx
+        |FROM documents""".stripMargin,
+
     // scan_skip_composed: all three skipping tiers (range + dict +
     // bloom) intersected in one pruning pass — the oracle is the plain
     // conjunctive filter.

@@ -1098,25 +1098,39 @@ object MergeOps {
     val uvBearing = man.filter(e =>
       if (e._1.startsWith(layoutPrefix)) touchedSet(e._1) else true)
     val imageKeys = images.select(col(keyCol)).distinct()
-    val uvHitPaths: Seq[String] =
-      if (uvBearing.isEmpty) Seq.empty
-      else uvBearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
-        .map { case (verDir, es) =>
-          s.read.option("basePath", s"$corpusDir/$verDir")
-            .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-            .select(col(keyCol), col("_metadata.file_path").as("__uv_f"))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-        .join(imageKeys, Seq(keyCol), "left_semi")
-        .select("__uv_f").distinct().collect().map(_.getString(0)).toSeq
+    // Same column-evolution fallback as mergeDeleteMor's scope scan: a
+    // foreign verDir whose files predate keyCol cannot answer the
+    // select — scoping is lost (whole-partition lines) and EVERY
+    // foreign entry is treated as a holder (all migrate; a needless
+    // migration is a content-preserving restage, never wrong).
+    val uvHitPaths: Option[Seq[String]] =
+      if (uvBearing.isEmpty) Some(Seq.empty)
+      else try Some(
+        uvBearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+          .map { case (verDir, es) =>
+            s.read.option("basePath", s"$corpusDir/$verDir")
+              .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
+              .select(col(keyCol), col("_metadata.file_path").as("__uv_f"))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .join(imageKeys, Seq(keyCol), "left_semi")
+          .select("__uv_f").distinct().collect().map(_.getString(0)).toSeq)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     val uvScopeByEntry: Map[String, Seq[String]] = uvHitPaths
+      .getOrElse(Seq.empty)
       .flatMap { path =>
         uvBearing.find(e => path.contains(s"/${e._2}/"))
           .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
       }
       .groupBy(_._1)
       .map { case (n, fs) => n -> fs.map(_._2).distinct.sorted }
-    val foreignHolders =
-      uvScopeByEntry.keys.filterNot(_.startsWith(layoutPrefix)).toSet
+    val foreignHolders = uvHitPaths match {
+      case None => uvBearing.map(_._1)
+        .filterNot(_.startsWith(layoutPrefix)).toSet
+      case Some(_) =>
+        uvScopeByEntry.keys.filterNot(_.startsWith(layoutPrefix)).toSet
+    }
     val migrate =
       if (foreignHolders.isEmpty) Nil
       else expandForMigration(s, corpusDir, man,
@@ -1187,6 +1201,17 @@ object MergeOps {
     * kilobytes: CoW when deletes are dense (reclaim space now, keep
     * reads clean), MOR when they are sparse and latency-critical.
     *
+    * WRITE-COST honesty (round 15): the staged BYTES are ∝ matched
+    * keys, but computing the file scopes reads the KEY COLUMN of every
+    * touched partition plus every foreign-layout entry (a columnar
+    * single-column scan — the same price Delta pays to compute a DV's
+    * row positions), and the hit file PATHS (not rows) collect to the
+    * driver. Scoping earns that scan back on every subsequent read
+    * until materialization; a deployment where the write-side scan
+    * dominates (huge partitions, delete-heavy churn) should prefer
+    * [[mergeDelete]]'s CoW, which pays a comparable scan and reclaims
+    * immediately.
+    *
     * One live-corpus pass finds the keys actually present (all-miss
     * keys publish NOTHING — idempotent like CoW, since re-deleting a
     * tombstoned key reads as absent); the tombstone dir is partitioned
@@ -1243,17 +1268,29 @@ object MergeOps {
     val layoutPrefix = s"$partCol="
     val bearing = man.filter(e =>
       if (e._1.startsWith(layoutPrefix)) touchedSet(e._1) else true)
-    val hitPaths: Seq[String] =
-      if (bearing.isEmpty) Seq.empty
-      else bearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
-        .map { case (verDir, es) =>
-          s.read.option("basePath", s"$corpusDir/$verDir")
-            .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-            .select(col(keyCol), col("_metadata.file_path").as("__dv_f"))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-        .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
-        .select("__dv_f").distinct().collect().map(_.getString(0)).toSeq
+    // The scope scan selects keyCol over raw base files: a foreign-
+    // layout verDir whose files PREDATE keyCol (column evolution)
+    // cannot answer it — same fallback as [[foreignLayoutTouch]]:
+    // unscoped whole-dir lines for the touched same-layout partitions
+    // plus EVERY foreign entry (any of them may hold a doomed key; the
+    // read-side anti-join on a non-holder is a no-op, so conservative
+    // is exactly correct).
+    val hitPaths: Option[Seq[String]] =
+      if (bearing.isEmpty) Some(Seq.empty)
+      else try Some(
+        bearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+          .map { case (verDir, es) =>
+            s.read.option("basePath", s"$corpusDir/$verDir")
+              .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
+              .select(col(keyCol), col("_metadata.file_path").as("__dv_f"))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+          .select("__dv_f").distinct().collect().map(_.getString(0)).toSeq)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     val scopeByEntry: Map[String, Seq[String]] = hitPaths
+      .getOrElse(Seq.empty)
       .flatMap { path =>
         bearing.find(e => path.contains(s"/${e._2}/"))
           .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
@@ -1265,12 +1302,17 @@ object MergeOps {
     // tombstone write implies base hits. If that invariant ever broke,
     // fall back to the legacy whole-partition lines rather than lose
     // the delete.
-    val newLines =
-      if (scopeByEntry.nonEmpty)
+    val newLines = hitPaths match {
+      case None =>
+        (touched ++ bearing.map(_._1)
+          .filterNot(_.startsWith(layoutPrefix)))
+          .distinct.sorted.map(p => s"$p\t$dvRel")
+      case Some(_) if scopeByEntry.nonEmpty =>
         scopeByEntry.toSeq.sortBy(_._1).map { case (n, fs) =>
           s"$n\t$dvRel\t${fs.mkString(",")}"
         }
-      else touched.map(p => s"$p\t$dvRel")
+      case Some(_) => touched.map(p => s"$p\t$dvRel")
+    }
     val lines = Versioned.readDvLines(s, corpusDir, v) ++ newLines
     Versioned.writeDvLines(s, corpusDir, nv, tok, lines.sorted)
     // update-vector refs carry VERBATIM: nothing restages here, and the

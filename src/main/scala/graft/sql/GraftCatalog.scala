@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead,
   Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.col
@@ -193,9 +194,11 @@ class GraftCatalog extends TableCatalog {
 
 /** Test observable: the relative dirs the most recent [[GraftScan]]
   * actually read (post-pruning) — the SQL twin of the Wave33
-  * never-reads-pruned-dirs input-files pin. */
+  * never-reads-pruned-dirs input-files pin — and whether the most
+  * recent scan answered an aggregate metadata-only (no row read). */
 private[graft] object GraftScanObservable {
   @volatile var lastKeptDirs: Seq[String] = Nil
+  @volatile var lastAggPushed: Option[String] = None
 }
 
 /** One versioned store as a V2 table, pinned at `version`. */
@@ -253,10 +256,12 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
                        partCol: Option[String], fullSchema: StructType,
                        options: Map[String, String] = Map.empty)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var ranges: Seq[(String, Long, Long)] = Nil
   private var values: Seq[(String, Seq[String])] = Nil
 
@@ -320,9 +325,58 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     case _ => false
   }
 
+  /** A partition-column equality/IN is CONSUMED (not returned for
+    * post-scan re-evaluation) exactly when the manifest is SINGLE-
+    * layout on that column: every entry's `col=value` dir name then IS
+    * the column's value for every row inside, so the name-tier prune
+    * applies the filter completely — classic Hive partition pruning,
+    * and the prerequisite for pushing aggregates below a partition
+    * filter (Spark only pushes an aggregate when no filter remains to
+    * re-evaluate). On a MIXED-layout manifest (mid spec-evolution)
+    * entries of other layouts pass the name tier unfiltered, so the
+    * filter stays advisory there. Everything else always stays
+    * advisory: a sidecar is never a correctness gate. */
+  private def exactPartitionFilter(f: Filter): Boolean = {
+    def singleLayoutOn(c: String): Boolean =
+      partCol.exists(pc => pc.equalsIgnoreCase(c) &&
+        man.forall(_._1.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(pc.toLowerCase(java.util.Locale.ROOT) + "=")))
+    f match {
+      case EqualTo(c, v) =>
+        singleLayoutOn(c) && v != null && str(v).isDefined
+      case In(c, vs) =>
+        singleLayoutOn(c) && vs != null && vs.nonEmpty &&
+          vs.forall(_ != null) && vs.flatMap(str).length == vs.length
+      // Spark plants IsNotNull beside every partition equality: a
+      // `col=value` dir name IS a non-null witness for every row
+      // inside, except the default-partition dir — consuming this
+      // filter drops that one dir from the scan (scanMan below)
+      case IsNotNull(c) => singleLayoutOn(c)
+      case _ => false
+    }
+  }
+
+  private var consumedNotNull: Set[String] = Set.empty
+
+  /** The manifest the scan actually reads: consuming `IsNotNull(pc)`
+    * removes the default-partition dir (the only place null partition
+    * values live under a single-layout manifest). */
+  private def scanMan: Seq[(String, String)] =
+    if (consumedNotNull.isEmpty) man
+    else man.filterNot { case (n, _) =>
+      consumedNotNull.exists(c =>
+        n.equalsIgnoreCase(Versioned.partDirName(c, null)))
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(accept)
-    filters  // ALL filters re-evaluate post-scan: pruning is advisory
+    consumedNotNull = filters.collect {
+      case f @ IsNotNull(_) if exactPartitionFilter(f) => partCol.get
+    }.toSet
+    // consumed partition filters are fully applied by the name tier;
+    // every other filter re-evaluates post-scan (pruning is advisory)
+    residual = filters.filterNot(exactPartitionFilter)
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -330,9 +384,205 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, dir, version, man, partCol, required,
-                  ranges, values, fullSchema, options)
+  // ---- aggregate pushdown: COUNT(*) / MIN / MAX answered from
+  // METADATA (parquet footers + manifest names), never a row read ----
+
+  private var aggCache: Option[(Aggregation, Option[(StructType, Row)])] =
+    None
+  private var aggAnswer: Option[(StructType, Row)] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFor(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ans = answerFor(agg)
+    ans.foreach { a => aggAnswer = Some(a); required = a._1 }
+    ans.isDefined
+  }
+
+  private def answerFor(agg: Aggregation)
+      : Option[(StructType, Row)] = {
+    aggCache match {
+      case Some((a, r)) if a == agg => r
+      case _ =>
+        val r = scala.util.Try(computeAnswer(agg)).toOption.flatten
+        aggCache = Some((agg, r))
+        r
+    }
+  }
+
+  /** Answer the aggregation from metadata alone, or None (normal scan
+    * proceeds — declining is always safe). Exactness argument, piece
+    * by piece: parquet footer ROW COUNTS are exact for the files
+    * present, and with no outstanding deletion/update vectors the
+    * files ARE the content (CoW writers rewrite files, so no sidecar
+    * staleness can touch this path — unlike the zone-map sidecars,
+    * whose carried bounds are prune-safe supersets but NOT answer-safe
+    * after a CoW delete). Footer INT32/INT64 column statistics are
+    * likewise exact per file (no truncation for integral physical
+    * types; a file missing the column is a schema-evolution null-fill,
+    * contributing nothing to MIN/MAX; a file with rows but no
+    * statistics declines the whole pushdown). Partition-column MIN/MAX
+    * reads the manifest NAMES (single-layout only). The kept-entry set
+    * honors the consumed partition filters through the same name tier
+    * the row scan would use. Cost: one footer read per surviving file,
+    * driver-side, zero tasks — the manifest-recorded-counts tier
+    * (Iceberg's) is the upgrade path if footer RPCs ever dominate. */
+  private def computeAnswer(agg: Aggregation)
+      : Option[(StructType, Row)] = {
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (residual.nonEmpty) return None  // a filter would re-evaluate
+    val funcs = agg.aggregateExpressions.toSeq
+    if (funcs.isEmpty) return None
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        fullSchema.fields.map(_.name)
+          .find(_.equalsIgnoreCase(nr.fieldNames.head))
+      case _ => None
+    }
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      CountStar, Max, Min}
+    sealed trait Spec
+    case object Cnt extends Spec
+    case class Mn(c: String) extends Spec
+    case class Mx(c: String) extends Spec
+    val specs0 = funcs.map {
+      case _: CountStar => Some(Cnt): Option[Spec]
+      case m: Min => nameOf(m.column()).map(Mn(_): Spec)
+      case m: Max => nameOf(m.column()).map(Mx(_): Spec)
+      case _ => None: Option[Spec]
+    }
+    if (specs0.exists(_.isEmpty)) return None
+    val specs = specs0.flatten
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val isPart = (c: String) => partCol.exists(_.equalsIgnoreCase(c))
+    val minMaxCols = specs.collect { case Mn(c) => c case Mx(c) => c }
+    if (!minMaxCols.forall(c => integral(fullSchema(c).dataType)))
+      return None
+    // MOR vectors outstanding: footer counts would overcount, footer
+    // bounds could name a tombstoned row — decline
+    if (Versioned.readDvRefsScoped(spark, dir, version).nonEmpty ||
+        Versioned.readUvRefsScoped(spark, dir, version).nonEmpty)
+      return None
+    // partition-column min/max from names needs the single layout
+    if (minMaxCols.exists(c => isPart(c)) &&
+        !man.forall(_._1.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(partCol.get.toLowerCase(java.util.Locale.ROOT) + "=")))
+      return None
+    val kept = MergeOps.skipEntries(spark, dir, version, scanMan,
+      ranges, values, Map.empty, Map.empty, Map.empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = new Path(dir).getFileSystem(conf)
+    // one footer per surviving data file, read once, shared by every
+    // requested function
+    lazy val footers = kept.flatMap { case (_, rel) =>
+      fsys.listStatus(new Path(s"$dir/$rel")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, st,
+          org.apache.parquet.format.converter.ParquetMetadataConverter
+            .NO_FILTER))
+    }
+    def cast(c: String, v: Long): Any = fullSchema(c).dataType match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    def dataColBound(c: String, wantMin: Boolean): Option[Any] = {
+      var acc: Option[Long] = None
+      for (f <- footers; b <- f.getBlocks.asScala) {
+        if (b.getRowCount > 0L) {
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+          chunk match {
+            case None => ()  // pre-evolution file: null-filled, no bound
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty)
+                throw new IllegalStateException("no stats")  // decline
+              else if (st.hasNonNullValue) {
+                val v = (if (wantMin) st.genericGetMin()
+                         else st.genericGetMax())
+                  .asInstanceOf[Number].longValue
+                acc = Some(acc.fold(v)(a =>
+                  if (wantMin) math.min(a, v) else math.max(a, v)))
+              }
+          }
+        }
+      }
+      acc.map(cast(c, _))
+    }
+    def partColBound(c: String, wantMin: Boolean): Option[Any] = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val vals = kept.map(_._1).flatMap { n =>
+        val raw = ExternalCatalogUtils.unescapePathName(
+          n.drop(n.indexOf('=') + 1))
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+        else Some(raw.toLong)  // non-integral parse throws -> decline
+      }
+      // an all-null (default-partition-only) result is a NULL bound —
+      // but only if those dirs hold rows; cheap exact answer: bound of
+      // no values is null either way
+      vals.reduceOption((a: Long, b: Long) =>
+          if (wantMin) math.min(a, b) else math.max(a, b))
+        .map(cast(c, _))
+    }
+    def bound(c: String, wantMin: Boolean): Option[Any] =
+      if (isPart(c)) partColBound(c, wantMin) else dataColBound(c, wantMin)
+    val cells: Seq[(StructField, Any)] = specs.map {
+      case Cnt =>
+        val n = footers.map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
+        (StructField("count(*)", LongType, nullable = false), n)
+      case Mn(c) =>
+        (StructField(s"min($c)", fullSchema(c).dataType),
+         bound(c, wantMin = true).orNull)
+      case Mx(c) =>
+        (StructField(s"max($c)", fullSchema(c).dataType),
+         bound(c, wantMin = false).orNull)
+    }
+    Some((StructType(cells.map(_._1)), Row(cells.map(_._2): _*)))
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) =>
+      new GraftAggAnswerScan(spark, dir, version, schema, row)
+    case None =>
+      new GraftScan(spark, dir, version, scanMan, partCol, required,
+                    ranges, values, fullSchema, options)
+  }
+}
+
+/** A completely-pushed aggregate's answer: one precomputed row, no
+  * file scan anywhere in the plan — the row was derived from parquet
+  * footers and manifest names on the driver. */
+class GraftAggAnswerScan(spark: SparkSession, dir: String, version: Long,
+                         answerSchema: StructType, answer: Row)
+    extends Scan with V1Scan {
+
+  override def readSchema(): StructType = answerSchema
+
+  override def description(): String =
+    s"GraftAggAnswerScan[$dir@v$version, metadata-only]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = answerSchema
+      override def buildScan(): RDD[Row] = {
+        GraftScanObservable.lastAggPushed = Some(description())
+        spark.sparkContext.parallelize(Seq(answer), 1)
+      }
+    }.asInstanceOf[T]
 }
 
 /** The pruned read, delivered through `V1Scan` (the JDBC-connector
@@ -540,6 +790,43 @@ object GraftSqlQueries {
     require(snap("").count() > asOf.count(),
       "the current read must see the post-v1 inserts")
     asOf.orderBy("doc_id")
+  }
+
+  /** Declared sql_store_agg query: the "how big is the corpus" poll a
+    * maintainer runs constantly at 100 TB — COUNT(*)/MIN/MAX answered
+    * from parquet footers and manifest names alone
+    * ([[GraftScanBuilder.pushAggregation]]): the REQUIREs pin that the
+    * metadata path (not a scan) produced the row — zero data files in
+    * the plan — and the oracle proves the numbers are exactly the
+    * table's. */
+  def sqlStoreAggQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlagg_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    GraftScanObservable.lastAggPushed = None
+    val res = s.sql(
+      s"""SELECT count(*) AS cnt, min(doc_id) AS mn, max(doc_id) AS mx
+         |FROM graft.$tbl""".stripMargin)
+    val row = res.collect()  // materialize so the observable is set
+    require(GraftScanObservable.lastAggPushed.isDefined,
+      "the aggregate must be answered from metadata, not a scan")
+    require(res.inputFiles.isEmpty,
+      s"no data file may appear in the pushed-aggregate plan: " +
+        s"${res.inputFiles.toSeq}")
+    require(row.length == 1, "one answer row")
+    res
   }
 
   /** Declared stream_table_read query: the PLAIN TABLE as a stream —

@@ -363,7 +363,16 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     * is the right direction for a pacing cap. `prev = None` (nothing
     * committed at or below the floor — the bootstrap walk) prices the
     * full version, which is what the bootstrap batch reads. */
-  private def deltaBytes(prev: Option[Long], v: Long): Long = {
+  /** Versions are immutable, so a step's price never changes: cache it
+    * for the stream's lifetime — without this, every trigger re-lists
+    * and re-prices every candidate step of a long backlog (the pacing
+    * walk restarts from the floor each time). Bounded by the number of
+    * distinct steps this stream ever considers. */
+  private val deltaBytesCache =
+    scala.collection.mutable.Map.empty[(Option[Long], Long), Long]
+
+  private def deltaBytes(prev: Option[Long], v: Long): Long =
+    deltaBytesCache.getOrElseUpdate((prev, v), {
     val tm = Versioned.manifest(spark, dir, v).toMap
     val fm = prev.map(p => Versioned.manifest(spark, dir, p).toMap)
       .getOrElse(Map.empty[String, String])
@@ -381,9 +390,19 @@ class ChangeFeedStream(spark: SparkSession, dir: String, keyCol: String,
     changed.flatMap(n => fm.get(n).toSeq ++ tm.get(n).toSeq)
       .toSeq.distinct.map { rel =>
         scala.util.Try(storeFs.getContentSummary(
-          new Path(s"$dir/$rel")).getLength).getOrElse(0L)
+          new Path(s"$dir/$rel")).getLength) match {
+          case scala.util.Success(b) => b
+          case scala.util.Failure(e) =>
+            // a swept/vacuumed dir prices at 0 — log it instead of
+            // silently over-admitting, so a paced stream that starts
+            // overshooting its byte cap is diagnosable
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft-change-feed: could not price $dir/$rel for " +
+                s"byte pacing (${e.getMessage}); counting it as 0 bytes")
+            0L
+        }
       }.sum
-  }
+    })
 
   override def initialOffset(): Offset = FeedOffset(baseVersion)
 
