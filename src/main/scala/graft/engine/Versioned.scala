@@ -717,25 +717,40 @@ object Versioned {
   }
 
   /** Parse one DV sidecar line: `partition-dir-name \t dvdata-relpath
-    * [\t file1,file2,…]`. The OPTIONAL third field (round 14) is the
-    * FILE SCOPE — the leaf names of the data files within that
-    * partition's dir that contained at least one tombstoned key when
-    * the delete ran (data dirs are immutable, so the set stays valid
-    * for as long as the ref itself carries; any restaging write drops
-    * the line). Scoped refs let the read side anti-join ONLY those
-    * files and stream every other file of the partition verbatim —
-    * Delta/Iceberg's per-file deletion-vector granularity, so one
-    * deleted key in a hot 10 GB partition taxes one file's rows, not
-    * the partition. A 2-field line (every pre-round-14 writer, or one
-    * that cannot price the scope) means "unknown — anti-join the whole
-    * partition", the always-correct fallback. */
+    * [\t file1,file2,…] [\t file1:p1.p2,file2:p7,…]`. The OPTIONAL
+    * third field (round 14) is the FILE SCOPE — the leaf names of the
+    * data files within that partition's dir that contained at least
+    * one tombstoned key when the delete ran (data dirs are immutable,
+    * so the set stays valid for as long as the ref itself carries; any
+    * restaging write drops the line). Scoped refs let the read side
+    * anti-join ONLY those files and stream every other file of the
+    * partition verbatim — Delta/Iceberg's per-file deletion-vector
+    * granularity. The OPTIONAL fourth field (round 15) is the ROW
+    * POSITION map — for each scoped file whose doomed-row count fit
+    * the writer's cap, the exact `_metadata.row_index` positions of
+    * the tombstoned rows, recorded when the delete ran (files are
+    * immutable, so positions stay valid like the names do): the read
+    * side then applies a codegen'd positional FILTER to those files
+    * instead of the key anti-join — no join, no shuffle, no tombstone
+    * read — Delta's deletion-vector end state. Files in scope but not
+    * in the map (over-cap, or written by a round-14 writer) keep the
+    * per-file anti-join; a 2-field line means "unknown — anti-join the
+    * whole partition". Every tier is the same content, cheaper. */
   private[graft] def dvLineFields(line: String)
-      : (String, String, Option[Set[String]]) = {
+      : (String, String, Option[Set[String]], Map[String, Seq[Long]]) = {
     val fs = line.split('\t')
     val scope =
       if (fs.length >= 3 && fs(2).nonEmpty) Some(fs(2).split(',').toSet)
       else None
-    (fs(0), fs(1), scope)
+    val pos =
+      if (fs.length >= 4 && fs(3).nonEmpty)
+        fs(3).split(',').iterator.map { s =>
+          val i = s.lastIndexOf(':')
+          s.substring(0, i) ->
+            s.substring(i + 1).split('.').map(_.toLong).toSeq
+        }.toMap
+      else Map.empty[String, Seq[Long]]
+    (fs(0), fs(1), scope, pos)
   }
 
   /** Raw committed DV lines of version `v` (see [[dvLineFields]] for
@@ -832,14 +847,18 @@ object Versioned {
     readDvLines(s, dir, v).map(dvLineFields)
       .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
 
-  /** [[readDvRefs]] WITH each ref's optional file scope (see
-    * [[dvLineFields]]) — the read-path surface: [[readEntriesLive]]
-    * anti-joins only a scoped ref's named files. */
+  /** [[readDvRefs]] WITH each ref's optional file scope and row
+    * positions (see [[dvLineFields]]) — the read-path surface:
+    * [[readEntriesLive]] anti-joins only a scoped ref's named files,
+    * and position-mapped files take a positional filter instead. */
   def readDvRefsScoped(s: SparkSession, dir: String, v: Long)
-      : Map[String, Seq[(String, Option[Set[String]])]] =
+      : Map[String, Seq[(String, Option[Set[String]],
+                         Map[String, Seq[Long]])]] =
     readDvLines(s, dir, v).map(dvLineFields)
       .groupBy(_._1)
-      .map { case (p, rs) => p -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+      .map { case (p, rs) =>
+        p -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+      }
 
   /** The cumulative APPLIED-ID ledger as of version `v` — the newest
     * COMMITTED `ledger/` sidecar at or below `v` (walk-back bounded by
@@ -1264,7 +1283,13 @@ object Versioned {
         val fsys = fsOf(s, dd)
         lazy val byVer = es.groupBy(_._2.split("/").take(2).mkString("/"))
           .toSeq.sortBy(_._1)
-        def readSplit(keep: String => Boolean): Option[DataFrame] =
+        // `xform` applies PER-SCAN, before any union: metadata columns
+        // (`_metadata.file_path` / `row_index` — the positional-filter
+        // inputs) resolve only against a file-source scan, never a
+        // union's output
+        def readSplit(keep: String => Boolean,
+                      xform: DataFrame => DataFrame = identity)
+            : Option[DataFrame] =
           byVer.flatMap { case (verDir, ves) =>
             val paths =
               try ves.flatMap(e =>
@@ -1282,12 +1307,12 @@ object Versioned {
                       "re-derive from the current commit log", e)
               }
             if (paths.isEmpty) None
-            else Some(partCol match {
+            else Some(xform(partCol match {
               case Some(_) =>
                 s.read.option("basePath", s"$dd/$verDir")
                   .parquet(paths.map(_.toString): _*)
               case None => s.read.parquet(paths.map(_.toString): _*)
-            })
+            }))
           }.reduceOption(_.unionByName(_, allowMissingColumns = true))
         // UPDATE substitution first (see [[readUvLines]] for why that
         // order is always right): latest image per key across the
@@ -1394,18 +1419,36 @@ object Versioned {
           if (!canScope) base.join(dvKeys, Seq(kc), "left_anti")
           else {
             val tainted = rs.flatMap(_._2.get).toSet
+            // POSITIONAL tier (round 15): a tainted file whose every
+            // scoping ref also carries its row positions takes a
+            // codegen'd positional FILTER — no join, no shuffle, no
+            // tombstone read. Positions union across stacked delete
+            // generations; one scope-only mention (over-cap, or a
+            // round-14 writer) demotes the file to the per-file
+            // anti-join, which is always correct.
+            val scopeOnly = rs.flatMap(r =>
+              r._2.get.filterNot(r._3.contains)).toSet
+            val posByFile: Map[String, Seq[Long]] = rs.flatMap(_._3.toSeq)
+              .groupBy(_._1)
+              .map { case (f, ps) =>
+                f -> ps.flatMap(_._2).distinct.sorted }
+              .filterNot { case (f, _) => scopeOnly(f) }
+            val joinTainted = tainted -- posByFile.keySet
             val clean = readSplit(n => !tainted(n))
-            val doomed = readSplit(tainted)
+            val doomedJoin = readSplit(joinTainted)
               .map(_.join(dvKeys, Seq(kc), "left_anti"))
-            (clean, doomed) match {
-              case (Some(c), Some(t)) =>
-                c.unionByName(t, allowMissingColumns = true)
-              case (Some(c), None) => c
-              case (None, Some(t)) => t
-              // every file scoped out of existence (a restage raced the
-              // listing) — an empty frame at the group's schema
-              case (None, None) => base.limit(0)
-            }
+            val doomedPos = readSplit(posByFile.keySet, df => {
+              val hit = posByFile.map { case (f, ps) =>
+                col("_metadata.file_path").endsWith("/" + f) &&
+                  col("_metadata.row_index").isInCollection(ps)
+              }.reduce(_ || _)
+              df.where(!hit)
+            })
+            (clean.toSeq ++ doomedJoin.toSeq ++ doomedPos.toSeq)
+              .reduceOption(_.unionByName(_, allowMissingColumns = true))
+              // every file scoped out of existence (a restage raced
+              // the listing) — an empty frame at the group's schema
+              .getOrElse(base.limit(0))
           }
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))

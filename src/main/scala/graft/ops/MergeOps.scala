@@ -67,6 +67,14 @@ object MergeOps {
     * would move blooms to per-partition binary sidecar files (the
     * Iceberg Puffin shape) rather than raise it. */
   private val BloomRowCap = 200000L
+
+  /** Per-FILE cap on recorded deletion-vector row positions
+    * ([[mergeDeleteMor]]): under it, the file's doomed rows are named
+    * exactly and the read applies a positional filter; over it, the
+    * file keeps the per-file key anti-join (a dense delete is headed
+    * for compaction anyway, and an unbounded position list would make
+    * the sidecar the thing it exists to avoid — data-sized). */
+  private val DvPosCap = 4096
   private val BloomFpp = 0.03
 
   /** Write-side CHECK constraints (Delta's `ADD CONSTRAINT` at merge
@@ -1275,41 +1283,63 @@ object MergeOps {
     // plus EVERY foreign entry (any of them may hold a doomed key; the
     // read-side anti-join on a non-holder is a no-op, so conservative
     // is exactly correct).
-    val hitPaths: Option[Seq[String]] =
+    // The same pass that names the hit FILES also collects each file's
+    // doomed ROW POSITIONS (`_metadata.row_index`, per-file-capped with
+    // the dict-cap slice trick so an over-cap file ships cap+1 rows to
+    // the driver, never an unbounded list): a position-mapped file is
+    // read back through a codegen'd positional filter — no anti-join,
+    // no shuffle, no tombstone read — while over-cap files keep the
+    // per-file anti-join. Positions stay valid exactly as long as the
+    // file names do (immutable dirs; any restage drops the line).
+    val hitAgg: Option[Seq[(String, Seq[Long])]] =
       if (bearing.isEmpty) Some(Seq.empty)
       else try Some(
         bearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
           .map { case (verDir, es) =>
             s.read.option("basePath", s"$corpusDir/$verDir")
               .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-              .select(col(keyCol), col("_metadata.file_path").as("__dv_f"))
+              .select(col(keyCol),
+                      col("_metadata.file_path").as("__dv_f"),
+                      col("_metadata.row_index").as("__dv_i"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
           .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
-          .select("__dv_f").distinct().collect().map(_.getString(0)).toSeq)
+          .groupBy(col("__dv_f"))
+          .agg(slice(sort_array(collect_list(col("__dv_i"))),
+                     1, DvPosCap + 1).as("__ps"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq)
       catch {
         case _: org.apache.spark.sql.AnalysisException => None
       }
-    val scopeByEntry: Map[String, Seq[String]] = hitPaths
+    val hitsByEntry: Map[String, Seq[(String, Seq[Long])]] = hitAgg
       .getOrElse(Seq.empty)
-      .flatMap { path =>
+      .flatMap { case (path, ps) =>
         bearing.find(e => path.contains(s"/${e._2}/"))
-          .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
+          .map(e =>
+            e._1 -> (path.substring(path.lastIndexOf('/') + 1), ps))
       }
       .groupBy(_._1)
-      .map { case (n, fs) => n -> fs.map(_._2).distinct.sorted }
+      .map { case (n, fs) => n -> fs.map(_._2).sortBy(_._1) }
     // Defensive floor: a LIVE doomed key always has a base row (uv
     // images substitute for existing keys only), so a non-empty
     // tombstone write implies base hits. If that invariant ever broke,
     // fall back to the legacy whole-partition lines rather than lose
     // the delete.
-    val newLines = hitPaths match {
+    val newLines = hitAgg match {
       case None =>
         (touched ++ bearing.map(_._1)
           .filterNot(_.startsWith(layoutPrefix)))
           .distinct.sorted.map(p => s"$p\t$dvRel")
-      case Some(_) if scopeByEntry.nonEmpty =>
-        scopeByEntry.toSeq.sortBy(_._1).map { case (n, fs) =>
-          s"$n\t$dvRel\t${fs.mkString(",")}"
+      case Some(_) if hitsByEntry.nonEmpty =>
+        hitsByEntry.toSeq.sortBy(_._1).map { case (n, fs) =>
+          val scope = fs.map(_._1).mkString(",")
+          val posed = fs.filter(_._2.length <= DvPosCap)
+          if (posed.isEmpty) s"$n\t$dvRel\t$scope"
+          else {
+            val posField = posed.map { case (f, ps) =>
+              s"$f:${ps.mkString(".")}" }.mkString(",")
+            s"$n\t$dvRel\t$scope\t$posField"
+          }
         }
       case Some(_) => touched.map(p => s"$p\t$dvRel")
     }

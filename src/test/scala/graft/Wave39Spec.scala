@@ -76,7 +76,7 @@ class Wave39Spec extends SparkTestBase {
     assert(allScoped === expected,
       s"dv file scopes $allScoped must equal the files holding the " +
         s"doomed keys $expected")
-    scoped.values.flatten.foreach { case (_, scope) =>
+    scoped.values.flatten.foreach { case (_, scope, _) =>
       assert(scope.isDefined, "every round-14 dv line must carry a scope")
     }
     // lines key by the holder manifest entry name
@@ -101,7 +101,7 @@ class Wave39Spec extends SparkTestBase {
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     rewriteDv(dir, 2L, lines => lines.map { l =>
-      val (part, rel, scope) = Versioned.dvLineFields(l)
+      val (part, rel, scope, _) = Versioned.dvLineFields(l)
       val others = fsys.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/${man(part)}")).toSeq
         .map(_.getPath.getName)
@@ -124,7 +124,7 @@ class Wave39Spec extends SparkTestBase {
     MergeOps.mergeDeleteMor(spark, dir, Seq(6L).toDF("k"), "k", "p") // v2
     // strip the scope field: the old format, unknown files
     rewriteDv(dir, 2L, lines => lines.map { l =>
-      val (part, rel, _) = Versioned.dvLineFields(l)
+      val (part, rel, _, _) = Versioned.dvLineFields(l)
       s"$part\t$rel"
     })
     assert(!liveKeys(dir).contains(6L),
