@@ -809,12 +809,24 @@ object Versioned {
     * verbatim. A 3-field line means "unknown — anti-join the whole
     * partition". */
   private[graft] def uvLineFields(line: String)
-      : (String, String, String, Option[Set[String]]) = {
+      : (String, String, String, Option[Set[String]],
+         Map[String, Seq[Long]]) = {
     val fs = line.split('\t')
     val scope =
       if (fs.length >= 4 && fs(3).nonEmpty) Some(fs(3).split(',').toSet)
       else None
-    (fs(0), fs(1), fs(2), scope)
+    // OPTIONAL fifth field (round 15, the dv analogue): per-file row
+    // positions of the imaged base rows — the substitution anti-join
+    // becomes a positional filter for mapped files
+    val pos =
+      if (fs.length >= 5 && fs(4).nonEmpty)
+        fs(4).split(',').iterator.map { s =>
+          val i = s.lastIndexOf(':')
+          s.substring(0, i) ->
+            s.substring(i + 1).split('.').map(_.toLong).toSeq
+        }.toMap
+      else Map.empty[String, Seq[Long]]
+    (fs(0), fs(1), fs(2), scope, pos)
   }
 
   /** Committed UV refs of version `v`: partition dir name →
@@ -828,14 +840,15 @@ object Versioned {
       .groupBy(_._1)
       .map { case (p, rs) => p -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
 
-  /** [[readUvRefs]] WITH each ref's optional file scope (see
-    * [[uvLineFields]]) — the read-path surface. */
+  /** [[readUvRefs]] WITH each ref's optional file scope and row
+    * positions (see [[uvLineFields]]) — the read-path surface. */
   def readUvRefsScoped(s: SparkSession, dir: String, v: Long)
-      : Map[String, Seq[(String, String, Option[Set[String]])]] =
+      : Map[String, Seq[(String, String, Option[Set[String]],
+                         Map[String, Seq[Long]])]] =
     readUvLines(s, dir, v).map(uvLineFields)
       .groupBy(_._1)
       .map { case (p, rs) =>
-        p -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+        p -> rs.map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1)
       }
 
   /** Committed DV refs of version `v`: partition dir name → tombstone
@@ -1329,7 +1342,7 @@ object Versioned {
           // whole-dir read would leak other partitions' images into this
           // group (the refs are per-partition lines for exactly this
           // reason). Unpartitioned tables read the dir whole.
-          val imgs = us.map { case (rel, _, _) =>
+          val imgs = us.map { case (rel, _, _, _) =>
             val ver = stageDirVersion(rel.split("/")(1)).getOrElse(0L)
             val df = partCol match {
               case Some(_) =>
@@ -1360,10 +1373,32 @@ object Versioned {
                 .unionByName(latest, allowMissingColumns = true)
             else {
               val uvTainted = us.flatMap(_._3.get).toSet
+              // POSITIONAL tier (round 15, the dv analogue): a tainted
+              // file every scoping generation position-mapped drops
+              // its imaged base rows through a codegen'd filter — the
+              // substitution costs no join for that file; any
+              // scope-only mention demotes it to the anti-join
+              val uvScopeOnly = us.flatMap(u =>
+                u._3.get.filterNot(u._4.contains)).toSet
+              val uvPosByFile: Map[String, Seq[Long]] =
+                us.flatMap(_._4.toSeq)
+                  .groupBy(_._1)
+                  .map { case (f, ps) =>
+                    f -> ps.flatMap(_._2).distinct.sorted }
+                  .filterNot { case (f, _) => uvScopeOnly(f) }
+              val joinTainted = uvTainted -- uvPosByFile.keySet
               val clean = readSplit(n => !uvTainted(n))
-              val shadowed = readSplit(uvTainted)
+              val shadowJoin = readSplit(joinTainted)
                 .map(_.join(latestKeys, Seq(kc), "left_anti"))
-              (clean.toSeq ++ shadowed.toSeq :+ latest)
+              val shadowPos = readSplit(uvPosByFile.keySet, df => {
+                val hit = uvPosByFile.map { case (f, ps) =>
+                  col("_metadata.file_path").endsWith("/" + f) &&
+                    col("_metadata.row_index").isInCollection(ps)
+                }.reduce(_ || _)
+                df.where(!hit)
+              })
+              (clean.toSeq ++ shadowJoin.toSeq ++ shadowPos.toSeq
+                :+ latest)
                 .reduce(_.unionByName(_, allowMissingColumns = true))
             }
         }

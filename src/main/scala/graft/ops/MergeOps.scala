@@ -1111,29 +1111,40 @@ object MergeOps {
     // select — scoping is lost (whole-partition lines) and EVERY
     // foreign entry is treated as a holder (all migrate; a needless
     // migration is a content-preserving restage, never wrong).
-    val uvHitPaths: Option[Seq[String]] =
+    // Like mergeDeleteMor's scan, this also collects each hit file's
+    // imaged-row POSITIONS (per-file capped) so the read-side
+    // substitution drops them with a positional filter instead of the
+    // anti-join wherever the cap held.
+    val uvHitAgg: Option[Seq[(String, Seq[Long])]] =
       if (uvBearing.isEmpty) Some(Seq.empty)
       else try Some(
         uvBearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
           .map { case (verDir, es) =>
             s.read.option("basePath", s"$corpusDir/$verDir")
               .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-              .select(col(keyCol), col("_metadata.file_path").as("__uv_f"))
+              .select(col(keyCol),
+                      col("_metadata.file_path").as("__uv_f"),
+                      col("_metadata.row_index").as("__uv_i"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
           .join(imageKeys, Seq(keyCol), "left_semi")
-          .select("__uv_f").distinct().collect().map(_.getString(0)).toSeq)
+          .groupBy(col("__uv_f"))
+          .agg(slice(sort_array(collect_list(col("__uv_i"))),
+                     1, DvPosCap + 1).as("__ps"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq)
       catch {
         case _: org.apache.spark.sql.AnalysisException => None
       }
-    val uvScopeByEntry: Map[String, Seq[String]] = uvHitPaths
+    val uvScopeByEntry: Map[String, Seq[(String, Seq[Long])]] = uvHitAgg
       .getOrElse(Seq.empty)
-      .flatMap { path =>
+      .flatMap { case (path, ps) =>
         uvBearing.find(e => path.contains(s"/${e._2}/"))
-          .map(e => e._1 -> path.substring(path.lastIndexOf('/') + 1))
+          .map(e =>
+            e._1 -> (path.substring(path.lastIndexOf('/') + 1), ps))
       }
       .groupBy(_._1)
-      .map { case (n, fs) => n -> fs.map(_._2).distinct.sorted }
-    val foreignHolders = uvHitPaths match {
+      .map { case (n, fs) => n -> fs.map(_._2).sortBy(_._1) }
+    val foreignHolders = uvHitAgg match {
       case None => uvBearing.map(_._1)
         .filterNot(_.startsWith(layoutPrefix)).toSet
       case Some(_) =>
@@ -1170,7 +1181,14 @@ object MergeOps {
         // line falls back to the whole-partition form
         uvScopeByEntry.get(p) match {
           case Some(fs) if !stagedNames(p) =>
-            s"$p\t$uvRel\t$keyCol\t${fs.mkString(",")}"
+            val scope = fs.map(_._1).mkString(",")
+            val posed = fs.filter(_._2.length <= DvPosCap)
+            if (posed.isEmpty) s"$p\t$uvRel\t$keyCol\t$scope"
+            else {
+              val posField = posed.map { case (f, ps) =>
+                s"$f:${ps.mkString(".")}" }.mkString(",")
+              s"$p\t$uvRel\t$keyCol\t$scope\t$posField"
+            }
           case _ => s"$p\t$uvRel\t$keyCol"
         }
       }

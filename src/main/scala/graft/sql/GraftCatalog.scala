@@ -387,9 +387,9 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   // ---- aggregate pushdown: COUNT(*) / MIN / MAX answered from
   // METADATA (parquet footers + manifest names), never a row read ----
 
-  private var aggCache: Option[(Aggregation, Option[(StructType, Row)])] =
-    None
-  private var aggAnswer: Option[(StructType, Row)] = None
+  private var aggCache
+      : Option[(Aggregation, Option[(StructType, Seq[Row])])] = None
+  private var aggAnswer: Option[(StructType, Seq[Row])] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     answerFor(agg).isDefined
@@ -401,7 +401,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   }
 
   private def answerFor(agg: Aggregation)
-      : Option[(StructType, Row)] = {
+      : Option[(StructType, Seq[Row])] = {
     aggCache match {
       case Some((a, r)) if a == agg => r
       case _ =>
@@ -429,9 +429,8 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     * driver-side, zero tasks — the manifest-recorded-counts tier
     * (Iceberg's) is the upgrade path if footer RPCs ever dominate. */
   private def computeAnswer(agg: Aggregation)
-      : Option[(StructType, Row)] = {
+      : Option[(StructType, Seq[Row])] = {
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions.nonEmpty) return None
     if (residual.nonEmpty) return None  // a filter would re-evaluate
     val funcs = agg.aggregateExpressions.toSeq
     if (funcs.isEmpty) return None
@@ -442,6 +441,17 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
         fullSchema.fields.map(_.name)
           .find(_.equalsIgnoreCase(nr.fieldNames.head))
       case _ => None
+    }
+    // GROUP BY is answerable in exactly one shape: BY THE PARTITION
+    // COLUMN on a single-layout manifest — each surviving entry IS one
+    // group ("rows per language", the other constant maintainer poll)
+    val groupCol: Option[String] = agg.groupByExpressions.toSeq match {
+      case Nil => None
+      case Seq(e) =>
+        val c = nameOf(e)
+        if (c.exists(n => partCol.exists(_.equalsIgnoreCase(n)))) c
+        else return None
+      case _ => return None
     }
     import org.apache.spark.sql.connector.expressions.aggregate.{
       CountStar, Max, Min}
@@ -470,10 +480,13 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     if (Versioned.readDvRefsScoped(spark, dir, version).nonEmpty ||
         Versioned.readUvRefsScoped(spark, dir, version).nonEmpty)
       return None
-    // partition-column min/max from names needs the single layout
-    if (minMaxCols.exists(c => isPart(c)) &&
-        !man.forall(_._1.toLowerCase(java.util.Locale.ROOT)
-          .startsWith(partCol.get.toLowerCase(java.util.Locale.ROOT) + "=")))
+    def singleLayout: Boolean =
+      man.forall(_._1.toLowerCase(java.util.Locale.ROOT)
+        .startsWith(partCol.get.toLowerCase(java.util.Locale.ROOT) + "="))
+    // partition-column min/max from names needs the single layout, as
+    // does grouping by it
+    if ((minMaxCols.exists(c => isPart(c)) || groupCol.isDefined) &&
+        !singleLayout)
       return None
     val kept = MergeOps.skipEntries(spark, dir, version, scanMan,
       ranges, values, Map.empty, Map.empty, Map.empty)
@@ -481,15 +494,16 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     val fsys = new Path(dir).getFileSystem(conf)
     // one footer per surviving data file, read once, shared by every
     // requested function
-    lazy val footers = kept.flatMap { case (_, rel) =>
-      fsys.listStatus(new Path(s"$dir/$rel")).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-          conf, st,
-          org.apache.parquet.format.converter.ParquetMetadataConverter
-            .NO_FILTER))
-    }
+    def footersOf(entries: Seq[(String, String)]) =
+      entries.flatMap { case (_, rel) =>
+        fsys.listStatus(new Path(s"$dir/$rel")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, st,
+            org.apache.parquet.format.converter.ParquetMetadataConverter
+              .NO_FILTER))
+      }
     def cast(c: String, v: Long): Any = fullSchema(c).dataType match {
       case LongType => v
       case IntegerType => v.toInt
@@ -497,7 +511,9 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       case ByteType => v.toByte
       case other => throw new IllegalStateException(s"unexpected $other")
     }
-    def dataColBound(c: String, wantMin: Boolean): Option[Any] = {
+    def dataColBound(footers: Seq[
+          org.apache.parquet.hadoop.metadata.ParquetMetadata],
+        c: String, wantMin: Boolean): Option[Any] = {
       var acc: Option[Long] = None
       for (f <- footers; b <- f.getBlocks.asScala) {
         if (b.getRowCount > 0L) {
@@ -521,35 +537,68 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       }
       acc.map(cast(c, _))
     }
-    def partColBound(c: String, wantMin: Boolean): Option[Any] = {
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val vals = kept.map(_._1).flatMap { n =>
-        val raw = ExternalCatalogUtils.unescapePathName(
-          n.drop(n.indexOf('=') + 1))
-        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
-        else Some(raw.toLong)  // non-integral parse throws -> decline
-      }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def dirValueRaw(n: String): Option[String] = {
+      val raw = ExternalCatalogUtils.unescapePathName(
+        n.drop(n.indexOf('=') + 1))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+      else Some(raw)
+    }
+    def partColBound(entries: Seq[(String, String)], c: String,
+                     wantMin: Boolean): Option[Any] = {
+      // non-integral parse throws -> decline
+      val vals = entries.map(_._1).flatMap(dirValueRaw).map(_.toLong)
       // an all-null (default-partition-only) result is a NULL bound —
-      // but only if those dirs hold rows; cheap exact answer: bound of
-      // no values is null either way
+      // bound of no values is null either way
       vals.reduceOption((a: Long, b: Long) =>
           if (wantMin) math.min(a, b) else math.max(a, b))
         .map(cast(c, _))
     }
-    def bound(c: String, wantMin: Boolean): Option[Any] =
-      if (isPart(c)) partColBound(c, wantMin) else dataColBound(c, wantMin)
-    val cells: Seq[(StructField, Any)] = specs.map {
-      case Cnt =>
-        val n = footers.map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
-        (StructField("count(*)", LongType, nullable = false), n)
-      case Mn(c) =>
-        (StructField(s"min($c)", fullSchema(c).dataType),
-         bound(c, wantMin = true).orNull)
-      case Mx(c) =>
-        (StructField(s"max($c)", fullSchema(c).dataType),
-         bound(c, wantMin = false).orNull)
+    def groupValue(n: String): Any = fullSchema(groupCol.get).dataType match {
+      case StringType => dirValueRaw(n).orNull
+      case dt if integral(dt) =>
+        dirValueRaw(n).map(r => cast(groupCol.get, r.toLong)).orNull
+      case other => throw new IllegalStateException(s"unexpected $other")
     }
-    Some((StructType(cells.map(_._1)), Row(cells.map(_._2): _*)))
+    // one (groupValue?, entries) bucket per answer row: the whole kept
+    // set unfiltered, or one per surviving entry when grouped (single
+    // layout: an entry IS its partition value's whole extent)
+    val buckets: Seq[(Option[Any], Seq[(String, String)])] =
+      groupCol match {
+        case None => Seq((None, kept))
+        case Some(_) => kept.map(e => (Some(groupValue(e._1)), Seq(e)))
+      }
+    def cellsFor(entries: Seq[(String, String)])
+        : Seq[(StructField, Any)] = {
+      lazy val footers = footersOf(entries)
+      def bound(c: String, wantMin: Boolean): Option[Any] =
+        if (isPart(c)) partColBound(entries, c, wantMin)
+        else dataColBound(footers, c, wantMin)
+      specs.map {
+        case Cnt =>
+          val n = footers
+            .map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
+          (StructField("count(*)", LongType, nullable = false), n)
+        case Mn(c) =>
+          (StructField(s"min($c)", fullSchema(c).dataType),
+           bound(c, wantMin = true).orNull)
+        case Mx(c) =>
+          (StructField(s"max($c)", fullSchema(c).dataType),
+           bound(c, wantMin = false).orNull)
+      }
+    }
+    val answered = buckets.map { case (gv, entries) =>
+      (gv, cellsFor(entries))
+    }
+    val aggFields = answered.headOption.map(_._2.map(_._1))
+      .getOrElse(cellsFor(Nil).map(_._1))
+    val schema = StructType(
+      groupCol.map(c => StructField(c, fullSchema(c).dataType)).toSeq ++
+        aggFields)
+    val rows = answered.map { case (gv, cells) =>
+      Row((gv.toSeq ++ cells.map(_._2)): _*)
+    }
+    Some((schema, rows))
   }
 
   override def build(): Scan = aggAnswer match {
@@ -565,7 +614,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   * file scan anywhere in the plan — the row was derived from parquet
   * footers and manifest names on the driver. */
 class GraftAggAnswerScan(spark: SparkSession, dir: String, version: Long,
-                         answerSchema: StructType, answer: Row)
+                         answerSchema: StructType, answer: Seq[Row])
     extends Scan with V1Scan {
 
   override def readSchema(): StructType = answerSchema
@@ -580,7 +629,7 @@ class GraftAggAnswerScan(spark: SparkSession, dir: String, version: Long,
       override def schema: StructType = answerSchema
       override def buildScan(): RDD[Row] = {
         GraftScanObservable.lastAggPushed = Some(description())
-        spark.sparkContext.parallelize(Seq(answer), 1)
+        spark.sparkContext.parallelize(answer, 1)
       }
     }.asInstanceOf[T]
 }

@@ -238,7 +238,7 @@ class Wave39Spec extends SparkTestBase {
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     rewriteUv(dir, 2L, lines => lines.map { l =>
-      val (part, rel, kc, scope) = Versioned.uvLineFields(l)
+      val (part, rel, kc, scope, _) = Versioned.uvLineFields(l)
       val others = fsys.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/${man(part)}")).toSeq
         .map(_.getPath.getName)
@@ -263,7 +263,7 @@ class Wave39Spec extends SparkTestBase {
     MergeOps.mergeUpdateMor(spark, dir, col("k") === 6L,
       Seq("v" -> lit(666.0)), "k", "p")                              // v2
     rewriteUv(dir, 2L, lines => lines.map { l =>
-      val (part, rel, kc, _) = Versioned.uvLineFields(l)
+      val (part, rel, kc, _, _) = Versioned.uvLineFields(l)
       s"$part\t$rel\t$kc"
     })
     val vals = MergeOps.readCorpus(spark, dir, "p").collect()

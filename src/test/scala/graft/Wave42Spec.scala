@@ -104,6 +104,42 @@ class Wave42Spec extends SparkTestBase {
     assert(GraftScanObservable.lastAggPushed.isEmpty)
   }
 
+  test("GROUP BY the partition column answers one metadata row per " +
+       "surviving entry — the 'rows per language' poll — and composes " +
+       "with a consumed partition IN filter") {
+    val dir = freshDir("graft_agg_grp")
+    val tbl = new java.io.File(dir).getName
+    MergeOps.mergeUpsert(spark, dir, corpus(400), "k", "p")
+    register()
+    GraftScanObservable.lastAggPushed = None
+    val rows = spark.sql(
+      s"SELECT p, count(*) AS cnt, max(k) AS mx FROM gtest.`$tbl` " +
+        "GROUP BY p ORDER BY p")
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val want = (0 to 3).map(g =>
+      (g.toString, (1 to 400).count(_ % 4 == g).toLong,
+       (1 to 400).filter(_ % 4 == g).max.toLong))
+    assert(rows.toSeq == want, s"per-group metadata answers: ${rows.toSeq}")
+    assert(GraftScanObservable.lastAggPushed.isDefined,
+      "the grouped aggregate must be answered metadata-only")
+    GraftScanObservable.lastAggPushed = None
+    val two = spark.sql(
+      s"SELECT p, count(*) AS cnt FROM gtest.`$tbl` " +
+        "WHERE p IN ('1', '3') GROUP BY p ORDER BY p")
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    assert(two.toSeq == Seq(("1", 100L), ("3", 100L)))
+    assert(GraftScanObservable.lastAggPushed.isDefined,
+      "a consumed IN filter must not block the grouped pushdown")
+    // GROUP BY a non-partition column: decline, exact through the scan
+    GraftScanObservable.lastAggPushed = None
+    val byV = spark.sql(
+      s"SELECT k % 2 AS m, count(*) AS cnt FROM gtest.`$tbl` " +
+        "GROUP BY k % 2 ORDER BY m").collect()
+    assert(byV.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+             Seq((0L, 200L), (1L, 200L)))
+    assert(GraftScanObservable.lastAggPushed.isEmpty)
+  }
+
   test("schema evolution composes: files that predate a column " +
        "contribute nothing to its MIN/MAX (they hold nulls), and the " +
        "answer still pushes") {

@@ -130,4 +130,37 @@ class Wave43Spec extends SparkTestBase {
              (1 to 30).map(_.toLong).toSet -- (2 to 7).map(_.toLong),
       "every granularity tier must agree on the content")
   }
+
+  test("MOR updates take the positional tier too: the substitution " +
+       "drops imaged base rows by row position — no join — and a " +
+       "stacked update keeps the highest generation's image") {
+    val dir = freshDir("graft_pdv_uv")
+    seed(dir, 24, 3)                                                 // v1
+    MergeOps.mergeUpdateMor(spark, dir, col("k") === 4L,
+      Seq("v" -> lit(-1.0)), "k", "p")                               // v2
+    val refs = Versioned.readUvRefsScoped(spark, dir, 2L)
+    refs.values.flatten.foreach { case (_, _, scope, pos) =>
+      assert(scope.isDefined && pos.keySet == scope.get,
+        s"every scoped uv file must be position-mapped: $scope vs " +
+          s"${pos.keySet}")
+    }
+    val vals = MergeOps.readCorpus(spark, dir, "p")
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(4L) == -1.0 && vals(5L) == 50.0,
+      s"the image must substitute exactly its key: $vals")
+    assert(vals.size == 24, "substitution must not duplicate or drop")
+    assert(!livePlan(dir).contains("Join"),
+      "a fully position-mapped substitution needs no join")
+    // stacked generation: the higher version's image wins, still
+    // join-free (both generations position-mapped)
+    MergeOps.mergeUpdateMor(spark, dir, col("k") === 4L,
+      Seq("v" -> lit(-2.0)), "k", "p")                               // v3
+    val vals2 = MergeOps.readCorpus(spark, dir, "p")
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals2(4L) == -2.0 && vals2.size == 24)
+    assert(!livePlan(dir).contains("Join"),
+      "stacked position-mapped updates stay join-free")
+  }
 }
