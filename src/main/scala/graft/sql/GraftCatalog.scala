@@ -647,9 +647,47 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
                 values: Seq[(String, Seq[String])],
                 fullSchema: StructType = new StructType(),
                 options: Map[String, String] = Map.empty)
-    extends Scan with V1Scan {
+    extends Scan with V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** REAL size statistics instead of `spark.sql.defaultSizeInBytes`
+    * (effectively infinite): the on-disk bytes of the entries the NAME
+    * tier keeps (one `getContentSummary` per surviving dir, no sidecar
+    * loads at planning time) — an overestimate of the sidecar-pruned
+    * read, the safe direction (too-big costs a shuffle; too-small
+    * OOMs a broadcast). Where it lands today: the ANALYZED relation's
+    * stats (`DataSourceV2RelationBase.computeStats` builds an unpushed
+    * scan and reads this), i.e. caching and any pre-optimization
+    * consumer. Static JOIN selection does NOT see it: the pushed-down
+    * plan wraps V1 scans in Spark's `V1ScanWrapper`, which drops the
+    * statistics interface (the JDBC V2 catalog shares this
+    * limitation) — so the static broadcast lever for a graft dim
+    * table is the `/*+ BROADCAST */` hint, and AQE converts
+    * shuffle-to-broadcast at runtime from measured sizes. The moment
+    * Spark's wrapper delegates statistics, the pruning-aware estimate
+    * below becomes the static join-planning input with no change
+    * here. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = scala.util.Try {
+      val fsys = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nameKept = MergeOps.skipEntries(spark, dir, version, man,
+        ranges, values, Map.empty, Map.empty, Map.empty)
+      nameKept.map(_._2).distinct
+        .map(rel => fsys.getContentSummary(new Path(s"$dir/$rel"))
+          .getLength).sum
+    }.toOption
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"GraftScan[$dir@v$version, ranges=${ranges.size}, " +

@@ -140,6 +140,42 @@ class Wave42Spec extends SparkTestBase {
     assert(GraftScanObservable.lastAggPushed.isEmpty)
   }
 
+  test("the scan reports REAL size statistics at the analyzed layer " +
+       "(not defaultSizeInBytes), a broadcast hint plans the broadcast " +
+       "on the graft side, and the joined content is exact") {
+    val dir = freshDir("graft_stats_bc")
+    val tbl = new java.io.File(dir).getName
+    MergeOps.mergeUpsert(spark, dir, corpus(200), "k", "p")
+    register()
+    // the analyzed relation consults the scan's estimateStatistics
+    // (DataSourceV2RelationBase.computeStats builds an unpushed scan):
+    // real on-disk bytes, not the effectively-infinite default
+    val stats = spark.table(s"gtest.`$tbl`")
+      .queryExecution.analyzed.stats.sizeInBytes
+    val onDisk = {
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    }
+    assert(stats > 0 && stats.toLong <= onDisk,
+      s"analyzed-layer stats must be the store's real bytes: $stats " +
+        s"vs $onDisk on disk")
+    // the POST-pushdown plan sees V1ScanWrapper, which hides the
+    // scan's statistics from static join selection (the JDBC-catalog
+    // bridge has the same limitation) — so the static broadcast lever
+    // is the hint, and AQE converts at runtime from shuffle sizes
+    val big = spark.range(1, 200000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    big.createOrReplaceTempView("big_side")
+    val joined = spark.sql(
+      s"SELECT /*+ BROADCAST(g) */ b.k, g.v " +
+        s"FROM big_side b JOIN gtest.`$tbl` g ON b.k = g.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the hint must broadcast the store side:\n${plan.take(1200)}")
+    assert(joined.count() == 200)
+  }
+
   test("schema evolution composes: files that predate a column " +
        "contribute nothing to its MIN/MAX (they hold nulls), and the " +
        "answer still pushes") {
