@@ -80,6 +80,36 @@ class ConcurrentCommitException(msg: String, cause: Throwable = null)
   * reader never lists data dirs it does not need. */
 object Versioned {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Versioned")
+
+  /** Parse one sidecar POSITION field (`file:p1.p2,file2:p7,…`) against
+    * its line's scope. Malformed entries — no ':', an empty or
+    * non-numeric position list (a corrupt or foreign-written sidecar) —
+    * DEMOTE their file to the scope tier's anti-join with a warning
+    * instead of killing the read with an index/number error: the
+    * coarser tier is always correct. The writer invariant pos ⊆ scope
+    * is enforced here too — a position-mapped file the scope does not
+    * name would route into both the clean and the positional read
+    * splits (duplicate rows), so such an entry demotes as well. */
+  private def parsePosField(field: String, scope: Option[Set[String]])
+      : Map[String, Seq[Long]] =
+    field.split(',').iterator.flatMap { s =>
+      val i = s.lastIndexOf(':')
+      val parsed =
+        if (i <= 0 || i == s.length - 1) None
+        else scala.util.Try(
+          s.substring(i + 1).split('.').toSeq.map(_.toLong)).toOption
+          .filter(_.nonEmpty)
+          .map(ps => s.substring(0, i) -> ps)
+      val kept = parsed.filter { case (f, _) =>
+        scope.exists(sc => sc.contains(f)) }
+      if (kept.isEmpty)
+        log.warn(s"malformed or out-of-scope positional entry '$s' in " +
+          "a dv/uv sidecar line — demoting its file to the " +
+          "file-scope anti-join (always correct)")
+      kept
+    }.toMap
+
   /** Manifest key used for the single entry of an unpartitioned table. */
   private val WholeTable = "__ALL__"
 
@@ -743,12 +773,7 @@ object Versioned {
       if (fs.length >= 3 && fs(2).nonEmpty) Some(fs(2).split(',').toSet)
       else None
     val pos =
-      if (fs.length >= 4 && fs(3).nonEmpty)
-        fs(3).split(',').iterator.map { s =>
-          val i = s.lastIndexOf(':')
-          s.substring(0, i) ->
-            s.substring(i + 1).split('.').map(_.toLong).toSeq
-        }.toMap
+      if (fs.length >= 4 && fs(3).nonEmpty) parsePosField(fs(3), scope)
       else Map.empty[String, Seq[Long]]
     (fs(0), fs(1), scope, pos)
   }
@@ -819,12 +844,7 @@ object Versioned {
     // positions of the imaged base rows — the substitution anti-join
     // becomes a positional filter for mapped files
     val pos =
-      if (fs.length >= 5 && fs(4).nonEmpty)
-        fs(4).split(',').iterator.map { s =>
-          val i = s.lastIndexOf(':')
-          s.substring(0, i) ->
-            s.substring(i + 1).split('.').map(_.toLong).toSeq
-        }.toMap
+      if (fs.length >= 5 && fs(4).nonEmpty) parsePosField(fs(4), scope)
       else Map.empty[String, Seq[Long]]
     (fs(0), fs(1), fs(2), scope, pos)
   }
@@ -1132,6 +1152,47 @@ object Versioned {
     finally out.close()
   }
 
+  /** PERSISTED table PROPERTIES as of version `v` (Delta's
+    * TBLPROPERTIES): free-form `key \t value` pairs under the exact
+    * sidecar rules of the constraints set — newest committed `props/`
+    * sidecar at or below `v` (walk-back), metadata that does NOT roll
+    * back with data, committed atomically with the claiming version.
+    * The store itself interprets ONE key today: `keyCol`, the table's
+    * merge key — it lets the SQL front door drive INSERT (and the
+    * plain-table stream default its reader option) without the caller
+    * re-stating what the table already knows. Everything else is
+    * caller-owned annotation. */
+  def tableProps(s: SparkSession, dir: String,
+                 v: Long): Map[String, String] = {
+    val fs = fsOf(s, dir)
+    if (!fs.exists(new Path(dir, "props"))) return Map.empty
+    committedVersions(s, dir).filter(_ <= v).sorted.reverse
+      .iterator
+      .map(w => committedSidecar(s, dir, w, "props"))
+      .collectFirst { case Some(p) => readLines(fs, p) }
+      .getOrElse(Seq.empty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0, s"malformed props sidecar line '$l' under $dir")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  /** Write-once props sidecar at the attempt's tokenized name — lands
+    * BEFORE publish so the property set and the version commit
+    * atomically ([[tableProps]]). */
+  private[graft] def writePropsLines(s: SparkSession, dir: String,
+                                     v: Long, token: String,
+                                     props: Map[String, String]): Unit = {
+    val fs = fsOf(s, dir)
+    val out = createExclusive(
+      fs, sidecarPathFor(dir, v, Some(token), "props"), "props")
+    try out.write(props.toSeq.sortBy(_._1)
+      .map { case (k, vv) => s"$k\t$vv" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The COMMITTED zone-map sidecar of version `v` (resolved through the
     * marker token), empty if the winning attempt wrote none. Reads the
     * single-key (3-field) form; multi-column lines are skipped — a
@@ -1284,10 +1345,40 @@ object Versioned {
     val uvRefs = readUvRefsScoped(s, dir, v)
     if (refs.isEmpty && uvRefs.isEmpty)
       return readEntries(s, dd, entries, partCol)
+    // Qualify bare (pre-round-16) scope/position names by their HOLDER
+    // entry's relpath: a line keyed to entry n names files within n's
+    // own dir, so the qualified form is exact. Qualification is what
+    // lets entries MERGE into one group below without ambiguity — one
+    // staged write names every partition's file with the SAME leaf
+    // (`part-00000-<job-uuid>`), so bare leaf names collide across the
+    // partition dirs of a group ROUTINELY, not rarely.
+    def qualName(rel: String, n: String): String =
+      if (n.contains('/')) n else s"$rel/$n"
+    def dvRefsOf(e: (String, String)) =
+      refs.getOrElse(e._1, Nil).map { case (rel, scope, pos) =>
+        (rel, scope.map(_.map(n => qualName(e._2, n))),
+         pos.map { case (f, ps) => qualName(e._2, f) -> ps })
+      }
+    def uvRefsOf(e: (String, String)) =
+      uvRefs.getOrElse(e._1, Nil).map { case (rel, kc, scope, pos) =>
+        (rel, kc, scope.map(_.map(n => qualName(e._2, n))),
+         pos.map { case (f, ps) => qualName(e._2, f) -> ps })
+      }
+    // Group by REF-DIR IDENTITY (tombstone/image dirs + uv key), never
+    // by scope/position content: one MOR delete writes a line naming
+    // the SAME tombstone dir on every touched partition, and grouping
+    // by content would fragment that read into one scan + one
+    // anti-join PER PARTITION the moment per-partition fields (file
+    // scopes that stopped colliding, row positions) make the lines
+    // distinct — the round-15 merge_zorder_compact regression's actual
+    // mechanism. Entries sharing the same ref dirs process as ONE
+    // union read with per-file splits inside it.
     entries.groupBy(e =>
-        (refs.getOrElse(e._1, Nil), uvRefs.getOrElse(e._1, Nil)))
+        (dvRefsOf(e).map(_._1), uvRefsOf(e).map(r => (r._1, r._2))))
       .toSeq.sortBy(_._2.head._1)
-      .map { case ((rs, us), es) =>
+      .map { case (_, es) =>
+        val rs = es.flatMap(dvRefsOf).distinct
+        val us = es.flatMap(uvRefsOf).distinct
         var base = readEntries(s, dd, es, partCol)
         // FILE-SCOPED MOR shared kernel (round 14): list the group's
         // data files once and read a keep-subset at the right basePath
@@ -1296,21 +1387,26 @@ object Versioned {
         val fsys = fsOf(s, dd)
         lazy val byVer = es.groupBy(_._2.split("/").take(2).mkString("/"))
           .toSeq.sortBy(_._1)
-        // `xform` applies PER-SCAN, before any union: metadata columns
-        // (`_metadata.file_path` / `row_index` — the positional-filter
-        // inputs) resolve only against a file-source scan, never a
-        // union's output
+        // `keep` sees the entry-QUALIFIED relative name (the scope/pos
+        // vocabulary after qualName). `xform` applies PER-SCAN, before
+        // any union: metadata columns (`_metadata.file_path` /
+        // `row_index` — the positional-filter inputs) resolve only
+        // against a file-source scan, never a union's output
         def readSplit(keep: String => Boolean,
                       xform: DataFrame => DataFrame = identity)
             : Option[DataFrame] =
           byVer.flatMap { case (verDir, ves) =>
             val paths =
               try ves.flatMap(e =>
-                    fsys.listStatus(new Path(dd, e._2)).toSeq)
-                  .filter(_.isFile).map(_.getPath)
-                  .filter(p => !p.getName.startsWith("_") &&
-                               !p.getName.startsWith(".") &&
-                               keep(p.getName))
+                    fsys.listStatus(new Path(dd, e._2)).toSeq
+                      .map(st => (e._2, st)))
+                  .filter(_._2.isFile)
+                  .map { case (rel, st) => (rel, st.getPath) }
+                  .filter { case (rel, p) =>
+                    !p.getName.startsWith("_") &&
+                      !p.getName.startsWith(".") &&
+                      keep(s"$rel/${p.getName}") }
+                  .map(_._2)
               catch {
                 case e: java.io.FileNotFoundException =>
                   throw new ConcurrentCommitException(
@@ -1341,8 +1437,10 @@ object Versioned {
           // an image dir spans every partition its update touched, and a
           // whole-dir read would leak other partitions' images into this
           // group (the refs are per-partition lines for exactly this
-          // reason). Unpartitioned tables read the dir whole.
-          val imgs = us.map { case (rel, _, _, _) =>
+          // reason). Unpartitioned tables read the dir whole. Distinct
+          // rels: the merged group carries one line per (entry,
+          // generation) — the same image dir must be read once.
+          val imgs = us.map(_._1).distinct.map { rel =>
             val ver = stageDirVersion(rel.split("/")(1)).getOrElse(0L)
             val df = partCol match {
               case Some(_) =>
@@ -1372,6 +1470,8 @@ object Versioned {
               base.join(latestKeys, Seq(kc), "left_anti")
                 .unionByName(latest, allowMissingColumns = true)
             else {
+              // all names are entry-qualified (qualName above), so set
+              // membership and the endsWith predicates agree exactly
               val uvTainted = us.flatMap(_._3.get).toSet
               // POSITIONAL tier (round 15, the dv analogue): a tainted
               // file every scoping generation position-mapped drops
@@ -1380,18 +1480,18 @@ object Versioned {
               // scope-only mention demotes it to the anti-join
               val uvScopeOnly = us.flatMap(u =>
                 u._3.get.filterNot(u._4.contains)).toSet
-              val uvPosByFile: Map[String, Seq[Long]] =
+              val uvPosByName: Map[String, Seq[Long]] =
                 us.flatMap(_._4.toSeq)
                   .groupBy(_._1)
                   .map { case (f, ps) =>
                     f -> ps.flatMap(_._2).distinct.sorted }
                   .filterNot { case (f, _) => uvScopeOnly(f) }
-              val joinTainted = uvTainted -- uvPosByFile.keySet
+              val joinTainted = uvTainted -- uvPosByName.keySet
               val clean = readSplit(n => !uvTainted(n))
               val shadowJoin = readSplit(joinTainted)
                 .map(_.join(latestKeys, Seq(kc), "left_anti"))
-              val shadowPos = readSplit(uvPosByFile.keySet, df => {
-                val hit = uvPosByFile.map { case (f, ps) =>
+              val shadowPos = readSplit(uvPosByName.keySet, df => {
+                val hit = uvPosByName.map { case (f, ps) =>
                   col("_metadata.file_path").endsWith("/" + f) &&
                     col("_metadata.row_index").isInCollection(ps)
                 }.reduce(_ || _)
@@ -1404,7 +1504,7 @@ object Versioned {
         }
         if (rs.isEmpty) base
         else {
-          val rdirs = rs.map(_._1)
+          val rdirs = rs.map(_._1).distinct
           val dv = rdirs.map(r => s.read.parquet(s"$dd/$r"))
             .reduce(_.unionByName(_))
           // tombstone dirs are partitioned by the partition column of
@@ -1453,27 +1553,28 @@ object Versioned {
           val canScope = us.isEmpty && rs.forall(_._2.isDefined)
           if (!canScope) base.join(dvKeys, Seq(kc), "left_anti")
           else {
+            // all names entry-qualified (qualName) — see the uv block
             val tainted = rs.flatMap(_._2.get).toSet
             // POSITIONAL tier (round 15): a tainted file whose every
             // scoping ref also carries its row positions takes a
             // codegen'd positional FILTER — no join, no shuffle, no
             // tombstone read. Positions union across stacked delete
-            // generations; one scope-only mention (over-cap, or a
-            // round-14 writer) demotes the file to the per-file
+            // generations; one scope-only mention (dense/over-cap, or
+            // a round-14 writer) demotes the file to the per-file
             // anti-join, which is always correct.
             val scopeOnly = rs.flatMap(r =>
               r._2.get.filterNot(r._3.contains)).toSet
-            val posByFile: Map[String, Seq[Long]] = rs.flatMap(_._3.toSeq)
+            val posByName: Map[String, Seq[Long]] = rs.flatMap(_._3.toSeq)
               .groupBy(_._1)
               .map { case (f, ps) =>
                 f -> ps.flatMap(_._2).distinct.sorted }
               .filterNot { case (f, _) => scopeOnly(f) }
-            val joinTainted = tainted -- posByFile.keySet
+            val joinTainted = tainted -- posByName.keySet
             val clean = readSplit(n => !tainted(n))
             val doomedJoin = readSplit(joinTainted)
               .map(_.join(dvKeys, Seq(kc), "left_anti"))
-            val doomedPos = readSplit(posByFile.keySet, df => {
-              val hit = posByFile.map { case (f, ps) =>
+            val doomedPos = readSplit(posByName.keySet, df => {
+              val hit = posByName.map { case (f, ps) =>
                 col("_metadata.file_path").endsWith("/" + f) &&
                   col("_metadata.row_index").isInCollection(ps)
               }.reduce(_ || _)

@@ -75,7 +75,108 @@ object MergeOps {
     * for compaction anyway, and an unbounded position list would make
     * the sidecar the thing it exists to avoid — data-sized). */
   private val DvPosCap = 4096
+
+  /** DENSITY guard on the positional tier (round 16): positions are
+    * recorded for a hit file only when its doomed rows are SPARSE —
+    * at most max(DvPosFloor, DvPosDensity × file rows). A dense hit
+    * (the hash-spread 10% delete in [[mergeZorderCompactQuery]]'s
+    * lifecycle) skips no file on read — every file is tainted — so
+    * the positional filter buys nothing over the scope anti-join
+    * while costing a large literal collection per file in every
+    * read plan plus sidecar parse time (the round-15 regression:
+    * that lifecycle's compact tripled). The absolute floor keeps
+    * genuinely small hits positional even in small files (one GDPR
+    * key in a 10-row file is still a sparse delete). */
+  private val DvPosDensity = 0.05
+  private val DvPosFloor = 64L
   private val BloomFpp = 0.03
+
+  /** Scope scan shared by the MOR delete and update writers
+    * ([[mergeDeleteMor]], [[mergeUpdateMor]]): one bounded pass over
+    * `bearing`'s base dirs finds every data file holding at least one
+    * of `keys`' key values and, ONLY where the positional tier can pay
+    * (hits ≤ [[DvPosCap]] and hits ≤ max([[DvPosFloor]],
+    * [[DvPosDensity]] × file rows)), the exact doomed row positions.
+    * TWO passes so the aggregation state is bounded by construction
+    * (the round-15 single pass collect_list'd every file's full
+    * position list into the executor buffer before slicing — an OOM
+    * risk on a dense delete over a large file): pass 1 counts rows and
+    * hits per file (two longs per group, map-side combined); pass 2
+    * collects positions for the QUALIFYING files alone, reading only
+    * those files, each group ≤ the cap by pass-1 qualification.
+    * Returns one (file path, positions) per hit file — positions empty
+    * when the file stays at the scope tier — or None when a foreign
+    * verDir predates keyCol (column evolution: the caller publishes
+    * unscoped lines, the always-correct fallback). */
+  private def scanHitScopes(s: SparkSession, corpusDir: String,
+                            bearing: Seq[(String, String)],
+                            keyCol: String, keys: DataFrame)
+      : Option[Seq[(String, Seq[Long])]] = {
+    if (bearing.isEmpty) return Some(Seq.empty)
+    def baseRead(byVer: Map[String, Seq[String]]) =
+      byVer.toSeq.sortBy(_._1).map { case (verDir, paths) =>
+        s.read.option("basePath", s"$corpusDir/$verDir")
+          .parquet(paths: _*)
+          .select(col(keyCol),
+                  col("_metadata.file_path").as("__mor_f"),
+                  col("_metadata.row_index").as("__mor_i"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val entryPaths: Map[String, Seq[String]] = bearing
+      .groupBy(_._2.split("/").take(2).mkString("/"))
+      .map { case (verDir, es) =>
+        verDir -> es.map(e => s"$corpusDir/${e._2}") }
+    val k = keys.select(col(keyCol)).distinct()
+    try {
+      val counts = baseRead(entryPaths)
+        .join(k.withColumn("__mor_hit", lit(1)), Seq(keyCol), "left")
+        .groupBy(col("__mor_f"))
+        .agg(count(lit(1)).as("__rows"),
+             count(col("__mor_hit")).as("__hits"))
+        .where(col("__hits") > 0)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val sparse = counts.filter { case (_, rows, hits) =>
+        hits <= DvPosCap &&
+          hits <= math.max(DvPosFloor, (DvPosDensity * rows).toLong)
+      }.map(_._1).toSet
+      val sparseByVer: Map[String, Seq[String]] = sparse.toSeq.sorted
+        .flatMap(p => entryPaths.keys.find(vd => p.contains(s"/$vd/"))
+          .map(_ -> p))
+        .groupBy(_._1).map { case (vd, ps) => vd -> ps.map(_._2) }
+      val posByFile: Map[String, Seq[Long]] =
+        if (sparseByVer.isEmpty) Map.empty
+        else baseRead(sparseByVer)
+          .join(k, Seq(keyCol), "left_semi")
+          .groupBy(col("__mor_f"))
+          .agg(sort_array(collect_list(col("__mor_i"))).as("__ps"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+      Some(counts.map { case (p, _, _) =>
+        (p, posByFile.getOrElse(p, Seq.empty)) })
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
+  /** Map [[scanHitScopes]]' hit-file paths onto their holder manifest
+    * entries, recording each file under its verDir-QUALIFIED relative
+    * path (`<entry relpath>/<leaf>`, round 16): the read side's
+    * positional filter matches the full path suffix, so a same-named
+    * file in ANOTHER version dir of the partition group can never take
+    * this file's positions (with bare leaf names that collision —
+    * improbable under Spark's UUID part names, but possible — would
+    * silently drop wrong rows). */
+  private def hitsByHolderEntry(bearing: Seq[(String, String)],
+                                hits: Seq[(String, Seq[Long])])
+      : Map[String, Seq[(String, Seq[Long])]] =
+    hits.flatMap { case (path, ps) =>
+      bearing.find(e => path.contains(s"/${e._2}/")).map { e =>
+        val leaf = path.substring(path.lastIndexOf('/') + 1)
+        e._1 -> (s"${e._2}/$leaf", ps)
+      }
+    }
+    .groupBy(_._1)
+    .map { case (n, fs) => n -> fs.map(_._2).sortBy(_._1) }
 
   /** Write-side CHECK constraints (Delta's `ADD CONSTRAINT` at merge
     * time): ONE aggregate pass over the batch counts violations of
@@ -195,6 +296,60 @@ object MergeOps {
     carrySidecars(s, corpusDir, v, nv, tok)
     Versioned.writeConstraintLines(s, corpusDir, nv, tok,
       (existing :+ (name, exprSql)).map { case (n, e) => s"$n\t$e" })
+    Versioned.publish(s, corpusDir, nv, tok,
+      Versioned.manifest(s, corpusDir, v))
+  }
+
+  /** SET TBLPROPERTIES: merge `props` into the table's persisted
+    * property set ([[graft.engine.Versioned.tableProps]]) in one
+    * manifest-carry commit — the [[addConstraint]] shape, OCC claim
+    * included, so a racing writer either sees the new set (it derived
+    * from the new version) or makes this set lose and retry. Keys and
+    * values must be single-line, tab-free (the sidecar line format).
+    * The store interprets `keyCol` (the merge key — the SQL INSERT
+    * door and the plain-table stream read it); everything else is
+    * caller-owned annotation. */
+  def setTableProperties(s: SparkSession, corpusDir: String,
+                         props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, vv) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' ||
+          c == '\r') && !vv.exists(c => c == '\t' || c == '\n' ||
+          c == '\r'),
+        s"property '$k' must have a non-empty single-line tab-free " +
+          "key and value")
+    }
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir — create the corpus " +
+          "before annotating it"))
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    carrySidecars(s, corpusDir, v, nv, tok)
+    Versioned.writePropsLines(s, corpusDir, nv, tok,
+      Versioned.tableProps(s, corpusDir, v) ++ props)
+    Versioned.publish(s, corpusDir, nv, tok,
+      Versioned.manifest(s, corpusDir, v))
+  }
+
+  /** UNSET TBLPROPERTIES: commit the shrunken property set (possibly
+    * empty — an empty sidecar masks every older one). Unknown keys are
+    * a loud error, matching Spark's UNSET semantics without IF EXISTS. */
+  def unsetTableProperties(s: SparkSession, corpusDir: String,
+                           keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir"))
+    val existing = Versioned.tableProps(s, corpusDir, v)
+    val missing = keys.filterNot(existing.contains)
+    require(missing.isEmpty,
+      s"no properties ${missing.mkString(", ")} on $corpusDir — live " +
+        s"properties: ${existing.keys.toSeq.sorted.mkString(", ")}")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    carrySidecars(s, corpusDir, v, nv, tok)
+    Versioned.writePropsLines(s, corpusDir, nv, tok, existing -- keys)
     Versioned.publish(s, corpusDir, nv, tok,
       Versioned.manifest(s, corpusDir, v))
   }
@@ -1112,38 +1267,14 @@ object MergeOps {
     // foreign entry is treated as a holder (all migrate; a needless
     // migration is a content-preserving restage, never wrong).
     // Like mergeDeleteMor's scan, this also collects each hit file's
-    // imaged-row POSITIONS (per-file capped) so the read-side
-    // substitution drops them with a positional filter instead of the
-    // anti-join wherever the cap held.
+    // imaged-row POSITIONS where the density guard says the tier can
+    // pay ([[scanHitScopes]] — two bounded passes, round 16) so the
+    // read-side substitution drops them with a positional filter
+    // instead of the anti-join.
     val uvHitAgg: Option[Seq[(String, Seq[Long])]] =
-      if (uvBearing.isEmpty) Some(Seq.empty)
-      else try Some(
-        uvBearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
-          .map { case (verDir, es) =>
-            s.read.option("basePath", s"$corpusDir/$verDir")
-              .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-              .select(col(keyCol),
-                      col("_metadata.file_path").as("__uv_f"),
-                      col("_metadata.row_index").as("__uv_i"))
-          }.reduce(_.unionByName(_, allowMissingColumns = true))
-          .join(imageKeys, Seq(keyCol), "left_semi")
-          .groupBy(col("__uv_f"))
-          .agg(slice(sort_array(collect_list(col("__uv_i"))),
-                     1, DvPosCap + 1).as("__ps"))
-          .collect()
-          .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
-    val uvScopeByEntry: Map[String, Seq[(String, Seq[Long])]] = uvHitAgg
-      .getOrElse(Seq.empty)
-      .flatMap { case (path, ps) =>
-        uvBearing.find(e => path.contains(s"/${e._2}/"))
-          .map(e =>
-            e._1 -> (path.substring(path.lastIndexOf('/') + 1), ps))
-      }
-      .groupBy(_._1)
-      .map { case (n, fs) => n -> fs.map(_._2).sortBy(_._1) }
+      scanHitScopes(s, corpusDir, uvBearing, keyCol, imageKeys)
+    val uvScopeByEntry: Map[String, Seq[(String, Seq[Long])]] =
+      hitsByHolderEntry(uvBearing, uvHitAgg.getOrElse(Seq.empty))
     val foreignHolders = uvHitAgg match {
       case None => uvBearing.map(_._1)
         .filterNot(_.startsWith(layoutPrefix)).toSet
@@ -1182,7 +1313,7 @@ object MergeOps {
         uvScopeByEntry.get(p) match {
           case Some(fs) if !stagedNames(p) =>
             val scope = fs.map(_._1).mkString(",")
-            val posed = fs.filter(_._2.length <= DvPosCap)
+            val posed = fs.filter(_._2.nonEmpty)
             if (posed.isEmpty) s"$p\t$uvRel\t$keyCol\t$scope"
             else {
               val posField = posed.map { case (f, ps) =>
@@ -1302,42 +1433,17 @@ object MergeOps {
     // read-side anti-join on a non-holder is a no-op, so conservative
     // is exactly correct).
     // The same pass that names the hit FILES also collects each file's
-    // doomed ROW POSITIONS (`_metadata.row_index`, per-file-capped with
-    // the dict-cap slice trick so an over-cap file ships cap+1 rows to
-    // the driver, never an unbounded list): a position-mapped file is
-    // read back through a codegen'd positional filter — no anti-join,
-    // no shuffle, no tombstone read — while over-cap files keep the
-    // per-file anti-join. Positions stay valid exactly as long as the
-    // file names do (immutable dirs; any restage drops the line).
+    // doomed ROW POSITIONS where the density guard says the positional
+    // tier can pay ([[scanHitScopes]] — two bounded passes, round 16):
+    // a position-mapped file is read back through a codegen'd
+    // positional filter — no anti-join, no shuffle, no tombstone read —
+    // while dense or over-cap files keep the per-file anti-join.
+    // Positions stay valid exactly as long as the file names do
+    // (immutable dirs; any restage drops the line).
     val hitAgg: Option[Seq[(String, Seq[Long])]] =
-      if (bearing.isEmpty) Some(Seq.empty)
-      else try Some(
-        bearing.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
-          .map { case (verDir, es) =>
-            s.read.option("basePath", s"$corpusDir/$verDir")
-              .parquet(es.map(e => s"$corpusDir/${e._2}"): _*)
-              .select(col(keyCol),
-                      col("_metadata.file_path").as("__dv_f"),
-                      col("_metadata.row_index").as("__dv_i"))
-          }.reduce(_.unionByName(_, allowMissingColumns = true))
-          .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
-          .groupBy(col("__dv_f"))
-          .agg(slice(sort_array(collect_list(col("__dv_i"))),
-                     1, DvPosCap + 1).as("__ps"))
-          .collect()
-          .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
-    val hitsByEntry: Map[String, Seq[(String, Seq[Long])]] = hitAgg
-      .getOrElse(Seq.empty)
-      .flatMap { case (path, ps) =>
-        bearing.find(e => path.contains(s"/${e._2}/"))
-          .map(e =>
-            e._1 -> (path.substring(path.lastIndexOf('/') + 1), ps))
-      }
-      .groupBy(_._1)
-      .map { case (n, fs) => n -> fs.map(_._2).sortBy(_._1) }
+      scanHitScopes(s, corpusDir, bearing, keyCol, keys)
+    val hitsByEntry: Map[String, Seq[(String, Seq[Long])]] =
+      hitsByHolderEntry(bearing, hitAgg.getOrElse(Seq.empty))
     // Defensive floor: a LIVE doomed key always has a base row (uv
     // images substitute for existing keys only), so a non-empty
     // tombstone write implies base hits. If that invariant ever broke,
@@ -1351,7 +1457,9 @@ object MergeOps {
       case Some(_) if hitsByEntry.nonEmpty =>
         hitsByEntry.toSeq.sortBy(_._1).map { case (n, fs) =>
           val scope = fs.map(_._1).mkString(",")
-          val posed = fs.filter(_._2.length <= DvPosCap)
+          // emptiness encodes the write-side density guard: a dense or
+          // over-cap file carries no positions — scope anti-join
+          val posed = fs.filter(_._2.nonEmpty)
           if (posed.isEmpty) s"$n\t$dvRel\t$scope"
           else {
             val posField = posed.map { case (f, ps) =>

@@ -59,8 +59,8 @@ class Wave39Spec extends SparkTestBase {
       Seq(4L, 8L).toDF("k"), "k", "p")                               // v2
     assert(liveKeys(dir) === (1 to 12).map(_.toLong).toSet -- Set(4L, 8L))
     // the committed lines carry a third field naming EXACTLY the base
-    // files that contain key 4 or 8 (computed independently here from
-    // the file metadata column)
+    // files that contain key 4 or 8, each verDir-QUALIFIED (round 16 —
+    // computed independently here from the file metadata column)
     val man = Versioned.manifest(spark, dir, 1L).toMap
     val expected = spark.read
       .option("basePath", s"$dir/${man.head._2.split("/").take(2).mkString("/")}")
@@ -68,14 +68,20 @@ class Wave39Spec extends SparkTestBase {
       .select(col("k"), col("_metadata.file_path").as("f"))
       .where(col("k").isin(4L, 8L))
       .select("f").distinct().collect()
-      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .map { r =>
+        val f = r.getString(0)
+        f.substring(f.indexOf(dir) + dir.length + 1)
+      }
       .toSet
     val scoped = Versioned.readDvRefsScoped(spark, dir, 2L)
     assert(scoped.nonEmpty, "the delete must commit dv refs")
     val allScoped = scoped.values.flatten.flatMap(_._2).flatten.toSet
     assert(allScoped === expected,
-      s"dv file scopes $allScoped must equal the files holding the " +
-        s"doomed keys $expected")
+      s"dv file scopes $allScoped must equal the verDir-qualified " +
+        s"relative paths of the files holding the doomed keys $expected")
+    assert(allScoped.forall(_.contains("/")),
+      "round-16 scopes are verDir-qualified — a bare leaf name could " +
+        "collide across version dirs")
     scoped.values.flatten.foreach { case (_, scope, _) =>
       assert(scope.isDefined, "every round-14 dv line must carry a scope")
     }
@@ -102,11 +108,14 @@ class Wave39Spec extends SparkTestBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     rewriteDv(dir, 2L, lines => lines.map { l =>
       val (part, rel, scope, _) = Versioned.dvLineFields(l)
+      // scope names are verDir-qualified (round 16) — compare by leaf
+      val scopeLeaves = scope.get.map(s =>
+        s.substring(s.lastIndexOf('/') + 1))
       val others = fsys.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/${man(part)}")).toSeq
         .map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
-                     !scope.get.contains(n))
+                     !scopeLeaves.contains(n))
       assert(others.nonEmpty,
         "the partition must have at least one clean file to swap in")
       s"$part\t$rel\t${others.head}"
@@ -217,7 +226,7 @@ class Wave39Spec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(vals(6L) === 666.0 && vals.size === 12)
     // the committed line carries a fourth field naming exactly the
-    // base files that contain key 6
+    // base files that contain key 6, verDir-qualified (round 16)
     val man = Versioned.manifest(spark, dir, 1L).toMap
     val expected = spark.read
       .option("basePath",
@@ -226,24 +235,29 @@ class Wave39Spec extends SparkTestBase {
       .select(col("k"), col("_metadata.file_path").as("f"))
       .where(col("k") === 6L)
       .select("f").distinct().collect()
-      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .map { r =>
+        val f = r.getString(0)
+        f.substring(f.indexOf(dir) + dir.length + 1)
+      }
       .toSet
     val scoped = Versioned.readUvRefsScoped(spark, dir, 2L)
     val allScoped = scoped.values.flatten.flatMap(_._3).flatten.toSet
     assert(allScoped === expected,
-      s"uv file scopes $allScoped must equal the files holding the " +
-        s"imaged key $expected")
+      s"uv file scopes $allScoped must equal the verDir-qualified " +
+        s"relative paths of the files holding the imaged key $expected")
     // now point the scope at a clean file: key 6's real file streams
     // verbatim, so the STALE row survives beside the image (two rows)
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     rewriteUv(dir, 2L, lines => lines.map { l =>
       val (part, rel, kc, scope, _) = Versioned.uvLineFields(l)
+      val scopeLeaves = scope.get.map(s =>
+        s.substring(s.lastIndexOf('/') + 1))
       val others = fsys.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/${man(part)}")).toSeq
         .map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
-                     !scope.get.contains(n))
+                     !scopeLeaves.contains(n))
       assert(others.nonEmpty)
       s"$part\t$rel\t$kc\t${others.head}"
     })
