@@ -1308,6 +1308,28 @@ object OracleSql {
         |WHERE doc_id < 300
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_delete: DELETE FROM … WHERE through the SQL catalog (the
+    // store's predicate delete, CoW) — the oracle is the complement
+    // filter; a REQUIRE-pinned failed untranslatable delete must be
+    // invisible here.
+    "sql_delete" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE NOT (n_chars < 500 OR source = 'src3')
+        |ORDER BY doc_id""".stripMargin,
+
+    // sql_insert: INSERT INTO … SELECT through the SQL catalog is the
+    // store's upsert (merge key from the persisted keyCol table
+    // property), so the oracle is the replayed-union semantics over
+    // the three key bands; the REQUIRE-pinned constraint-violating
+    // insert published nothing.
+    "sql_insert" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

@@ -58,10 +58,35 @@ import graft.ops.MergeOps
   * answer. Writes stay with the MERGE API ([[graft.ops.MergeOps]]):
   * the store's commit protocol is write-audit-publish, which SQL
   * `INSERT` cannot express — DDL/DML methods fail loudly. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** `CALL graft.system.<proc>(…)` — the maintenance verbs
+    * ([[GraftProcedures]]: optimize/zorder, compact_deletes, vacuum,
+    * refresh_stats, expire_partitions), each a thin adapter over the
+    * existing Scala call with a one-row summary result. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new RuntimeException(
+        s"procedures live under $catalogName.system — got " +
+          ident.namespace.mkString("."))
+    GraftProcedures.load(ident.name, root).getOrElse(
+      throw new RuntimeException(
+        s"no procedure $catalogName.system.${ident.name} — available: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -174,22 +199,81 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is the READ front door: $what goes through the " +
-        "MERGE API (graft.ops.MergeOps) — the store's write-audit-" +
-        "publish commit protocol is not expressible as SQL DDL/DML")
+      s"graft catalog does not express $what: table layout and identity " +
+        "live with the MERGE API (graft.ops.MergeOps) — the store's " +
+        "write-audit-publish commit protocol binds them to data commits")
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
       : Table = readOnly("CREATE TABLE")
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: the one ALTER the store
+    * expresses — properties are committed table metadata
+    * ([[graft.engine.Versioned.tableProps]], the constraints sidecar
+    * rules), so the SQL door routes them to
+    * [[graft.ops.MergeOps.setTableProperties]] under the ordinary OCC
+    * claim. Schema/partition ALTERs stay with the merge API (column
+    * evolution is a data-commit concern). */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    val sets = changes.collect {
+      case c: TableChange.SetProperty => c.property -> c.value }
+    val unsets = changes.collect {
+      case c: TableChange.RemoveProperty => c.property }
+    val others = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (others.nonEmpty)
+      readOnly(s"ALTER TABLE ${others.map(_.getClass.getSimpleName)
+        .mkString(", ")}")
+    if (sets.nonEmpty)
+      MergeOps.setTableProperties(spark, dir, sets.toMap)
+    if (unsets.nonEmpty)
+      MergeOps.unsetTableProperties(spark, dir, unsets)
+    loadTable(ident)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+/** V1 `Filter` → `Column` for the SQL DELETE door: the store's
+  * predicate-delete contract ([[graft.ops.MergeOps.mergeDeleteWhere]])
+  * takes a `Column`, and Spark's `SupportsDelete` hands the WHERE
+  * clause as source filters. Untranslatable filters return None —
+  * `canDeleteWhere` then declines the whole delete LOUDLY (Spark
+  * raises its cannot-delete analysis error) rather than deleting a
+  * superset or subset of the asked rows. */
+private[sql] object FilterColumns {
+  import org.apache.spark.sql.functions.lit
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Test observable: the relative dirs the most recent [[GraftScan]]
@@ -201,10 +285,28 @@ private[graft] object GraftScanObservable {
   @volatile var lastAggPushed: Option[String] = None
 }
 
-/** One versioned store as a V2 table, pinned at `version`. */
+/** One versioned store as a V2 table, pinned at `version`.
+  *
+  * WRITE doors (round 16): `DELETE FROM … WHERE …` maps 1:1 onto the
+  * store's predicate-delete contract
+  * ([[graft.ops.MergeOps.mergeDeleteWhere]] — CoW restage of touched
+  * partitions, constraints + OCC included) via `SupportsDelete`;
+  * `INSERT INTO` maps onto [[graft.ops.MergeOps.mergeUpsert]] via the
+  * `V1Write`/`InsertableRelation` fallback (the JDBC-connector write
+  * idiom — the batch arrives as one DataFrame on the driver and the
+  * store's own staged write distributes it). INSERT needs the table's
+  * merge KEY: the writer option `keyCol`
+  * (`df.writeTo(…).option("keyCol", …)`) or the persisted `keyCol`
+  * table property (`ALTER TABLE … SET TBLPROPERTIES('keyCol'='…')`);
+  * absent both, the insert fails loudly before staging a byte. Both
+  * doors re-derive the CURRENT version inside the merge API, so a
+  * write through a stale table handle rebases under the ordinary OCC
+  * claim instead of silently overwriting. */
 class GraftTable(spark: SparkSession, dir: String, ident: String,
                  version: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val man: Seq[(String, String)] =
     Versioned.manifest(spark, dir, version)
@@ -234,9 +336,84 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
   override def partitioning(): Array[Transform] =
     partCol.map(pc => Expressions.identity(pc)).toArray
 
+  /** Persisted TBLPROPERTIES (surfaces in `SHOW TBLPROPERTIES`). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Versioned.tableProps(spark, dir, version).foreach { case (k, v) =>
+      m.put(k, v) }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-                         TableCapability.MICRO_BATCH_READ)
+                         TableCapability.MICRO_BATCH_READ,
+                         TableCapability.BATCH_WRITE,
+                         TableCapability.V1_BATCH_WRITE)
+
+  /** SQL DELETE: translatable WHERE + a partitioned store → the
+    * predicate delete. Declining (`false`) surfaces Spark's loud
+    * cannot-delete error — never a partial delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    partCol.isDefined && filters.forall(f =>
+      FilterColumns.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pc = partCol.getOrElse(throw new UnsupportedOperationException(
+      s"DELETE FROM $ident: the store under $dir is unpartitioned — " +
+        "predicate deletes need the partition-dir layout; use the " +
+        "merge API"))
+    val cols = filters.toSeq.map(f => FilterColumns.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE FROM $ident: cannot translate filter $f")))
+    // no filters = DELETE FROM t (empty the table): mergeDeleteWhere's
+    // empty-table guard fails that loudly — emptying is table deletion
+    val pred = cols.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    MergeOps.mergeDeleteWhere(spark, dir, pred, pc)
+  }
+
+  /** SQL INSERT INTO (append) through the V1 write fallback: the whole
+    * batch lands in [[graft.ops.MergeOps.mergeUpsert]] — persisted
+    * constraints validated on the staged read-back, touched partitions
+    * declared, OCC claim taken — so a SQL insert is bit-identical to
+    * the Scala merge it abbreviates. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val opts = info.options().asScala.toMap.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  s"INSERT OVERWRITE into $ident is not supported — " +
+                    "the store's atomic-replace verbs are the merge " +
+                    "API's (repartitionTable, rollback)")
+                val key = opts.get("keycol").orElse(
+                  Versioned.tableProps(spark, dir,
+                      Versioned.currentVersion(spark, dir)
+                        .getOrElse(version))
+                    .collectFirst { case (k, v)
+                        if k.equalsIgnoreCase("keyCol") => v })
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"INSERT INTO $ident needs the table's merge key: " +
+                      "persist it once with ALTER TABLE … SET " +
+                      "TBLPROPERTIES('keyCol'='…') or pass " +
+                      ".option(\"keyCol\", …) on the writer"))
+                val pc = partCol.getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"INSERT INTO $ident: the store under $dir is " +
+                      "unpartitioned — use the merge API"))
+                MergeOps.mergeUpsert(spark, dir, data, key, pc)
+              }
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -388,7 +565,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   // METADATA (parquet footers + manifest names), never a row read ----
 
   private var aggCache
-      : Option[(Aggregation, Option[(StructType, Seq[Row])])] = None
+      : Option[(String, Option[(StructType, Seq[Row])])] = None
   private var aggAnswer: Option[(StructType, Seq[Row])] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -400,13 +577,23 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     ans.isDefined
   }
 
+  /** Stable cache key: Spark's `Aggregation` does not define equality,
+    * so caching on the instance would recompute the one-footer-per-file
+    * answer when `supportCompletePushDown` and `pushAggregation`
+    * receive distinct instances of the same aggregate — the rendered
+    * expressions are the semantic identity. */
+  private def aggKey(agg: Aggregation): String =
+    agg.aggregateExpressions.map(_.describe).mkString(";") + "|" +
+      agg.groupByExpressions.map(_.describe).mkString(";")
+
   private def answerFor(agg: Aggregation)
       : Option[(StructType, Seq[Row])] = {
+    val key = aggKey(agg)
     aggCache match {
-      case Some((a, r)) if a == agg => r
+      case Some((k, r)) if k == key => r
       case _ =>
         val r = scala.util.Try(computeAnswer(agg)).toOption.flatten
-        aggCache = Some((agg, r))
+        aggCache = Some((key, r))
         r
     }
   }
@@ -471,14 +658,30 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // footer statistics are EXACT (never truncated) for integral
+    // physical types — which includes DATE (INT32 days) and TIMESTAMP
+    // (INT64 micros/millis, the unit checked per chunk in
+    // dataColBound): "latest event ts" is the other constant
+    // maintainer poll, so it answers metadata-only too (round 16)
+    def boundable(dt: DataType): Boolean = dt match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case other => integral(other)
+    }
     val isPart = (c: String) => partCol.exists(_.equalsIgnoreCase(c))
     val minMaxCols = specs.collect { case Mn(c) => c case Mx(c) => c }
-    if (!minMaxCols.forall(c => integral(fullSchema(c).dataType)))
+    if (!minMaxCols.forall(c => boundable(fullSchema(c).dataType)))
       return None
-    // MOR vectors outstanding: footer counts would overcount, footer
-    // bounds could name a tombstoned row — decline
-    if (Versioned.readDvRefsScoped(spark, dir, version).nonEmpty ||
-        Versioned.readUvRefsScoped(spark, dir, version).nonEmpty)
+    // MOR vectors outstanding: footer BOUNDS could name a tombstoned
+    // or re-imaged row — MIN/MAX decline. COUNT(*) survives (round
+    // 16): update vectors substitute exactly one image per live base
+    // row (count preserved — the key-unique upsert invariant), and a
+    // FULLY position-mapped deletion vector names its doomed base rows
+    // exactly, so count = footer rows − |distinct positions|; any
+    // scope-only or whole-partition dv line declines (doomed count
+    // unknown without a key read).
+    val dvRefs = Versioned.readDvRefsScoped(spark, dir, version)
+    val uvRefs = Versioned.readUvRefsScoped(spark, dir, version)
+    if ((dvRefs.nonEmpty || uvRefs.nonEmpty) && minMaxCols.nonEmpty)
       return None
     def singleLayout: Boolean =
       man.forall(_._1.toLowerCase(java.util.Locale.ROOT)
@@ -490,6 +693,23 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       return None
     val kept = MergeOps.skipEntries(spark, dir, version, scanMan,
       ranges, values, Map.empty, Map.empty, Map.empty)
+    // exact doomed-row count per kept entry, from the dv sidecars
+    // alone: every line fully position-mapped, positions unioned per
+    // file across stacked generations (bare legacy names qualified by
+    // the holder entry's relpath so generations merge exactly)
+    if (!kept.forall { case (name, _) =>
+          dvRefs.getOrElse(name, Nil).forall(r =>
+            r._2.isDefined && r._3.keySet == r._2.get) })
+      return None
+    val doomedByEntry: Map[String, Long] = kept.map { case (name, rel) =>
+      name -> dvRefs.getOrElse(name, Nil)
+        .flatMap(_._3.toSeq)
+        .map { case (f, ps) =>
+          (if (f.contains('/')) f else s"$rel/$f") -> ps }
+        .groupBy(_._1)
+        .map { case (_, ps) => ps.flatMap(_._2).distinct.size.toLong }
+        .sum
+    }.toMap
     val conf = spark.sparkContext.hadoopConfiguration
     val fsys = new Path(dir).getFileSystem(conf)
     // one footer per surviving data file, read once, shared by every
@@ -509,6 +729,15 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       case IntegerType => v.toInt
       case ShortType => v.toShort
       case ByteType => v.toByte
+      // canonical long = epoch DAYS (date) / MICROS (timestamp) — the
+      // unit dataColBound normalized the chunk statistics to
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(v)
       case other => throw new IllegalStateException(s"unexpected $other")
     }
     def dataColBound(footers: Seq[
@@ -526,9 +755,44 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
               if (st == null || st.isEmpty)
                 throw new IllegalStateException("no stats")  // decline
               else if (st.hasNonNullValue) {
-                val v = (if (wantMin) st.genericGetMin()
-                         else st.genericGetMax())
+                val raw = (if (wantMin) st.genericGetMin()
+                           else st.genericGetMax())
                   .asInstanceOf[Number].longValue
+                // normalize to the canonical long `cast` expects; any
+                // physical shape stats cannot answer EXACTLY (INT96
+                // timestamps, NANOS truncation, a mismatched UTC
+                // adjustment) throws → the whole pushdown declines
+                import org.apache.parquet.schema.{
+                  LogicalTypeAnnotation, PrimitiveType}
+                val prim = cc.getPrimitiveType
+                val v = fullSchema(c).dataType match {
+                  case DateType =>
+                    if (prim.getPrimitiveTypeName !=
+                        PrimitiveType.PrimitiveTypeName.INT32)
+                      throw new IllegalStateException("date not INT32")
+                    raw
+                  case TimestampType | TimestampNTZType =>
+                    prim.getLogicalTypeAnnotation match {
+                      case t: LogicalTypeAnnotation
+                          .TimestampLogicalTypeAnnotation =>
+                        val wantUtc =
+                          fullSchema(c).dataType == TimestampType
+                        if (t.isAdjustedToUTC != wantUtc)
+                          throw new IllegalStateException(
+                            "timestamp adjustment mismatch")
+                        t.getUnit match {
+                          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                            raw
+                          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                            Math.multiplyExact(raw, 1000L)
+                          case _ => throw new IllegalStateException(
+                            "nanos stats are not micro-exact")
+                        }
+                      case _ => throw new IllegalStateException(
+                        "not an annotated INT64 timestamp")
+                    }
+                  case _ => raw
+                }
                 acc = Some(acc.fold(v)(a =>
                   if (wantMin) math.min(a, v) else math.max(a, v)))
               }
@@ -577,7 +841,8 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       specs.map {
         case Cnt =>
           val n = footers
-            .map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
+            .map(_.getBlocks.asScala.map(_.getRowCount).sum).sum -
+            entries.map(e => doomedByEntry.getOrElse(e._1, 0L)).sum
           (StructField("count(*)", LongType, nullable = false), n)
         case Mn(c) =>
           (StructField(s"min($c)", fullSchema(c).dataType),
@@ -708,10 +973,14 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
     * full table schema — exactly the relation's analysis output. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    val keyCol = options.getOrElse("keycol",
-      throw new IllegalArgumentException(
-        "streaming a graft table needs .option(\"keyCol\", ...) — the " +
-          "store does not record its merge key"))
+    val keyCol = options.get("keycol")
+      .orElse(Versioned.tableProps(spark, dir, version)
+        .collectFirst { case (k, v)
+            if k.equalsIgnoreCase("keyCol") => v })
+      .getOrElse(throw new IllegalArgumentException(
+        "streaming a graft table needs .option(\"keyCol\", ...) or a " +
+          "persisted keyCol table property (ALTER TABLE … SET " +
+          "TBLPROPERTIES('keyCol'='…'))"))
     val pc = partCol.orElse(options.get("partcol")).getOrElse(
       throw new IllegalArgumentException(
         "streaming a graft table needs a partition column: the store " +
@@ -914,6 +1183,109 @@ object GraftSqlQueries {
         s"${res.inputFiles.toSeq}")
     require(row.length == 1, "one answer row")
     res
+  }
+
+  /** Declared sql_delete query: the GDPR sweep through the SQL front
+    * door — `DELETE FROM graft.t WHERE …` routed via
+    * `SupportsDelete.deleteWhere` into the store's predicate delete
+    * ([[graft.ops.MergeOps.mergeDeleteWhere]]: CoW restage of touched
+    * partitions only, constraints + OCC + crash-atomic publish). The
+    * REQUIREs pin that the delete committed a NEW version and that a
+    * predicate SQL cannot hand to the store fails loudly with content
+    * unchanged. The oracle is the complement filter over the source,
+    * so equality proves the SQL door deletes exactly the asked rows. */
+  def sqlDeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqldel_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"DELETE FROM graft.$tbl " +
+      "WHERE n_chars < 500 OR source = 'src3'")                     // v2
+    require(Versioned.currentVersion(s, dir).contains(2L),
+      "the SQL DELETE must commit exactly one new version")
+    val after = s.sql(s"SELECT count(*) FROM graft.$tbl")
+      .head().getLong(0)
+    // an untranslatable predicate must decline LOUDLY, not delete a
+    // superset/subset — and leave the content untouched
+    val failed =
+      try { s.sql(s"DELETE FROM graft.$tbl WHERE length(source) > 5")
+            false }
+      catch { case _: Exception => true }
+    require(failed, "a predicate the store cannot translate must fail")
+    require(s.sql(s"SELECT count(*) FROM graft.$tbl")
+        .head().getLong(0) == after,
+      "a failed DELETE must leave the table byte-identical")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_insert query: append through the SQL front door —
+    * the merge key persisted ONCE as a table property (`ALTER TABLE …
+    * SET TBLPROPERTIES('keyCol'='doc_id')`), then `INSERT INTO …
+    * SELECT` routed through the V1 write fallback into
+    * [[graft.ops.MergeOps.mergeUpsert]] (persisted constraints
+    * validated on the staged read-back, touched partitions declared,
+    * OCC claim taken). The inserted batch carries both NEW keys and
+    * UPDATES of existing ones, so the oracle is the replayed-union
+    * (upsert) semantics; a REQUIRE pins that a constraint-violating
+    * INSERT fails loudly BEFORE anything publishes. */
+  def sqlInsertQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlins_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    MergeOps.addConstraint(s, dir, "nchars_nonneg",
+                           "n_chars >= 0", "src_grp")               // v2
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v3
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    // new keys AND updates of existing ones in one batch — INSERT is
+    // the store's upsert, replayed-union semantics
+    s.sql(
+      s"""INSERT INTO graft.$tbl
+         |SELECT doc_id, source, n_chars, src_grp FROM ${tbl}_src
+         |WHERE doc_id >= 300
+         |UNION ALL
+         |SELECT doc_id, source, n_chars + 1000, src_grp
+         |FROM ${tbl}_src WHERE doc_id < 50""".stripMargin)         // v4
+    require(Versioned.currentVersion(s, dir).contains(4L),
+      "the SQL INSERT must commit exactly one new version")
+    // a constraint-violating INSERT fails loudly BEFORE publish
+    val failed =
+      try { s.sql(s"INSERT INTO graft.$tbl VALUES " +
+              "(999999, 'srcX', -1, 0)")
+            false }
+      catch { case _: Exception => true }
+    require(failed, "a constraint-violating INSERT must fail")
+    require(Versioned.currentVersion(s, dir).contains(4L),
+      "the failed INSERT must publish NOTHING")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
   }
 
   /** Declared stream_table_read query: the PLAIN TABLE as a stream —

@@ -112,7 +112,7 @@ class Wave37Spec extends SparkTestBase {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ddl).exists(_.contains("READ front door")),
+    assert(messages(ddl).exists(_.contains("does not express")),
       s"DDL must fail loudly: ${messages(ddl)}")
   }
 
