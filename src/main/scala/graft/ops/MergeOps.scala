@@ -1317,7 +1317,7 @@ object MergeOps {
             if (posed.isEmpty) s"$p\t$uvRel\t$keyCol\t$scope"
             else {
               val posField = posed.map { case (f, ps) =>
-                s"$f:${ps.mkString(".")}" }.mkString(",")
+                s"$f:${Versioned.encodePositions(ps)}" }.mkString(",")
               s"$p\t$uvRel\t$keyCol\t$scope\t$posField"
             }
           case _ => s"$p\t$uvRel\t$keyCol"
@@ -1463,7 +1463,7 @@ object MergeOps {
           if (posed.isEmpty) s"$n\t$dvRel\t$scope"
           else {
             val posField = posed.map { case (f, ps) =>
-              s"$f:${ps.mkString(".")}" }.mkString(",")
+              s"$f:${Versioned.encodePositions(ps)}" }.mkString(",")
             s"$n\t$dvRel\t$scope\t$posField"
           }
         }

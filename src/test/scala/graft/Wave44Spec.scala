@@ -139,6 +139,44 @@ class Wave44Spec extends SparkTestBase {
       "an out-of-scope positional entry must be dropped at parse time")
   }
 
+  test("positions serialize COMPACT (delta-varint base64, the round-16 " +
+       "format generation) and the legacy dot-decimal form still " +
+       "reads: same parsed positions, same content through both " +
+       "encodings") {
+    val dir = freshDir("graft_dv_enc")
+    seed(dir, 24, 3)                                                 // v1
+    import spark.implicits._
+    MergeOps.mergeDeleteMor(spark, dir,
+      Seq(4L, 9L, 16L).toDF("k"), "k", "p")                          // v2
+    val expected = (1 to 24).map(_.toLong).toSet -- Set(4L, 9L, 16L)
+    assert(liveKeys(dir) === expected)
+    readDvRaw(dir, 2L).foreach { l =>
+      val fs = l.split('\t')
+      assert(fs.length == 4 && fs(3).split(',').forall(e =>
+        e.substring(e.lastIndexOf(':') + 1).startsWith("~")),
+        s"round-16 writers serialize positions compact: $l")
+    }
+    val compact = Versioned.readDvRefsScoped(spark, dir, 2L)
+    // rewrite every position field to the LEGACY dot-decimal form
+    rewriteDv(dir, 2L, lines => lines.map { l =>
+      val fs = l.split('\t')
+      val legacy = fs(3).split(',').map { e =>
+        val i = e.lastIndexOf(':')
+        val ps = Versioned.decodePositions(e.substring(i + 1))
+        s"${e.substring(0, i)}:${ps.mkString(".")}"
+      }.mkString(",")
+      (fs.take(3) :+ legacy).mkString("\t")
+    })
+    assert(Versioned.readDvRefsScoped(spark, dir, 2L) === compact,
+      "both encodings must parse to identical positions")
+    assert(liveKeys(dir) === expected,
+      "content must be identical through both encodings")
+    // varint round-trip at the unit level, including multi-byte gaps
+    val ps = Seq(0L, 1L, 127L, 128L, 300L, 5000L, 123456789L)
+    assert(Versioned.decodePositions(Versioned.encodePositions(ps)) ===
+      ps)
+  }
+
   test("a dense MOR UPDATE publishes scope-only uv lines too, and the " +
        "substitution stays correct through the anti-join tier") {
     val dir = freshDir("graft_uv_dense")
