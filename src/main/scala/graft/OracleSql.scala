@@ -1330,6 +1330,17 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_maintenance: SQL DELETE leaves MOR tombstones, CALL
+    // graft.system.optimize z-orders them away with fresh bounds, and
+    // the pruned range read-back equals the plain conjunctive filter
+    // over the delete's complement.
+    "sql_maintenance" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE NOT (n_chars >= 300)
+        |  AND doc_id <= 4 AND n_chars BETWEEN 50 AND 1500
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

@@ -1288,6 +1288,51 @@ object GraftSqlQueries {
          |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
   }
 
+  /** Declared sql_maintenance query: the OPERATE-A-STORE loop with no
+    * Scala in sight — SQL DELETE leaves MOR tombstones outstanding,
+    * `CALL graft.system.optimize(…, zorder_by)` materializes them in a
+    * z-ordered restage with fresh two-column bounds
+    * ([[GraftProcedures]]), and the read-back range query prunes
+    * through the recomputed zone maps (REQUIRE-pinned: dv refs gone,
+    * fewer dirs read than the manifest holds). The oracle is the plain
+    * conjunctive filter over the delete's complement, so equality
+    * proves the whole SQL-driven lifecycle is invisible in the data. */
+  def sqlMaintenanceQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlmaint_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"DELETE FROM graft.$tbl WHERE n_chars >= 300")            // v2
+    val row = s.sql(s"CALL graft.system.optimize('$tbl', " +
+      "zorder_by => 'doc_id,n_chars')").collect().head             // v3
+    require(row.getAs[Long]("version") == 3L,
+      "optimize must commit exactly one version")
+    require(Versioned.readDvRefs(s, dir, 3L).isEmpty,
+      "the z-order restage must materialize every deletion vector")
+    GraftScanObservable.lastKeptDirs = Nil
+    val res = s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl
+         |WHERE doc_id <= 4 AND n_chars BETWEEN 50 AND 1500
+         |ORDER BY doc_id""".stripMargin)
+    res.collect()  // materialize so the observable reflects this scan
+    require(GraftScanObservable.lastKeptDirs.size <
+        Versioned.manifest(s, dir, 3L).size,
+      "the refreshed zone maps must prune at least one partition")
+    res
+  }
+
   /** Declared stream_table_read query: the PLAIN TABLE as a stream —
     * `spark.readStream.table("graft.t")` bootstraps the snapshot then
     * streams ROW IMAGES of later upserts at the table schema (no
