@@ -1293,6 +1293,28 @@ object Versioned {
     * column CORRELATED with the clustering (status vs ingest year) even
     * though it is not the partition key — tiny metadata (≤ cap values
     * per partition per column), real skipping at 100 TB. */
+  /** Per-partition, per-FILE committed row counts of version `v`
+    * (round 16 — Iceberg's manifest-recorded counts): partition dir
+    * name → data-file leaf name → exact rows at write time. Files are
+    * immutable for an entry's life, so a recorded count stays exact
+    * while the name matches; consumers must use a count ONLY for files
+    * they actually listed (a carried line naming a restaged
+    * partition's dead files never matches — the safe fallback is the
+    * parquet footer). Lines are `part \t __rows__ \t rows \t leaf:N,…`
+    * riding the stats sidecar under its carry rules. */
+  def readStatsRows(s: SparkSession, dir: String,
+                    v: Long): Map[String, Map[String, Long]] =
+    readStatsLines(s, dir, v).flatMap { line =>
+      val parts = line.split('\t')
+      if (parts.length == 4 && parts(1) == "__rows__" &&
+          parts(2) == "rows")
+        Some(parts(0) -> parts(3).split(',').iterator.map { e =>
+          val i = e.lastIndexOf(':')
+          e.substring(0, i) -> e.substring(i + 1).toLong
+        }.toMap)
+      else None
+    }.toMap
+
   def readStatsDict(s: SparkSession, dir: String,
                     v: Long): Map[String, Map[String, Set[String]]] =
     readStatsLines(s, dir, v).flatMap { line =>

@@ -446,14 +446,51 @@ object MergeOps {
     if (parts.length == 3) statsKey.isDefined
     else if (parts(2) == "dict") dictKeys.contains(parts(1))
     else if (parts(2) == "bloom") bloomKeys.contains(parts(1))
+    // per-file row-count lines regenerate on EVERY stats job (cheap,
+    // and a dropped line is safe — the metadata-count reader falls
+    // back to parquet footers when a file has no recorded count)
+    else if (parts(2) == "rows") true
     else statsKeys.contains(parts(1))
   }
+
+  /** Per-partition cap on per-FILE row-count entries
+    * ([[freshStatsLines]]' `rows` lines — the Iceberg
+    * manifest-recorded-counts tier): a partition with more data files
+    * gets no line (the DictCap rule — the reader then prices COUNT
+    * from parquet footers; stats are never a correctness gate). */
+  private val RowsLineFileCap = 512
 
   private def freshStatsLines(df: DataFrame, partCol: String,
                               statsKey: Option[String],
                               statsKeys: Seq[String],
                               dictKeys: Seq[String] = Nil,
                               bloomKeys: Seq[String] = Nil): Seq[String] = {
+    // PER-FILE ROW COUNTS (round 16 — Iceberg's manifest-recorded
+    // counts, the upgrade path named for the metadata COUNT at 100 TB):
+    // `part \t __rows__ \t rows \t leaf:N,…` rides the stats sidecar
+    // under its carry rules. Exactness is enforced at READ time by
+    // construction: the catalog uses a recorded count only when the
+    // entry's LISTED data files all carry one, and file names are
+    // immutable for an entry's life — a carried line naming a restaged
+    // partition's dead files simply never matches, so the reader falls
+    // back to footers (never a stale answer). Requires a file-source
+    // df (`_metadata`): callers passing a composed live read (e.g.
+    // refreshStats) skip the lines — missing lines only cost footers.
+    val rowsLines: Seq[String] =
+      try df.groupBy(col(partCol),
+            col("_metadata.file_path").as("__rows_f"))
+        .count().collect().toSeq
+        .groupBy(r => Versioned.partDirName(partCol, r.get(0)))
+        .toSeq.flatMap { case (part, rs) =>
+          if (rs.length > RowsLineFileCap) None
+          else Some(s"$part\t__rows__\trows\t" + rs.map { r =>
+            val f = r.getString(1)
+            s"${f.substring(f.lastIndexOf('/') + 1)}:${r.getLong(2)}"
+          }.sorted.mkString(","))
+        }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
     val bloomLines: Seq[String] =
       if (bloomKeys.isEmpty) Seq.empty
       else {
@@ -552,7 +589,7 @@ object MergeOps {
           cols.map { case (c, (lo, hi)) => s"$part\t$c\t$lo\t$hi" }
         }
       else Seq.empty
-    rangeLines ++ dictLines ++ bloomLines
+    rangeLines ++ dictLines ++ bloomLines ++ rowsLines
   }
 
   /** Merge `batch` into the versioned parquet corpus at `corpusDir`:

@@ -283,6 +283,10 @@ private[sql] object FilterColumns {
 private[graft] object GraftScanObservable {
   @volatile var lastKeptDirs: Seq[String] = Nil
   @volatile var lastAggPushed: Option[String] = None
+  /** Parquet footers the most recent aggregate answer actually read —
+    * 0 when the manifest-recorded row counts (`rows` stats lines)
+    * answered COUNT without touching a file. */
+  @volatile var lastAggFooterReads: Int = 0
 }
 
 /** One versioned store as a V2 table, pinned at `version`.
@@ -618,6 +622,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
   private def computeAnswer(agg: Aggregation)
       : Option[(StructType, Seq[Row])] = {
     import org.apache.spark.sql.types._
+    GraftScanObservable.lastAggFooterReads = 0
     if (residual.nonEmpty) return None  // a filter would re-evaluate
     val funcs = agg.aggregateExpressions.toSeq
     if (funcs.isEmpty) return None
@@ -714,16 +719,36 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
     val fsys = new Path(dir).getFileSystem(conf)
     // one footer per surviving data file, read once, shared by every
     // requested function
+    def dataFilesOf(rel: String) =
+      fsys.listStatus(new Path(s"$dir/$rel")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
     def footersOf(entries: Seq[(String, String)]) =
       entries.flatMap { case (_, rel) =>
-        fsys.listStatus(new Path(s"$dir/$rel")).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(st => org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        dataFilesOf(rel).map { st =>
+          GraftScanObservable.lastAggFooterReads += 1
+          org.apache.parquet.hadoop.ParquetFileReader.readFooter(
             conf, st,
             org.apache.parquet.format.converter.ParquetMetadataConverter
-              .NO_FILTER))
+              .NO_FILTER)
+        }
       }
+    // the Iceberg manifest-recorded-counts tier (round 16): COUNT
+    // prices from ONE dir listing per entry when the stats sidecar
+    // recorded a row count for EVERY file actually present (names are
+    // immutable for an entry's life, so a match is exact; a carried
+    // line naming a restaged partition's dead files never matches) —
+    // the footer-per-file RPCs become the fallback, not the path
+    lazy val statsRows = Versioned.readStatsRows(spark, dir, version)
+    def sidecarCount(entries: Seq[(String, String)]): Option[Long] = {
+      val per = entries.map { case (name, rel) =>
+        val rec = statsRows.getOrElse(name, Map.empty[String, Long])
+        val files = dataFilesOf(rel).map(_.getPath.getName)
+        if (files.forall(rec.contains)) Some(files.map(rec).sum)
+        else None
+      }
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
     def cast(c: String, v: Long): Any = fullSchema(c).dataType match {
       case LongType => v
       case IntegerType => v.toInt
@@ -840,8 +865,9 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
         else dataColBound(footers, c, wantMin)
       specs.map {
         case Cnt =>
-          val n = footers
-            .map(_.getBlocks.asScala.map(_.getRowCount).sum).sum -
+          val base = sidecarCount(entries).getOrElse(footers
+            .map(_.getBlocks.asScala.map(_.getRowCount).sum).sum)
+          val n = base -
             entries.map(e => doomedByEntry.getOrElse(e._1, 0L)).sum
           (StructField("count(*)", LongType, nullable = false), n)
         case Mn(c) =>
@@ -936,21 +962,41 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
     * here. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
+    val fsys = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lazy val nameKept = MergeOps.skipEntries(spark, dir, version, man,
+      ranges, values, Map.empty, Map.empty, Map.empty)
     val bytes = scala.util.Try {
-      val fsys = new Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val nameKept = MergeOps.skipEntries(spark, dir, version, man,
-        ranges, values, Map.empty, Map.empty, Map.empty)
       nameKept.map(_._2).distinct
         .map(rel => fsys.getContentSummary(new Path(s"$dir/$rel"))
           .getLength).sum
     }.toOption
+    // row-count ESTIMATE from the manifest-recorded per-file counts
+    // (round 16): exact when every kept entry's listed files carry a
+    // recorded count and no MOR vector is outstanding; a standing dv
+    // makes it a slight OVERcount — the safe direction for join
+    // planning (too-big costs a shuffle, too-small OOMs a broadcast) —
+    // so only the dv case keeps the estimate, absent lines drop it
+    val rows = scala.util.Try {
+      val rec = Versioned.readStatsRows(spark, dir, version)
+      val per = nameKept.map { case (name, rel) =>
+        val m = rec.getOrElse(name, Map.empty[String, Long])
+        val files = fsys.listStatus(new Path(s"$dir/$rel")).toSeq
+          .filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath.getName)
+        if (files.forall(m.contains)) Some(files.map(m).sum) else None
+      }
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }.toOption.flatten
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         bytes.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
     }
   }
 

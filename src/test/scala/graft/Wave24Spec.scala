@@ -106,7 +106,9 @@ class Wave24Spec extends SparkTestBase {
       d.getAs[Long]("tags") == 1L &&
       d.getAs[Long]("branches") == 0L &&
       d.getAs[Long]("constraints") == 0L &&
-      d.getAs[Long]("stats_lines") == 2L &&
+      // 2 range lines + 2 per-file row-count lines (round 16 — every
+      // stats job records the manifest-recorded-counts tier)
+      d.getAs[Long]("stats_lines") == 4L &&
       d.getAs[Long]("dict_lines") == 0L &&
       d.getAs[Long]("bloom_lines") == 0L &&
       d.getAs[Long]("stage_pins") == 0L, s"detail: $d")

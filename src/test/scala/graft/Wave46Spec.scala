@@ -79,6 +79,59 @@ class Wave46Spec extends SparkTestBase {
       "content survives the sweep")
   }
 
+  test("manifest-recorded row counts (the Iceberg tier): a stats-" +
+       "bearing store answers COUNT(*) from ONE dir listing per entry " +
+       "— ZERO parquet footer reads — exactly, composes with the dv " +
+       "position subtraction, and dropping the rows lines falls back " +
+       "to footers with the same answer") {
+    val tbl = s"graft_w46_rows"
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+        (i.toLong, i * 10.0, if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "p")
+    MergeOps.mergeUpsert(spark, dir, df, "k", "p",
+                         statsKeys = Seq("k"))                       // v1
+    assert(Versioned.readStatsRows(spark, dir, 1L).nonEmpty,
+      "a stats job must record per-file row counts")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", rootDir)
+    def count(): (Long, Boolean, Int) = {
+      graft.sql.GraftScanObservable.lastAggPushed = None
+      val n = spark.sql(s"SELECT count(*) AS c FROM graft.$tbl")
+        .collect().head.getLong(0)
+      (n, graft.sql.GraftScanObservable.lastAggPushed.isDefined,
+        graft.sql.GraftScanObservable.lastAggFooterReads)
+    }
+    assert(count() === ((40L, true, 0)),
+      "recorded counts must answer without a footer read")
+    // sparse MOR delete: recorded counts + position subtraction keep
+    // the WHOLE count metadata-only — still zero footers
+    MergeOps.mergeDeleteMor(spark, dir, Seq(4L, 9L).toDF("k"),
+                            "k", "p")                                // v2
+    assert(count() === ((38L, true, 0)),
+      "dv subtraction must compose with the recorded counts")
+    // strip the rows lines: the footer fallback gives the same answer
+    val sp = Versioned.committedSidecar(spark, dir, 2L, "stats").get
+    val in = fs.open(sp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    fs.delete(sp, false)
+    val out = fs.create(sp, false)
+    try out.write(lines.filterNot(_.split('\t')(1) == "__rows__")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val (n2, pushed2, footers2) = count()
+    assert(n2 === 38L && pushed2,
+      "missing rows lines keep the metadata path through footers")
+    assert(footers2 > 0, "the fallback must actually read footers")
+  }
+
   test("CALL graft.system.refresh_stats re-arms pruning metadata and " +
        "expire_partitions drops the named entries atomically; an " +
        "unknown procedure and a bad argument fail loudly") {
