@@ -1341,6 +1341,16 @@ object OracleSql {
         |  AND doc_id <= 4 AND n_chars BETWEEN 50 AND 1500
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_ctas: CREATE TABLE AS SELECT materializes the store, a later
+    // INSERT INTO upserts through the persisted keyCol property — the
+    // oracle is the replayed-union semantics over the three key bands.
+    "sql_ctas" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

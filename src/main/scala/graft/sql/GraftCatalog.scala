@@ -129,8 +129,18 @@ class GraftCatalog extends TableCatalog
         Map("dir" -> dir) ++ pc.map("partcol" -> _))
     }
     val dir = dirOf(ident)
-    val v = Versioned.currentVersion(spark, dir).getOrElse(
-      throw new NoSuchTableException(ident))
+    val v = Versioned.currentVersion(spark, dir).getOrElse {
+      // created but never written: the pending descriptor reads as an
+      // EMPTY table at the declared schema until the first write
+      // commits version 1 (see createTable)
+      PendingTables.read(spark, dir) match {
+        case Some((schema, partCol, props)) =>
+          return new GraftPendingTable(spark, dir,
+            (ident.namespace :+ ident.name).mkString("."), schema,
+            partCol, props)
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     new GraftTable(spark, dir,
       (ident.namespace :+ ident.name).mkString("."), v)
   }
@@ -192,7 +202,9 @@ class GraftCatalog extends TableCatalog
     if (!fs.exists(nsDir)) Array.empty
     else fs.listStatus(nsDir).collect {
       case st if st.isDirectory &&
-          fs.exists(new Path(st.getPath, "commits")) =>
+          (fs.exists(new Path(st.getPath, "commits")) ||
+            (!namespace.sameElements(Array(ChangesNs)) &&
+              fs.exists(new Path(st.getPath, "pending/table.json")))) =>
         Identifier.of(namespace, st.getPath.getName)
     }
   }
@@ -203,10 +215,59 @@ class GraftCatalog extends TableCatalog
         "live with the MERGE API (graft.ops.MergeOps) — the store's " +
         "write-audit-publish commit protocol binds them to data commits")
 
+  /** `CREATE TABLE graft.t (…) PARTITIONED BY (p)
+    * TBLPROPERTIES('keyCol'='k')` and CTAS (round 16). The commit
+    * protocol cannot represent an empty committed store (a manifest
+    * needs entries), so creation persists a PENDING DESCRIPTOR
+    * (`pending/table.json`: schema, partition column, properties) and
+    * the table reads as EMPTY at the declared schema until the first
+    * INSERT/CTAS write commits version 1 through the ordinary
+    * mergeUpsert — from then on the descriptor is inert and every
+    * loadTable resolves the committed store. CTAS is effectively
+    * atomic: a failed write leaves no committed version, and Spark's
+    * CTAS failure path drops the table (removing the descriptor).
+    * Requires exactly ONE identity-transform partition column — the
+    * store's layout is dir-partitioned by design. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
-      : Table = readOnly("CREATE TABLE")
+      : Table = {
+    val spark = SparkSession.active
+    if (ident.namespace.sameElements(Array(ChangesNs)))
+      readOnly("CREATE TABLE in the changes namespace")
+    val dir = dirOf(ident)
+    if (Versioned.currentVersion(spark, dir).isDefined ||
+        PendingTables.read(spark, dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace :+ ident.name).toSeq)
+    val partCol = partitions.toSeq match {
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+            refs.head.fieldNames.length == 1,
+          s"graft tables are dir-partitioned by ONE column — got " +
+            s"transform $t")
+        refs.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft tables need exactly one PARTITIONED BY column (the " +
+          s"dir layout), got ${other.size}")
+    }
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
+      s"partition column $partCol is not in the declared schema")
+    // reserved engine properties (provider/location/owner/…) are
+    // Spark bookkeeping, not table metadata — persist only user props
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, "transient_lastDdlTime")
+    val props = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.") }
+    PendingTables.write(spark, dir, schema, partCol, props)
+    new GraftPendingTable(spark, dir,
+      (ident.namespace :+ ident.name).mkString("."), schema, partCol,
+      props)
+  }
 
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: the one ALTER the store
     * expresses — properties are committed table metadata
@@ -236,11 +297,141 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+  /** `DROP TABLE graft.t` → [[graft.engine.Versioned.dropTable]]: the
+    * whole store (data, commit log, sidecars — or just the pending
+    * descriptor of a never-written table). Refuses LOUDLY while tags
+    * pin versions — delete the tags first; there is no SQL force. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    if (ident.namespace.sameElements(Array(ChangesNs)))
+      readOnly("DROP TABLE in the changes namespace")
+    val dir = dirOf(ident)
+    if (Versioned.currentVersion(spark, dir).isEmpty &&
+        PendingTables.read(spark, dir).isEmpty) return false
+    Versioned.dropTable(spark, dir)
+    true
+  }
+
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+/** Pending-table descriptors (round 16 — `CREATE TABLE` before the
+  * first write): `pending/table.json` under the store dir carries the
+  * declared schema, partition column, and user properties. Present
+  * only between CREATE and the first committed version; loadTable
+  * prefers commits, so the descriptor is inert once data lands. */
+private[sql] object PendingTables {
+  import org.apache.spark.sql.types.DataType
+
+  private def path(dir: String) = new Path(dir, "pending/table.json")
+
+  def write(spark: SparkSession, dir: String, schema: StructType,
+            partCol: String, props: Map[String, String]): Unit = {
+    val fs = path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    import org.json4s.JsonDSL._
+    val payload = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("schema" -> schema.json) ~ ("partCol" -> partCol) ~
+          ("props" -> props)))
+    val out = fs.create(path(dir), false)
+    try out.write(payload.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, dir: String)
+      : Option[(StructType, String, Map[String, String])] = {
+    val fs = path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path(dir))) return None
+    val in = fs.open(path(dir))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(txt)
+    Some((DataType.fromJson((j \ "schema").extract[String])
+            .asInstanceOf[StructType],
+          (j \ "partCol").extract[String],
+          (j \ "props").extract[Map[String, String]]))
+  }
+}
+
+/** A created-but-never-written table: reads as EMPTY at the declared
+  * schema; the first INSERT/CTAS write runs the ordinary
+  * [[graft.ops.MergeOps.mergeUpsert]] (creating version 1) and then
+  * persists the declared properties, after which loadTable resolves
+  * the committed store and this shim is never constructed again. */
+private[sql] class GraftPendingTable(spark: SparkSession, dir: String,
+                                     ident: String, declared: StructType,
+                                     partCol: String,
+                                     props: Map[String, String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = ident
+  override val schema: StructType = declared
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(partCol))
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.BATCH_WRITE,
+                         TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with V1Scan {
+      override def readSchema(): StructType = declared
+      override def description(): String =
+        s"GraftPendingScan[$ident, empty]"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = declared
+          override def buildScan(): RDD[Row] =
+            spark.sparkContext.emptyRDD[Row]
+        }.asInstanceOf[T]
+    }
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val opts = info.options().asScala.toMap.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                val key = opts.get("keycol")
+                  .orElse(props.collectFirst { case (k, v)
+                      if k.equalsIgnoreCase("keyCol") => v })
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"the first write into $ident needs the merge " +
+                      "key: declare TBLPROPERTIES('keyCol'='…') at " +
+                      "CREATE TABLE or pass .option(\"keyCol\", …)"))
+                require(!overwrite,
+                  s"INSERT OVERWRITE into $ident is not supported")
+                MergeOps.mergeUpsert(spark, dir, data, key, partCol)
+                if (props.nonEmpty)
+                  MergeOps.setTableProperties(spark, dir, props)
+              }
+            }
+        }
+    }
+  }
 }
 
 /** V1 `Filter` → `Column` for the SQL DELETE door: the store's
@@ -1377,6 +1568,50 @@ object GraftSqlQueries {
         Versioned.manifest(s, dir, 3L).size,
       "the refreshed zone maps must prune at least one partition")
     res
+  }
+
+  /** Declared sql_ctas query: the table LIFECYCLE with no Scala in
+    * sight — `CREATE TABLE … PARTITIONED BY … TBLPROPERTIES
+    * ('keyCol'='…') AS SELECT` materializes the store (version 1 =
+    * the CTAS write, version 2 = the declared properties), a later
+    * plain `INSERT INTO` upserts through the persisted key, and the
+    * read-back equals the replayed-union semantics. REQUIREs pin the
+    * commit shape and that the table lists in SHOW TABLES. */
+  def sqlCtasQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlctas_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+      .createOrReplaceTempView(s"${tbl}_src")
+    s.sql(
+      s"""CREATE TABLE graft.$tbl PARTITIONED BY (src_grp)
+         |TBLPROPERTIES('keyCol'='doc_id')
+         |AS SELECT * FROM ${tbl}_src WHERE doc_id < 300""".stripMargin)
+    require(Versioned.currentVersion(s, dir).contains(2L),
+      "CTAS commits the write (v1) and the declared properties (v2)")
+    require(s.sql("SHOW TABLES IN graft").collect()
+        .exists(_.getString(1) == tbl),
+      "the created table must list")
+    s.sql(
+      s"""INSERT INTO graft.$tbl
+         |SELECT doc_id, source, n_chars, src_grp FROM ${tbl}_src
+         |WHERE doc_id >= 300
+         |UNION ALL
+         |SELECT doc_id, source, n_chars + 1000, src_grp
+         |FROM ${tbl}_src WHERE doc_id < 50""".stripMargin)         // v3
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
   }
 
   /** Declared stream_table_read query: the PLAIN TABLE as a stream —
