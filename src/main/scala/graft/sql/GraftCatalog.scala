@@ -125,8 +125,13 @@ class GraftCatalog extends TableCatalog
           "feed cannot add its classification column")
       val feedSchema = base.add("change_type",
         org.apache.spark.sql.types.StringType, nullable = false)
+      // the persisted keyCol table property seeds the feed's required
+      // reader option (scan-time .option("keyCol", …) still overrides)
       return new graft.streaming.ChangeFeedTable(feedSchema,
-        Map("dir" -> dir) ++ pc.map("partcol" -> _))
+        Map("dir" -> dir) ++ pc.map("partcol" -> _) ++
+          Versioned.tableProps(spark, dir, v)
+            .collectFirst { case (k, kv)
+                if k.equalsIgnoreCase("keyCol") => "keycol" -> kv })
     }
     val dir = dirOf(ident)
     val v = Versioned.currentVersion(spark, dir).getOrElse {

@@ -106,14 +106,20 @@ class Wave37Spec extends SparkTestBase {
     }
     assert(miss.getMessage.toLowerCase.contains("table"),
       s"a missing store must fail as a missing table: ${miss.getMessage}")
+    // RENAME stays unsupported (round 16 added CREATE/DROP/DML doors)
     val ddl = intercept[Exception] {
-      spark.sql(s"DROP TABLE gtest.`$tbl`")
+      spark.sql(s"ALTER TABLE gtest.`$tbl` RENAME TO gtest.renamed")
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ddl).exists(_.contains("does not express")),
-      s"DDL must fail loudly: ${messages(ddl)}")
+      s"unsupported DDL must fail loudly: ${messages(ddl)}")
+    // DROP TABLE is a supported verb now: it removes the whole store
+    spark.sql(s"DROP TABLE gtest.`$tbl`")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM gtest.`$tbl`").collect()
+    }
   }
 
   test("projection narrows the inner read and aggregates work through " +

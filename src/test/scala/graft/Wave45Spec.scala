@@ -200,17 +200,19 @@ class Wave45Spec extends SparkTestBase {
       java.time.Instant.parse("2025-06-03T02:00:00Z")))
   }
 
-  test("other ALTERs and CREATE/DROP stay loud — the SQL door never " +
-       "half-supports a DDL verb") {
+  test("unsupported DDL verbs stay loud — the SQL door never " +
+       "half-supports one (schema ALTERs and RENAME; CREATE/DROP " +
+       "became real verbs in round 16, pinned in Wave47)") {
     val (_, tbl, _) = freshStore("ddl")
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN extra INT")
     }
     intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.$tbl")
+      spark.sql(s"ALTER TABLE graft.$tbl RENAME TO graft.renamed")
     }
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.t2 (a INT) USING parquet")
+      // unpartitioned CREATE: the store is dir-partitioned by design
+      spark.sql(s"CREATE TABLE graft.w45_nopart (a INT) USING parquet")
     }
     assert(keys(tbl).size === 40)
   }
