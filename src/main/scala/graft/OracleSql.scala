@@ -1351,6 +1351,15 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_overwrite: INSERT OVERWRITE replaces the whole table with
+    // the batch in one atomic version — the oracle IS the replacement
+    // select, so equality proves the replace is total and exact.
+    "sql_overwrite" ->
+      """SELECT doc_id, source, n_chars * 2 AS n_chars
+        |FROM documents
+        |WHERE n_chars < 400
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

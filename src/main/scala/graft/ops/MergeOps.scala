@@ -2380,6 +2380,49 @@ object MergeOps {
     * protocol buys is that it is atomic, crash-safe, and invisible to
     * every downstream contract. Callers own the partCol parameter they
     * pass readers afterwards, as everywhere in this API. */
+  /** INSERT OVERWRITE (the atomic full-table REPLACE — the backfill
+    * rewrite): stage `batch` as the COMPLETE next version. Every old
+    * manifest entry leaves; no stats/dv/uv line carries — all
+    * partitions are replaced, so carried zone bounds or tombstone refs
+    * would describe content that no longer exists; persisted CHECK
+    * constraints validate on the staged read-back BEFORE publish; the
+    * commit takes the ordinary OCC claim with deliberately NO touch
+    * declaration (an undeclared commit "touches everything", so a
+    * concurrent writer re-derives loudly instead of rebasing onto
+    * vanished partitions). Key uniqueness is enforced loudly up front —
+    * the store's upsert invariant; a duplicate key would silently
+    * half-apply every later update. An empty batch fails fast
+    * (emptying is table deletion). Time travel keeps reading the
+    * replaced versions until retention sweeps them. */
+  def replaceTable(s: SparkSession, corpusDir: String, batch: DataFrame,
+                   keyCol: String, partCol: String): Unit = {
+    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $corpusDir — INSERT OVERWRITE " +
+          "replaces an existing table; create it first"))
+    val shape = batch.agg(count(lit(1)), count_distinct(col(keyCol)))
+      .head()
+    require(shape.getLong(0) > 0L,
+      s"INSERT OVERWRITE with an empty batch would empty $corpusDir — " +
+        "that is table deletion, not a replace")
+    require(shape.getLong(0) == shape.getLong(1),
+      s"INSERT OVERWRITE batch carries duplicate or null '$keyCol' " +
+        s"keys (${shape.getLong(0)} rows, ${shape.getLong(1)} distinct " +
+        "keys) — the store is key-unique")
+    val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+    val tok = Versioned.newToken()
+    val stageRel = Versioned.newStageRel(nv, tok)
+    stageable(batch, partCol)
+      .sortWithinPartitions(col(partCol), col(keyCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$corpusDir/$stageRel")
+    validateStaged(s, corpusDir, stageRel, persistedConstraintCols(
+      tableConstraints(s, corpusDir, v), batch.columns.toSeq))
+    val staged = Versioned.listStagedPartDirs(s, corpusDir, stageRel,
+                                              partCol)
+    Versioned.publish(s, corpusDir, nv, tok, staged)
+  }
+
   def repartitionTable(s: SparkSession, corpusDir: String,
                        oldPartCol: String, newPartCol: String,
                        statsKey: Option[String] = None,

@@ -548,7 +548,8 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
                          TableCapability.MICRO_BATCH_READ,
                          TableCapability.BATCH_WRITE,
-                         TableCapability.V1_BATCH_WRITE)
+                         TableCapability.V1_BATCH_WRITE,
+                         TableCapability.TRUNCATE)
 
   /** SQL DELETE: translatable WHERE + a partitioned store → the
     * predicate delete. Declining (`false`) surfaces Spark's loud
@@ -572,27 +573,30 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     MergeOps.mergeDeleteWhere(spark, dir, pred, pc)
   }
 
-  /** SQL INSERT INTO (append) through the V1 write fallback: the whole
-    * batch lands in [[graft.ops.MergeOps.mergeUpsert]] — persisted
-    * constraints validated on the staged read-back, touched partitions
-    * declared, OCC claim taken — so a SQL insert is bit-identical to
-    * the Scala merge it abbreviates. */
+  /** SQL INSERT INTO (append) and INSERT OVERWRITE (atomic full-table
+    * replace) through the V1 write fallback: the batch lands in
+    * [[graft.ops.MergeOps.mergeUpsert]] / `replaceTable` — persisted
+    * constraints validated on the staged read-back, OCC claim taken —
+    * so a SQL write is bit-identical to the Scala merge it
+    * abbreviates. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val opts = info.options().asScala.toMap.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceAll = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                                   overwrite: Boolean): Unit = {
-                require(!overwrite,
-                  s"INSERT OVERWRITE into $ident is not supported — " +
-                    "the store's atomic-replace verbs are the merge " +
-                    "API's (repartitionTable, rollback)")
                 val key = opts.get("keycol").orElse(
                   Versioned.tableProps(spark, dir,
                       Versioned.currentVersion(spark, dir)
@@ -608,7 +612,10 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
                   throw new UnsupportedOperationException(
                     s"INSERT INTO $ident: the store under $dir is " +
                       "unpartitioned — use the merge API"))
-                MergeOps.mergeUpsert(spark, dir, data, key, pc)
+                if (replaceAll || overwrite)
+                  MergeOps.replaceTable(spark, dir, data, key, pc)
+                else
+                  MergeOps.mergeUpsert(spark, dir, data, key, pc)
               }
             }
         }
@@ -1614,6 +1621,49 @@ object GraftSqlQueries {
          |UNION ALL
          |SELECT doc_id, source, n_chars + 1000, src_grp
          |FROM ${tbl}_src WHERE doc_id < 50""".stripMargin)         // v3
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_overwrite query: `INSERT OVERWRITE` — the atomic
+    * full-table REPLACE ([[graft.ops.MergeOps.replaceTable]]): the
+    * whole standing content leaves in one committed version and the
+    * batch becomes the table (the backfill-rewrite shape), constraints
+    * and OCC included; REQUIREs pin the single-version commit and that
+    * time travel still reads the replaced snapshot. The oracle is the
+    * replacement SELECT itself — equality proves the replace is total
+    * and exact. */
+  def sqlOverwriteQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlovw_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    s.sql(
+      s"""INSERT OVERWRITE graft.$tbl
+         |SELECT doc_id, source, n_chars * 2, src_grp
+         |FROM ${tbl}_src WHERE n_chars < 400""".stripMargin)       // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "the replace must land as ONE atomic version")
+    require(s.sql(s"SELECT count(*) FROM graft.$tbl VERSION AS OF 1")
+        .head().getLong(0) ==
+        docs.where(col("doc_id") < 300).count(),
+      "time travel must still read the replaced snapshot")
     s.sql(
       s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
          |FROM graft.$tbl ORDER BY doc_id""".stripMargin)

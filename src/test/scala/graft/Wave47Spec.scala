@@ -81,6 +81,49 @@ class Wave47Spec extends SparkTestBase {
       "a failed CREATE must leave no pending table")
   }
 
+  test("INSERT OVERWRITE is the atomic full-table replace: old " +
+       "content leaves wholesale (including partitions absent from " +
+       "the batch), constraints validate before publish, duplicate " +
+       "keys fail loudly, and time travel still reads the replaced " +
+       "version") {
+    val tbl = "graft_w47_ovw"
+    val dir = clean(tbl)
+    register()
+    import spark.implicits._
+    MergeOps.mergeUpsert(spark, dir,
+      (1 to 20).map(i => (i.toLong, i * 1.0,
+        if (i % 2 == 0) "E" else "O")).toDF("k", "v", "p"),
+      "k", "p")                                                      // v1
+    MergeOps.addConstraint(spark, dir, "v_nonneg", "v >= 0", "p")    // v2
+    spark.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='k')")                             // v3
+    // replacement holds ONLY partition O — E must vanish wholesale
+    spark.sql(s"INSERT OVERWRITE graft.$tbl VALUES " +
+      "(101, 1.0, 'O'), (102, 2.0, 'O')")                            // v4
+    val after = spark.sql(s"SELECT k, p FROM graft.$tbl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === Set((101L, "O"), (102L, "O")),
+      s"the replace must be total: $after")
+    assert(Versioned.currentVersion(spark, dir).contains(4L),
+      "one atomic version")
+    assert(spark.sql(
+        s"SELECT count(*) FROM graft.$tbl VERSION AS OF 1")
+      .head().getLong(0) === 20L,
+      "time travel still reads the replaced content")
+    // constraint violation fails BEFORE publish
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.$tbl VALUES (1, -5.0, 'O')")
+    }
+    assert(Versioned.currentVersion(spark, dir).contains(4L))
+    // duplicate keys are the upsert invariant — refuse loudly
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.$tbl VALUES " +
+        "(7, 1.0, 'O'), (7, 2.0, 'O')")
+    }
+    assert(Versioned.currentVersion(spark, dir).contains(4L),
+      "failed replaces publish nothing")
+  }
+
   test("DROP TABLE removes a committed store and a pending one, " +
        "refuses while tags pin versions, and SELECT after DROP fails " +
        "as a missing table") {
