@@ -1360,6 +1360,35 @@ object OracleSql {
         |WHERE n_chars < 400
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_update: row-level UPDATE through the SQL door (planner
+    // strategy → mergeUpdateWhere CoW) — the oracle replays the SET
+    // arithmetic as a CASE, so equality proves exactly the asked rows
+    // and columns changed (and the REQUIRE-pinned illegal forms
+    // published nothing).
+    "sql_update" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id % 7 = 0 AND n_chars < 800
+        |            THEN n_chars +
+        |                 (CASE WHEN source = 'src1' THEN 10 ELSE 1 END)
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // sql_merge: MERGE INTO through the SQL door — one changelog
+    // commit carrying matched updates (doc_id < 40), matched deletes
+    // (40–59), not-matched inserts (>= 300, verbatim), and the NOT
+    // MATCHED BY SOURCE update (280–299 zeroed: in the store, absent
+    // from the source); 60–279 untouched. The oracle replays the four
+    // bands.
+    "sql_merge" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id < 40 THEN n_chars + 500
+        |            WHEN doc_id >= 280 AND doc_id < 300 THEN 0
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id >= 40 AND doc_id < 60)
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

@@ -15,8 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * imperatively stay (idempotent, library-embedding path); both routes
   * share this descriptor list so the two surfaces cannot drift. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // SQL UPDATE / MERGE INTO on graft catalog tables (see
+    // graft.sql.GraftDml; live sessions use GraftDml.install instead)
+    ext.injectPlannerStrategy(_ => new graft.sql.GraftDmlStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -511,6 +511,10 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
   private val man: Seq[(String, String)] =
     Versioned.manifest(spark, dir, version)
 
+  /** The store directory, for the DML commands ([[GraftDmlStrategy]])
+    * that route UPDATE/MERGE back through [[graft.ops.MergeOps]]. */
+  private[sql] def storeDir: String = dir
+
   /** The partition column, recovered from the manifest's own
     * `col=value` entry names (absent for whole-table stores). On a
     * MIXED-layout manifest (mid metadata-tier spec evolution) any
@@ -1308,7 +1312,7 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
 object GraftSqlQueries {
   import graft.engine.Tables.documents
   import org.apache.spark.sql.DataFrame
-  import org.apache.spark.sql.functions.substring
+  import org.apache.spark.sql.functions.{lit, substring}
 
   /** Declared sql_store_read query: the bloom point lookup of
     * scan_bloom_pruned, issued through PLAIN SQL — no Scala reader API
@@ -1719,5 +1723,134 @@ object GraftSqlQueries {
       "a row-image stream must carry the TABLE schema, not the feed's")
     res.select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id", "n_chars")
+  }
+
+  /** Declared sql_update query: row-level UPDATE through the SQL front
+    * door — `UPDATE graft.t SET … WHERE …` intercepted by
+    * [[GraftDmlStrategy]] (a runtime-installable planner strategy, the
+    * public Delta idiom) and executed as
+    * [[graft.ops.MergeOps.mergeUpdateWhere]]: CoW restage of ONLY the
+    * touched partitions, persisted constraints re-checked on the staged
+    * read-back, OCC claim, crash-atomic publish. REQUIREs pin the
+    * single-commit shape and that the two illegal forms — SET on the
+    * key column (row identity) and a subquery predicate — fail loudly
+    * with nothing published. The oracle replays the SET arithmetic as
+    * a CASE over the source table, so equality proves the SQL door
+    * updates exactly the asked rows and columns. */
+  def sqlUpdateQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlupd_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    GraftDml.install(s)
+    s.sql(
+      s"""UPDATE graft.$tbl
+         |SET n_chars = n_chars +
+         |      CASE WHEN source = 'src1' THEN 10 ELSE 1 END
+         |WHERE doc_id % 7 = 0 AND n_chars < 800""".stripMargin)    // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "the SQL UPDATE must commit exactly one new version")
+    // row identity is immutable: SET on the merge key fails loudly
+    val keyFailed =
+      try { s.sql(s"UPDATE graft.$tbl SET doc_id = doc_id + 1"); false }
+      catch { case _: Exception => true }
+    require(keyFailed, "UPDATE SET <keyCol> must fail loudly")
+    // subquery predicates decline loudly (see GraftDml contract)
+    val subqFailed =
+      try { s.sql(s"UPDATE graft.$tbl SET n_chars = 0 WHERE doc_id IN " +
+              s"(SELECT doc_id FROM graft.$tbl WHERE n_chars > 100)")
+            false }
+      catch { case _: Exception => true }
+    require(subqFailed, "a subquery UPDATE must fail loudly")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "failed UPDATEs must publish NOTHING")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_merge query: `MERGE INTO … USING … ON t.key = s.key`
+    * through the SQL front door — [[GraftDmlStrategy]] folds the WHEN
+    * clauses into first-match-wins CASE images DISTRIBUTED (source ⋈
+    * target on the key), then commits updates + deletes + inserts as
+    * ONE [[graft.ops.MergeOps.mergeApplyChangelog]] version. REQUIREs
+    * pin the single-commit shape, the SQL-standard cardinality abort
+    * (two source rows on one key publish nothing), and the loud
+    * decline for a non-key ON. The statement exercises all THREE
+    * clause families — matched update/delete, not-matched insert, and
+    * NOT MATCHED BY SOURCE update (the target-anti-source branch of
+    * the same commit) — and the oracle replays the four bands. */
+  def sqlMergeQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlmrg_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    GraftDml.install(s)
+    docs.where(col("doc_id") < 60 || col("doc_id") >= 300)
+      .withColumn("del", col("doc_id") >= 40 && col("doc_id") < 60)
+      .createOrReplaceTempView(s"${tbl}_src")
+    s.sql(
+      s"""MERGE INTO graft.$tbl t USING ${tbl}_src s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 500
+         |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars,
+         |  src_grp) VALUES (s.doc_id, s.source, s.n_chars, s.src_grp)
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 280
+         |  THEN UPDATE SET n_chars = 0""".stripMargin)            // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "the whole MERGE must commit exactly ONE new version")
+    // SQL-standard cardinality: duplicate source keys abort pre-stage
+    docs.where(col("doc_id") === 70)
+      .unionByName(docs.where(col("doc_id") === 70))
+      .withColumn("del", lit(false))
+      .createOrReplaceTempView(s"${tbl}_dup")
+    val dupFailed =
+      try { s.sql(s"""MERGE INTO graft.$tbl t USING ${tbl}_dup s
+                     |ON t.doc_id = s.doc_id
+                     |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                     |""".stripMargin); false }
+      catch { case _: Exception => true }
+    require(dupFailed, "duplicate source merge keys must abort")
+    // a non-key ON is not a merge of this table's row identity
+    val onFailed =
+      try { s.sql(s"""MERGE INTO graft.$tbl t USING ${tbl}_src s
+                     |ON t.n_chars = s.n_chars
+                     |WHEN MATCHED THEN UPDATE SET source = s.source
+                     |""".stripMargin); false }
+      catch { case _: Exception => true }
+    require(onFailed, "a non-key ON condition must decline loudly")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "failed MERGEs must publish NOTHING")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
   }
 }
