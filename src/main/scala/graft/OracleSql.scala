@@ -1389,6 +1389,27 @@ object OracleSql {
         |WHERE NOT (doc_id >= 40 AND doc_id < 60)
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_evolve: ALTER TABLE ADD COLUMNS declares lang as metadata,
+    // reads null-fill it, and the carrying INSERT (doc_id < 100)
+    // materializes 'en' for that band through upsert evolution — the
+    // oracle replays the band with NULL elsewhere.
+    "sql_evolve" ->
+      """SELECT doc_id, source, n_chars,
+        |       CASE WHEN doc_id < 100 THEN 'en' ELSE NULL END AS lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // sql_constraint: ADD CONSTRAINT gates writes (the violating
+    // band only lands AFTER DROP CONSTRAINT), so the oracle is the
+    // store band (doc_id >= 10, verbatim) plus the formerly violating
+    // band (doc_id < 10 at n_chars = -1 - doc_id).
+    "sql_constraint" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id < 10 THEN -1 - doc_id
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

@@ -1170,6 +1170,17 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
         Some(partCol))
+    // a SET column absent from the data would otherwise be SILENTLY
+    // dropped by the per-column select below — refuse loudly (the
+    // schema-evolution route is a write that CARRIES the column)
+    setMap.keys.filterNot(c => corpus.columns.contains(c)).toSeq.sorted match {
+      case Nil => ()
+      case missing => throw new IllegalArgumentException(
+        s"UPDATE under $corpusDir: SET column(s) " +
+          s"${missing.mkString(", ")} do not exist in the data — " +
+          "schema evolution routes through an upsert/changelog write " +
+          "that carries the column")
+    }
     val hit = coalesce(pred, lit(false))
     val touched = corpus.where(hit)
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
@@ -1182,8 +1193,17 @@ object MergeOps {
     val touchedNames = touched.map(Versioned.partDirName(partCol, _)).toSet ++
       migratedNames ++ foreignTouched.map(_._1)
     val oldEntries = man.filter(e => touchedNames.contains(e._1))
-    val old = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
+    val old0 = Versioned.readEntriesLive(s, corpusDir, v, oldEntries,
         Some(partCol))
+    // align the restaged partitions to the CORPUS schema (the
+    // changelog alignment rule): a touched partition whose files
+    // predate a schema-evolved column must null-fill it here, or a
+    // SET of that column would silently vanish from the per-column
+    // select below
+    val old = old0.select(corpus.schema.fields.toSeq.map { f =>
+      if (old0.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     val updated = old.select(old.columns.toSeq.map { c =>
       setMap.get(c) match {
         case Some(expr) => when(hit, expr).otherwise(col(c)).as(c)
@@ -1257,6 +1277,16 @@ object MergeOps {
     val man = Versioned.manifest(s, corpusDir, v)
     val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
         Some(partCol))
+    // same loud contract as mergeUpdateWhere: a SET column absent from
+    // the data would be silently dropped by the per-column select
+    setMap.keys.filterNot(c => corpus.columns.contains(c)).toSeq.sorted match {
+      case Nil => ()
+      case missing => throw new IllegalArgumentException(
+        s"UPDATE under $corpusDir: SET column(s) " +
+          s"${missing.mkString(", ")} do not exist in the data — " +
+          "schema evolution routes through an upsert/changelog write " +
+          "that carries the column")
+    }
     val hit = coalesce(pred, lit(false))
     val images = corpus.where(hit).select(corpus.columns.toSeq.map { c =>
       setMap.get(c) match {

@@ -281,6 +281,14 @@ class GraftCatalog extends TableCatalog
     * [[graft.ops.MergeOps.setTableProperties]] under the ordinary OCC
     * claim. Schema/partition ALTERs stay with the merge API (column
     * evolution is a data-commit concern). */
+  /** Catalog capabilities: constraint DDL routes to [[alterTable]]
+    * only when the catalog declares it supports table constraints. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val spark = SparkSession.active
@@ -289,12 +297,93 @@ class GraftCatalog extends TableCatalog
       case c: TableChange.SetProperty => c.property -> c.value }
     val unsets = changes.collect {
       case c: TableChange.RemoveProperty => c.property }
+    val adds = changes.collect { case c: TableChange.AddColumn => c }
+    val conAdds = changes.collect {
+      case c: TableChange.AddConstraint => c }
+    val conDrops = changes.collect {
+      case c: TableChange.DropConstraint => c }
     val others = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])
     if (others.nonEmpty)
       readOnly(s"ALTER TABLE ${others.map(_.getClass.getSimpleName)
         .mkString(", ")}")
+    if (adds.nonEmpty) {
+      // metadata-tier schema evolution: ALTER TABLE ADD COLUMNS
+      // persists the declared columns as a table property; reads
+      // null-fill until a write materializes them (the same union
+      // semantics a schema-evolving merge already has). Old rows have
+      // no value, so the column must be nullable, positionless, and
+      // default-free — anything else cannot be answered from metadata
+      // and declines loudly.
+      val current = loadTable(ident).schema()
+      val prior = ExtraCols.read(spark, dir)
+      val declared = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: only top-level " +
+            s"columns are supported (got ${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: ${a.fieldNames.head}" +
+            " must be nullable — existing rows have no value for it")
+        require(a.position == null,
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: column position " +
+            "is not supported — declared columns append at the end")
+        require(a.defaultValue == null,
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: DEFAULT values are " +
+            "not supported — existing rows read the column as NULL")
+        val name = a.fieldNames.head
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: column `$name` " +
+            "already exists")
+        org.apache.spark.sql.types.StructField(name, a.dataType,
+          nullable = true)
+      }
+      ExtraCols.write(spark, dir,
+        StructType(prior.fields.filterNot(f => declared.exists(
+          _.name.equalsIgnoreCase(f.name))) ++ declared))
+    }
+    // ALTER TABLE ADD/DROP CONSTRAINT (round 16 — Spark 4's DSv2
+    // constraint API over the store's persisted CHECK machinery):
+    // CHECK maps onto MergeOps.addConstraint, which VALIDATES the
+    // existing corpus before committing (so the declared status is
+    // honestly VALID) and every later write re-checks; PRIMARY KEY /
+    // UNIQUE / FOREIGN KEY decline loudly — the store enforces key
+    // uniqueness by its own merge contract, and an informational
+    // declaration it cannot enforce at write time would be a lie.
+    conAdds.foreach { c =>
+      c.constraint match {
+        case chk: org.apache.spark.sql.connector.catalog
+            .constraints.Check =>
+          val pc = loadTable(ident) match {
+            case g: GraftTable => g.partCol.getOrElse(
+              throw new UnsupportedOperationException(
+                s"ADD CONSTRAINT on ${ident.name}: the store is " +
+                  "unpartitioned — use the merge API"))
+            case _ => throw new UnsupportedOperationException(
+              s"ADD CONSTRAINT on ${ident.name}: not a committed store")
+          }
+          MergeOps.addConstraint(spark, dir, chk.name,
+            chk.predicateSql, pc)
+        case other => readOnly(
+          s"ALTER TABLE ADD CONSTRAINT ${other.getClass.getSimpleName}" +
+            " — only CHECK constraints are enforceable at write time")
+      }
+    }
+    conDrops.foreach { d =>
+      val live = Versioned.currentVersion(spark, dir)
+        .map(v => MergeOps.tableConstraints(spark, dir, v))
+        .getOrElse(Nil)
+      if (live.exists(_._1 == d.name))
+        MergeOps.dropConstraint(spark, dir, d.name)
+      else if (!d.ifExists)
+        throw new IllegalArgumentException(
+          s"no constraint '${d.name}' on ${ident.name} — live: " +
+            live.map(_._1).sorted.mkString(", "))
+      // IF EXISTS on a missing name: no-op, no commit
+    }
     if (sets.nonEmpty)
       MergeOps.setTableProperties(spark, dir, sets.toMap)
     if (unsets.nonEmpty)
@@ -320,6 +409,48 @@ class GraftCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+/** Declared-but-unmaterialized columns (round 16 — `ALTER TABLE ADD
+  * COLUMNS`, the metadata-tier half of schema evolution): a reserved
+  * table property carries a `StructType` JSON of columns the user
+  * declared before any file holds them. `GraftTable.schema` appends
+  * the ones no footer shows yet; the scan null-fills them; the first
+  * write that carries the column materializes it into files (after
+  * which the footer schema wins and the declared entry is inert).
+  * Committed through `setTableProperties` — the same newest-walk-back
+  * + atomic-claim rules as every other property. */
+private[sql] object ExtraCols {
+  val Key = "graft.schema.extra"
+
+  def read(spark: SparkSession, dir: String): StructType =
+    Versioned.currentVersion(spark, dir)
+      .flatMap(v => Versioned.tableProps(spark, dir, v)
+        .collectFirst { case (k, j) if k == Key => j })
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(new StructType())
+
+  def write(spark: SparkSession, dir: String, st: StructType): Unit =
+    MergeOps.setTableProperties(spark, dir, Map(Key -> st.json))
+
+  /** Declared columns no data file carries yet (one newest-entry
+    * footer read, never a listing): the set that reads null-fill and
+    * row-level writes must refuse to touch. */
+  def unmaterialized(spark: SparkSession, dir: String,
+                     man: Seq[(String, String)],
+                     partCol: Option[String]): Seq[String] = {
+    val declared = read(spark, dir).fieldNames
+    if (declared.isEmpty) Nil
+    else {
+      val newest = man.maxBy(e =>
+        Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
+      val inFiles = Versioned.readEntries(spark, dir, Seq(newest),
+        partCol).schema.fieldNames
+      declared.filterNot(n =>
+        inFiles.exists(_.equalsIgnoreCase(n))).toSeq
+    }
+  }
 }
 
 /** Pending-table descriptors (round 16 — `CREATE TABLE` before the
@@ -515,6 +646,10 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     * that route UPDATE/MERGE back through [[graft.ops.MergeOps]]. */
   private[sql] def storeDir: String = dir
 
+  /** This snapshot's manifest, for the DML commands' declared-column
+    * checks ([[ExtraCols.unmaterialized]]). */
+  private[sql] def manifestEntries: Seq[(String, String)] = man
+
   /** The partition column, recovered from the manifest's own
     * `col=value` entry names (absent for whole-table stores). On a
     * MIXED-layout manifest (mid metadata-tier spec evolution) any
@@ -530,15 +665,41 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
   override def name(): String = ident
 
   /** Schema from ONE entry's footers (the newest-staged idiom) — never
-    * a full file listing, however many partitions the table has. */
+    * a full file listing, however many partitions the table has —
+    * plus any declared-but-unmaterialized columns ([[ExtraCols]]:
+    * `ALTER TABLE ADD COLUMNS` before a write carries them; reads
+    * null-fill, the next carrying write materializes). */
   override val schema: StructType = {
     val newest = man.maxBy(e =>
       Versioned.stageDirVersion(e._2.split("/")(1)).getOrElse(0L))
-    Versioned.readEntries(spark, dir, Seq(newest), partCol).schema
+    val fromFiles =
+      Versioned.readEntries(spark, dir, Seq(newest), partCol).schema
+    val declared = ExtraCols.read(spark, dir).fields.filterNot(f =>
+      fromFiles.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    StructType(fromFiles.fields ++ declared)
   }
 
   override def partitioning(): Array[Transform] =
     partCol.map(pc => Expressions.identity(pc)).toArray
+
+  /** Persisted CHECK constraints, reported through Spark 4's DSv2
+    * constraint API (surfaces in DESCRIBE): each one was validated
+    * against the whole corpus when added ([[graft.ops.MergeOps
+    * .addConstraint]]) and re-checks on every write, so ENFORCED +
+    * VALID is the honest status. `rely=false`: the optimizer gains
+    * nothing worth coupling to the sidecar here. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    MergeOps.tableConstraints(spark, dir, version).map { case (n, e) =>
+      Constraint.check(n).predicateSql(e)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .enforced(true).rely(false)
+        .build(): org.apache.spark.sql.connector.catalog.constraints
+          .Constraint
+    }.toArray
+  }
 
   /** Persisted TBLPROPERTIES (surfaces in `SHOW TBLPROPERTIES`). */
   override def properties(): java.util.Map[String, String] = {
@@ -1244,6 +1405,16 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
     // snapshot first, then the changes — Delta's readStream semantics
     val startV = options.get("startversion").map(_.trim.toLong)
       .orElse(Some(0L))
+    // declared-but-unmaterialized columns (ExtraCols) would make the
+    // staged row images narrower than the relation schema — decline
+    // loudly; one write carrying the column clears this
+    val declaredOnly = ExtraCols.unmaterialized(spark, dir, man, partCol)
+    require(declaredOnly.isEmpty,
+      s"streaming graft table at $dir: declared column(s) " +
+        s"${declaredOnly.mkString(", ")} are not materialized in any " +
+        "file yet (ALTER TABLE ADD COLUMNS without a carrying write) — " +
+        "row-image batches would be narrower than the table schema; " +
+        "run one write that carries the column first")
     new graft.streaming.ChangeFeedStream(spark, dir, keyCol, pc,
       graft.streaming.ChangeFeedStream.resolveBase(
         spark, checkpointLocation, dir, startV),
@@ -1296,13 +1467,21 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
             MergeOps.typedInResidual(base, c, vals) }
       val filtered =
         if (preds.nonEmpty) base.where(preds.reduce(_ && _)) else base
+      // declared-but-unmaterialized columns (ALTER TABLE ADD COLUMNS,
+      // see ExtraCols) null-fill here: no kept file carries them yet
+      val withDeclared = required.fields.toSeq.foldLeft(filtered) {
+        (df, f) =>
+          if (df.columns.exists(_.equalsIgnoreCase(f.name))) df
+          else df.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
       // cast-align to the DECLARED read schema: over a mixed-layout
       // manifest a partition column is dir-derived in one version
       // group and file-stored in another, and the union's coerced type
       // can disagree with the table schema (inference types `p=2` as
       // int, the files store string) — the no-op casts fold away when
       // types already match
-      filtered.select(required.fields.toSeq.map(f =>
+      withDeclared.select(required.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*).rdd
     }
   }
@@ -1849,6 +2028,144 @@ object GraftSqlQueries {
     require(onFailed, "a non-key ON condition must decline loudly")
     require(Versioned.currentVersion(s, dir).contains(3L),
       "failed MERGEs must publish NOTHING")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_evolve query: SCHEMA EVOLUTION through the SQL front
+    * door — `ALTER TABLE … ADD COLUMNS (lang STRING)` persists the
+    * declared column as table metadata ([[ExtraCols]]; one property
+    * commit, zero data movement at ANY table size — the Delta/Iceberg
+    * metadata-tier add), reads null-fill it immediately, and the first
+    * INSERT that carries it materializes it through the ordinary
+    * upsert evolution (survivors null-fill). REQUIREs pin the commit
+    * shape, the all-NULL declared read, the duplicate-ADD decline, and
+    * that an UPDATE touching the unmaterialized column declines loudly
+    * instead of silently no-opping. The oracle replays the band: lang
+    * = 'en' where the carrying INSERT wrote it, NULL elsewhere. */
+  def sqlEvolveQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlevo_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    GraftDml.install(s)
+    s.sql(s"ALTER TABLE graft.$tbl ADD COLUMNS (lang STRING)")      // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "ADD COLUMNS must be ONE metadata commit, zero data movement")
+    require(s.table(s"graft.$tbl").schema.fieldNames.contains("lang"),
+      "the declared column must surface in the table schema")
+    require(s.sql(s"SELECT count(*) FROM graft.$tbl " +
+        "WHERE lang IS NOT NULL").head.getLong(0) == 0L,
+      "before any carrying write the declared column reads all-NULL")
+    // declaring an existing column declines loudly
+    val dupFailed =
+      try { s.sql(s"ALTER TABLE graft.$tbl ADD COLUMNS (lang STRING)")
+            false }
+      catch { case _: Exception => true }
+    require(dupFailed, "re-declaring an existing column must fail")
+    // UPDATE on the unmaterialized column declines loudly (a silent
+    // no-op here would be a wrong answer)
+    val updFailed =
+      try { s.sql(s"UPDATE graft.$tbl SET lang = 'xx' WHERE doc_id = 1")
+            false }
+      catch { case _: Exception => true }
+    require(updFailed,
+      "UPDATE on an unmaterialized declared column must decline")
+    // the carrying INSERT materializes: re-upsert one band with lang
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    s.sql(
+      s"""INSERT INTO graft.$tbl
+         |SELECT doc_id, source, n_chars, src_grp, 'en'
+         |FROM ${tbl}_src WHERE doc_id < 100""".stripMargin)       // v4
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars,
+         |       lang
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_constraint query: CHECK constraints as SQL DDL
+    * (round 16 — Spark 4's DSv2 constraint API over the store's
+    * persisted CHECK machinery, `merge_constrained`'s front door):
+    * `ALTER TABLE … ADD CONSTRAINT c CHECK (…)` validates the WHOLE
+    * existing corpus before committing (an already-violated predicate
+    * declines with nothing published), every later write re-checks
+    * (the violating INSERT fails loudly pre-publish), and `DROP
+    * CONSTRAINT` lifts the gate — pinned by landing the formerly
+    * violating band afterwards, so the oracle proves the drop takes
+    * effect in DATA, not just metadata. PRIMARY KEY declarations
+    * decline loudly (the store's merge contract enforces key
+    * uniqueness; declaring what write-time checks cannot enforce
+    * would be a lie). */
+  def sqlConstraintQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlcon_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") >= 10),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "ADD CONSTRAINT nonneg CHECK (n_chars >= 0)")                 // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "ADD CONSTRAINT must be one commit (validation + sidecar)")
+    // a predicate the EXISTING corpus violates declines, nothing lands
+    val poisonFailed =
+      try { s.sql(s"ALTER TABLE graft.$tbl " +
+              "ADD CONSTRAINT impossible CHECK (n_chars < 0)"); false }
+      catch { case _: Exception => true }
+    require(poisonFailed,
+      "ADD CONSTRAINT violated by existing data must decline")
+    // a write violating the live constraint fails loudly pre-publish
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    val insFailed =
+      try { s.sql(
+              s"""INSERT INTO graft.$tbl
+                 |SELECT doc_id, source, -1 - doc_id, src_grp
+                 |FROM ${tbl}_src WHERE doc_id < 10""".stripMargin)
+            false }
+      catch { case _: Exception => true }
+    require(insFailed, "a violating INSERT must fail loudly")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "failed DDL/DML must publish NOTHING")
+    // declarations the store cannot enforce at write time decline
+    val pkFailed =
+      try { s.sql(s"ALTER TABLE graft.$tbl " +
+              "ADD CONSTRAINT pk PRIMARY KEY (doc_id)"); false }
+      catch { case _: Exception => true }
+    require(pkFailed, "PRIMARY KEY declarations must decline loudly")
+    s.sql(s"ALTER TABLE graft.$tbl DROP CONSTRAINT nonneg")         // v4
+    // the gate is lifted IN DATA: the formerly violating band lands
+    s.sql(
+      s"""INSERT INTO graft.$tbl
+         |SELECT doc_id, source, -1 - doc_id, src_grp
+         |FROM ${tbl}_src WHERE doc_id < 10""".stripMargin)       // v5
+    require(Versioned.currentVersion(s, dir).contains(5L),
+      "post-drop the same INSERT must land in one version")
     s.sql(
       s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
          |FROM graft.$tbl ORDER BY doc_id""".stripMargin)

@@ -150,6 +150,25 @@ case class GraftUpdateCommand(table: GraftTable,
     import GraftDml._
     val key = keyColOf(s, table, "UPDATE")
     val pc = partColOf(table, "UPDATE")
+    // declared-but-unmaterialized columns (ALTER TABLE ADD COLUMNS
+    // with no carrying write yet) exist only in metadata: the CoW
+    // update reads raw files, so touching one would either fail
+    // resolution (WHERE) or silently no-op (SET) — decline loudly and
+    // point at the materializing verbs instead.
+    val unmat = ExtraCols.unmaterialized(s, table.storeDir,
+      table.manifestEntries, table.partCol)
+    if (unmat.nonEmpty) {
+      val touched = (assignments.map(_.key) ++
+        assignments.map(_.value) ++ condition.toSeq)
+        .flatMap(_.collect { case a: AttributeReference => a.name })
+        .filter(n => unmat.exists(_.equalsIgnoreCase(n)))
+      if (touched.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"UPDATE ${table.name}: column(s) ${touched.distinct
+            .mkString(", ")} are declared but not materialized in any " +
+            "file yet — materialize first with an INSERT or MERGE " +
+            "that carries the column")
+    }
     condition.foreach(noSubquery(_, s"UPDATE ${table.name}"))
     assignments.foreach(a => noSubquery(a.value, s"UPDATE ${table.name}"))
     val set = assignments.flatMap { a =>

@@ -201,11 +201,15 @@ class Wave45Spec extends SparkTestBase {
   }
 
   test("unsupported DDL verbs stay loud — the SQL door never " +
-       "half-supports one (schema ALTERs and RENAME; CREATE/DROP " +
-       "became real verbs in round 16, pinned in Wave47)") {
+       "half-supports one (destructive schema ALTERs and RENAME; " +
+       "CREATE/DROP became real verbs in round 16 — Wave47 — and " +
+       "ADD COLUMNS/CONSTRAINT followed — Wave49/50)") {
     val (_, tbl, _) = freshStore("ddl")
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN extra INT")
+      spark.sql(s"ALTER TABLE graft.$tbl DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN v TO w")
     }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$tbl RENAME TO graft.renamed")
