@@ -1410,6 +1410,15 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_drop_column: the mask half of schema evolution — the
+    // dropped column vanishes from the schema in one metadata commit
+    // and the post-drop INSERT aligns to the narrowed schema; the
+    // oracle is the replayed content WITHOUT the column.
+    "sql_drop_column" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

@@ -302,12 +302,15 @@ class GraftCatalog extends TableCatalog
       case c: TableChange.AddConstraint => c }
     val conDrops = changes.collect {
       case c: TableChange.DropConstraint => c }
+    val colDrops = changes.collect {
+      case c: TableChange.DeleteColumn => c }
     val others = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
-        c.isInstanceOf[TableChange.DropConstraint])
+        c.isInstanceOf[TableChange.DropConstraint] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (others.nonEmpty)
       readOnly(s"ALTER TABLE ${others.map(_.getClass.getSimpleName)
         .mkString(", ")}")
@@ -338,12 +341,75 @@ class GraftCatalog extends TableCatalog
         require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"ALTER TABLE ${ident.name} ADD COLUMNS: column `$name` " +
             "already exists")
+        require(!ExtraCols.dropped(spark, dir)
+            .exists(_.equalsIgnoreCase(name)),
+          s"ALTER TABLE ${ident.name} ADD COLUMNS: `$name` was " +
+            "DROPPED — old files may still carry values under that " +
+            "name and would resurrect them; rewrite the table " +
+            "(INSERT OVERWRITE) under a fresh name instead")
         org.apache.spark.sql.types.StructField(name, a.dataType,
           nullable = true)
       }
       ExtraCols.write(spark, dir,
         StructType(prior.fields.filterNot(f => declared.exists(
           _.name.equalsIgnoreCase(f.name))) ++ declared))
+    }
+    // ALTER TABLE DROP COLUMN (round 16 — the mask half of
+    // metadata-tier schema evolution): one property commit hides the
+    // column from the catalog schema; files keep the bytes until
+    // ordinary restages age them out (writes are batch-authoritative,
+    // so every touched partition sheds the column as it restages).
+    // The row's identity (keyCol) and location (partCol) are not
+    // droppable; a column a persisted CHECK references must outlive
+    // the constraint; a declared-only column just leaves the declared
+    // list.
+    colDrops.foreach { c =>
+      require(c.fieldNames.length == 1,
+        s"ALTER TABLE ${ident.name} DROP COLUMN: only top-level " +
+          s"columns (got ${c.fieldNames.mkString(".")})")
+      val name = c.fieldNames.head
+      val t = loadTable(ident) match {
+        case g: GraftTable => g
+        case _ => throw new UnsupportedOperationException(
+          s"DROP COLUMN on ${ident.name}: not a committed store")
+      }
+      val exists = t.schema.fieldNames.exists(_.equalsIgnoreCase(name))
+      if (!exists) {
+        if (c.ifExists == java.lang.Boolean.TRUE) ()
+        else throw new IllegalArgumentException(
+          s"DROP COLUMN ${ident.name}.$name: no such column")
+      } else {
+        require(!t.partCol.exists(_.equalsIgnoreCase(name)),
+          s"DROP COLUMN ${ident.name}.$name: the partition column is " +
+            "a row's location — not droppable")
+        val keyProp = Versioned.currentVersion(spark, dir)
+          .flatMap(v => Versioned.tableProps(spark, dir, v)
+            .collectFirst { case (k, kv)
+                if k.equalsIgnoreCase("keyCol") => kv })
+        require(!keyProp.exists(_.equalsIgnoreCase(name)),
+          s"DROP COLUMN ${ident.name}.$name: the merge key is a row's " +
+            "identity — not droppable")
+        val v = Versioned.currentVersion(spark, dir).get
+        val referees = MergeOps.tableConstraints(spark, dir, v)
+          .filter { case (_, e) =>
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(e).collect {
+                case a: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute => a.name
+              }.exists(_.equalsIgnoreCase(name)) }
+        require(referees.isEmpty,
+          s"DROP COLUMN ${ident.name}.$name: persisted CHECK " +
+            s"constraint(s) ${referees.map(_._1).mkString(", ")} " +
+            "reference it — drop them first")
+        val extra = ExtraCols.read(spark, dir)
+        if (extra.fieldNames.exists(_.equalsIgnoreCase(name)))
+          // declared-only column: just leaves the declared list
+          ExtraCols.write(spark, dir, StructType(extra.fields
+            .filterNot(_.name.equalsIgnoreCase(name))))
+        else
+          ExtraCols.writeDropped(spark, dir,
+            (ExtraCols.dropped(spark, dir) :+ name).distinct)
+      }
     }
     // ALTER TABLE ADD/DROP CONSTRAINT (round 16 — Spark 4's DSv2
     // constraint API over the store's persisted CHECK machinery):
@@ -433,6 +499,26 @@ private[sql] object ExtraCols {
 
   def write(spark: SparkSession, dir: String, st: StructType): Unit =
     MergeOps.setTableProperties(spark, dir, Map(Key -> st.json))
+
+  /** The DROPPED-column mask (`ALTER TABLE DROP COLUMN`, the other
+    * half of metadata-tier schema evolution): names the catalog hides
+    * from the schema. Files keep the bytes until ordinary restages age
+    * them out (the Delta column-mask idea without physical ids), so a
+    * dropped NAME can never be re-declared — old files would resurrect
+    * stale values under it. */
+  val DroppedKey = "graft.schema.dropped"
+
+  def dropped(spark: SparkSession, dir: String): Seq[String] =
+    Versioned.currentVersion(spark, dir)
+      .flatMap(v => Versioned.tableProps(spark, dir, v)
+        .collectFirst { case (k, j) if k == DroppedKey => j })
+      .map(_.split('\u0001').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  def writeDropped(spark: SparkSession, dir: String,
+                   names: Seq[String]): Unit =
+    MergeOps.setTableProperties(spark, dir,
+      Map(DroppedKey -> names.mkString("\u0001")))
 
   /** Declared columns no data file carries yet (one newest-entry
     * footer read, never a listing): the set that reads null-fill and
@@ -676,7 +762,9 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
       Versioned.readEntries(spark, dir, Seq(newest), partCol).schema
     val declared = ExtraCols.read(spark, dir).fields.filterNot(f =>
       fromFiles.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-    StructType(fromFiles.fields ++ declared)
+    val masked = ExtraCols.dropped(spark, dir)
+    StructType((fromFiles.fields ++ declared).filterNot(f =>
+      masked.exists(_.equalsIgnoreCase(f.name))))
   }
 
   override def partitioning(): Array[Transform] =
@@ -1491,7 +1579,7 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
 object GraftSqlQueries {
   import graft.engine.Tables.documents
   import org.apache.spark.sql.DataFrame
-  import org.apache.spark.sql.functions.{lit, substring}
+  import org.apache.spark.sql.functions.{concat, lit, substring}
 
   /** Declared sql_store_read query: the bloom point lookup of
     * scan_bloom_pruned, issued through PLAIN SQL — no Scala reader API
@@ -2166,6 +2254,69 @@ object GraftSqlQueries {
          |FROM ${tbl}_src WHERE doc_id < 10""".stripMargin)       // v5
     require(Versioned.currentVersion(s, dir).contains(5L),
       "post-drop the same INSERT must land in one version")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_drop_column query: `ALTER TABLE … DROP COLUMN` — the
+    * MASK half of metadata-tier schema evolution: one property commit
+    * hides the column from the catalog schema (zero data movement at
+    * any size); files keep the bytes until ordinary batch-authoritative
+    * restages shed them, so a dropped NAME can never be re-declared
+    * (old files would resurrect stale values under it — REQUIRE-pinned
+    * decline). Identity and location are not droppable (keyCol /
+    * partCol declines pinned), and a post-drop INSERT aligns to the
+    * narrowed schema through the ordinary upsert. The oracle is the
+    * full replayed content WITHOUT the column, proving the mask is
+    * invisible in the surviving data. */
+  def sqlDropColumnQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqldropc_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir,
+      docs.where(col("doc_id") < 300)
+        .withColumn("note", concat(lit("n"), col("doc_id"))),
+      "doc_id", "src_grp")                                          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    require(s.table(s"graft.$tbl").columns.contains("note"))
+    s.sql(s"ALTER TABLE graft.$tbl DROP COLUMN note")               // v3
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "DROP COLUMN must be ONE metadata commit, zero data movement")
+    require(!s.table(s"graft.$tbl").columns.contains("note"),
+      "the dropped column must vanish from the schema")
+    // identity/location are not droppable; unknown names are loud;
+    // a dropped name cannot be re-declared
+    def fails(sql: String): Boolean =
+      try { s.sql(sql); false } catch { case _: Exception => true }
+    require(fails(s"ALTER TABLE graft.$tbl DROP COLUMN doc_id"),
+      "dropping the merge key must decline")
+    require(fails(s"ALTER TABLE graft.$tbl DROP COLUMN src_grp"),
+      "dropping the partition column must decline")
+    require(fails(s"ALTER TABLE graft.$tbl DROP COLUMN ghost"),
+      "dropping an unknown column must decline")
+    require(fails(s"ALTER TABLE graft.$tbl ADD COLUMNS (note STRING)"),
+      "re-declaring a dropped name must decline (stale resurrection)")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "declined ALTERs must publish NOTHING")
+    // post-drop INSERT aligns to the narrowed schema
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    s.sql(
+      s"""INSERT INTO graft.$tbl
+         |SELECT doc_id, source, n_chars, src_grp
+         |FROM ${tbl}_src WHERE doc_id >= 300""".stripMargin)     // v4
     s.sql(
       s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
          |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
