@@ -35,11 +35,16 @@ import graft.ops.MergeOps
   *  - `expire_partitions(table, names)` —
   *    [[graft.ops.MergeOps.applyRetention]] dropping the named
   *    partition dirs (comma-separated entry names).
+  *  - `detail(table)` — DESCRIBE DETAIL
+  *    ([[graft.engine.Versioned.storeDetail]]): one metadata-only
+  *    snapshot row of the store's operational state.
+  *  - `history(table)` — the commit log as rows (version, committed_at
+  *    by the store clock, entries): DESCRIBE HISTORY, the audit poll.
   */
 private[sql] object GraftProcedures {
 
   def names: Seq[String] = Seq("optimize", "compact_deletes", "vacuum",
-    "refresh_stats", "expire_partitions")
+    "refresh_stats", "expire_partitions", "detail", "history")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     val mk: Option[(Seq[ProcedureParameter],
@@ -111,8 +116,43 @@ private[sql] object GraftProcedures {
       case _ => None
     }
     mk.map { case (params, body) => new GraftProcedure(name, root,
-      params, body) }
+        params, body) }
+      .orElse(loadMultiRow(name, root))
   }
+
+  /** The observability procedures return their OWN result shape (a
+    * DESCRIBE DETAIL row; DESCRIBE HISTORY rows) rather than the
+    * maintenance verbs' one-row summary. */
+  private def loadMultiRow(name: String,
+                           root: String): Option[UnboundProcedure] =
+    name match {
+      case "detail" => Some(new GraftResultProcedure(name, root,
+        Seq(in("table", StringType)),
+        (s, dir, _) => {
+          val df = Versioned.storeDetail(s, dir)
+          (df.schema, df.collect().toSeq)
+        }))
+      case "history" => Some(new GraftResultProcedure(name, root,
+        Seq(in("table", StringType)),
+        (s, dir, _) => {
+          val fs = new Path(dir, "commits")
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val rows = fs.listStatus(new Path(dir, "commits")).toSeq
+            .flatMap { st =>
+              scala.util.Try(st.getPath.getName.toLong).toOption
+                .map(v => (v, st.getModificationTime))
+            }.sortBy(_._1).map { case (v, ms) =>
+              Row(v, new java.sql.Timestamp(ms),
+                  Versioned.manifest(s, dir, v).size.toLong)
+            }
+          (StructType(Seq(
+             StructField("version", LongType, nullable = false),
+             StructField("committed_at", TimestampType, nullable = false),
+             StructField("entries", LongType, nullable = false))),
+           rows)
+        }))
+      case _ => None
+    }
 
   private def in(n: String, t: DataType): ProcedureParameter =
     ProcedureParameter.in(n, t).build()
@@ -174,6 +214,43 @@ private[sql] class GraftProcedure(
       override def rows(): Array[InternalRow] = Array(internal)
       override def readSchema(): StructType = schema
       override def description(): String = s"graft.$procName summary"
+    }
+    java.util.List.of(scan).iterator()
+  }
+}
+
+/** An observability procedure: runs a metadata-only read and returns
+  * its rows verbatim (DESCRIBE DETAIL / HISTORY through `CALL`) —
+  * the same `LocalScan` delivery as [[GraftProcedure]], any row
+  * count. */
+private[sql] class GraftResultProcedure(
+    procName: String, root: String,
+    params: Seq[ProcedureParameter],
+    body: (SparkSession, String, InternalRow) => (StructType, Seq[Row]))
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String =
+    s"graft observability procedure $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    require(!input.isNullAt(0), s"$procName needs a table name")
+    val table = input.getUTF8String(0).toString
+    val dir = new Path(root, table).toString
+    require(graft.engine.Versioned.currentVersion(spark, dir).isDefined,
+      s"no committed version under $dir — not a graft store")
+    val (schema, rows) = body(spark, dir, input)
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val internal = rows.map(r => conv(r).asInstanceOf[InternalRow])
+      .toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = internal
+      override def readSchema(): StructType = schema
+      override def description(): String = s"graft.$procName result"
     }
     java.util.List.of(scan).iterator()
   }
