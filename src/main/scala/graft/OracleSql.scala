@@ -1419,6 +1419,16 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // sql_show_partitions: SHOW PARTITIONS renders the manifest
+    // names; DROP PARTITION removes one band — the oracle is the
+    // distinct renderings minus the dropped band.
+    "sql_show_partitions" ->
+      """SELECT DISTINCT 'src_grp=' || CAST(doc_id % 4 AS VARCHAR)
+        |  AS partition
+        |FROM documents
+        |WHERE doc_id % 4 <> 3
+        |ORDER BY partition""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

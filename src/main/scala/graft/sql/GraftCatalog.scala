@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead,
   Table, TableCapability, TableCatalog, TableChange}
@@ -723,7 +724,9 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
                  version: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog
+      .SupportsPartitionManagement {
 
   private val man: Seq[(String, String)] =
     Versioned.manifest(spark, dir, version)
@@ -769,6 +772,101 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
 
   override def partitioning(): Array[Transform] =
     partCol.map(pc => Expressions.identity(pc)).toArray
+
+  /** PARTITION MANAGEMENT (round 16 — `SHOW PARTITIONS` and
+    * `ALTER TABLE DROP PARTITION`): the partition list IS the manifest
+    * names — one metadata read, no listing, at any table size.
+    * Creation is not a verb here (a partition exists exactly when a
+    * write lands rows in it — the dynamic-partition model), and on a
+    * MIXED-layout manifest (mid spec evolution) the single-column
+    * partition schema cannot represent the foreign layout, so both
+    * verbs decline loudly rather than under-report. DROP PARTITION
+    * maps onto [[graft.ops.MergeOps.applyRetention]] — the same
+    * audited, crash-atomic entry-drop commit `CALL
+    * graft.system.expire_partitions` runs. */
+  override def partitionSchema(): StructType = partCol match {
+    case Some(pc) => StructType(Seq(schema(pc)))
+    case None => new StructType()
+  }
+
+  /** Manifest entries of THIS table's declared layout; loud on mixed
+    * layouts (a one-column answer would silently drop the foreign
+    * ones). */
+  private def layoutEntries(verb: String): Seq[(String, String)] = {
+    val pc = partCol.getOrElse(throw new UnsupportedOperationException(
+      s"$verb $ident: the store is unpartitioned"))
+    val (mine, foreign) = man.partition(_._1.startsWith(s"$pc="))
+    if (foreign.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$verb $ident: the manifest holds mixed partition layouts " +
+          s"(mid spec evolution — e.g. ${foreign.head._1}); migrate " +
+          "with upserts or OPTIMIZE first")
+    mine
+  }
+
+  private def identOf(name: String): InternalRow = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val f = partitionSchema().head
+    val raw = name.substring(name.indexOf('=') + 1)
+    val value =
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        Cast(Literal(ExternalCatalogUtils.unescapePathName(raw)),
+          f.dataType,
+          Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      }
+    InternalRow(value)
+  }
+
+  private def nameOfIdent(row: InternalRow): String = {
+    val f = partitionSchema().head
+    val scala0 = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(f.dataType)(row.get(0, f.dataType))
+    Versioned.partDirName(partCol.get, scala0)
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String], ident0: InternalRow): Array[InternalRow] = {
+    val entries = layoutEntries("SHOW PARTITIONS")
+    val pc = partCol.get
+    val wanted: Option[String] =
+      if (names.isEmpty) None
+      else {
+        require(names.length == 1 && names(0).equalsIgnoreCase(pc),
+          s"SHOW PARTITIONS $ident: unknown partition column(s) " +
+            names.mkString(", "))
+        Some(nameOfIdent(ident0))
+      }
+    entries.map(_._1)
+      .filter(n => wanted.forall(_ == n))
+      .map(identOf).toArray
+  }
+
+  override def partitionExists(ident0: InternalRow): Boolean =
+    layoutEntries("SHOW PARTITIONS").exists(_._1 == nameOfIdent(ident0))
+
+  override def dropPartition(ident0: InternalRow): Boolean = {
+    val name = nameOfIdent(ident0)
+    if (!layoutEntries("DROP PARTITION").exists(_._1 == name)) false
+    else { MergeOps.applyRetention(spark, dir, n => n != name); true }
+  }
+
+  override def createPartition(ident0: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"ADD PARTITION $ident: partitions exist exactly when a write " +
+        "lands rows in them (the dynamic-partition model) — INSERT " +
+        "the rows instead")
+
+  override def replacePartitionMetadata(ident0: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$ident: partition metadata is the manifest itself — not " +
+        "writable")
+
+  override def loadPartitionMetadata(ident0: InternalRow)
+      : java.util.Map[String, String] = java.util.Map.of()
 
   /** Persisted CHECK constraints, reported through Spark 4's DSv2
     * constraint API (surfaces in DESCRIBE): each one was validated
@@ -2320,5 +2418,56 @@ object GraftSqlQueries {
     s.sql(
       s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
          |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Declared sql_show_partitions query: PARTITION MANAGEMENT through
+    * SQL — `SHOW PARTITIONS` answers from the MANIFEST NAMES (one
+    * metadata read, no listing, at any table size;
+    * [[GraftTable.listPartitionIdentifiers]]) and `ALTER TABLE … DROP
+    * PARTITION` maps onto the same audited entry-drop commit as `CALL
+    * graft.system.expire_partitions`. The flow drops one partition and
+    * returns the post-drop SHOW output, so the oracle (the distinct
+    * partition renderings minus the dropped band) proves both verbs
+    * with one equality; REQUIREs pin the spec-filtered SHOW form, the
+    * one-commit drop, and the loud ADD PARTITION decline. */
+  def sqlShowPartitionsQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlparts_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (col("doc_id") % 4).as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs, "doc_id", "src_grp")          // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    val before = s.sql(s"SHOW PARTITIONS graft.$tbl").collect()
+      .map(_.getString(0)).sorted
+    require(before.sameElements(
+        Seq("src_grp=0", "src_grp=1", "src_grp=2", "src_grp=3")),
+      s"SHOW PARTITIONS must render the manifest names, got " +
+        before.mkString(", "))
+    // spec-filtered form
+    val one = s.sql(
+      s"SHOW PARTITIONS graft.$tbl PARTITION (src_grp = 2)").collect()
+    require(one.length == 1 && one(0).getString(0) == "src_grp=2",
+      "the PARTITION spec must filter to exactly the named entry")
+    s.sql(s"ALTER TABLE graft.$tbl DROP PARTITION (src_grp = 3)")   // v2
+    require(Versioned.currentVersion(s, dir).contains(2L),
+      "DROP PARTITION must be ONE audited entry-drop commit")
+    require(s.sql(s"SELECT count(*) FROM graft.$tbl " +
+        "WHERE doc_id % 4 = 3").head.getLong(0) == 0L,
+      "the dropped partition's rows must be gone from reads")
+    val addFailed =
+      try { s.sql(s"ALTER TABLE graft.$tbl " +
+              "ADD PARTITION (src_grp = 9)"); false }
+      catch { case _: Exception => true }
+    require(addFailed, "ADD PARTITION must decline loudly — " +
+      "partitions exist exactly when a write lands rows")
+    s.sql(s"SHOW PARTITIONS graft.$tbl").orderBy("partition")
   }
 }

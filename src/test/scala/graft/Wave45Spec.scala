@@ -201,12 +201,12 @@ class Wave45Spec extends SparkTestBase {
   }
 
   test("unsupported DDL verbs stay loud — the SQL door never " +
-       "half-supports one (destructive schema ALTERs and RENAME; " +
-       "CREATE/DROP became real verbs in round 16 — Wave47 — and " +
-       "ADD COLUMNS/CONSTRAINT followed — Wave49/50)") {
+       "half-supports one (type-changing ALTERs and RENAME; CREATE/" +
+       "DROP became real verbs in round 16 — Wave47 — then ADD/DROP " +
+       "COLUMNS, CONSTRAINTs and DROP PARTITION — Wave49/50/51/53)") {
     val (_, tbl, _) = freshStore("ddl")
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.$tbl DROP COLUMN v")
+      spark.sql(s"ALTER TABLE graft.$tbl ALTER COLUMN v TYPE STRING")
     }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN v TO w")
