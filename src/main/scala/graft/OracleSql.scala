@@ -1429,6 +1429,16 @@ object OracleSql {
         |WHERE doc_id % 4 <> 3
         |ORDER BY partition""".stripMargin,
 
+    // sql_branch_wap: write-audit-publish entirely in SQL — the
+    // published union is the only content that ever reached main (the
+    // risky branch's publish failed its audit and was abandoned).
+    "sql_branch_wap" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // stream_table_read: the plain table streamed as row images
     // (readStream.table): an append sink accumulates the bootstrap
     // snapshot plus exactly one image per later insert/update — the

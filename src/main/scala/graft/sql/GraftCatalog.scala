@@ -112,8 +112,32 @@ class GraftCatalog extends TableCatalog
     * virtual: it resolves against the same stores the root lists. */
   private val ChangesNs = "changes"
 
+  /** The virtual BRANCHES namespace (round 16 — the WAP surface in
+    * SQL): `graft.branches.`t@name`` resolves to branch `name` of the
+    * store `t` — readable (the branch head: fork-inherited entries +
+    * branch-staged dirs, data under the ROOT) and INSERT-able
+    * ([[graft.ops.BranchOps.branchUpsert]]: the branch's own version
+    * chain, invisible to main readers, constraints deliberately NOT
+    * enforced — the gate is publish's audit). Fork, publish (audited
+    * atomic fast-forward), and drop are `CALL graft.system.*`
+    * procedures, so the risky-backfill pattern — land, audit,
+    * publish-or-abandon — runs with no Scala in sight. */
+  private val BranchesNs = "branches"
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
+    if (ident.namespace.sameElements(Array(BranchesNs))) {
+      val parts = ident.name.split('@')
+      if (parts.length != 2 || parts.exists(_.isEmpty))
+        throw new NoSuchTableException(ident)
+      val dir = new Path(root, parts(0)).toString
+      if (Versioned.currentVersion(spark, dir).isEmpty)
+        throw new NoSuchTableException(ident)
+      if (!graft.ops.BranchOps.branches(spark, dir).contains(parts(1)))
+        throw new NoSuchTableException(ident)
+      return new GraftBranchTable(spark, dir, parts(1),
+        (ident.namespace :+ ident.name).mkString("."))
+    }
     if (ident.namespace.sameElements(Array(ChangesNs))) {
       val dir = new Path(root, ident.name).toString
       val v = Versioned.currentVersion(spark, dir).getOrElse(
@@ -1674,6 +1698,90 @@ class GraftScan(spark: SparkSession, dir: String, version: Long,
 }
 
 /** Declared queries for the SQL front door. */
+/** One BRANCH head as a V2 table (see [[GraftCatalog.BranchesNs]]):
+  * reads deliver [[graft.ops.BranchOps.readBranch]] (branch manifest +
+  * dv refs, data resolved against the root — fork-inherited and
+  * branch-staged dirs both); INSERT maps onto
+  * [[graft.ops.BranchOps.branchUpsert]] with the merge key from the
+  * ROOT table's persisted `keyCol` property. This is the AUDIT
+  * surface — no sidecar pruning (a branch head is read whole before
+  * publish), no OVERWRITE (a branch replace has no WAP meaning). */
+class GraftBranchTable(spark: SparkSession, dir: String, branch: String,
+                       ident: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import graft.ops.BranchOps
+
+  private val bdir = s"$dir/branches/$branch"
+  private val bv = Versioned.currentVersion(spark, bdir).getOrElse(
+    throw new IllegalStateException(
+      s"branch '$branch' under $dir has no committed version — a " +
+        "crashed create; drop and re-create it"))
+  private val pc: String = Versioned.manifest(spark, bdir, bv)
+    .map(_._1).find(_.contains('=')).map(_.takeWhile(_ != '='))
+    .getOrElse(throw new UnsupportedOperationException(
+      s"branch '$branch' under $dir is unpartitioned — use the " +
+        "branch API"))
+
+  override def name(): String = ident
+  override val schema: StructType =
+    BranchOps.readBranch(spark, dir, branch, pc).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.BATCH_WRITE,
+                         TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder
+        with SupportsPushDownRequiredColumns {
+    private var required: StructType = schema
+    override def pruneColumns(req: StructType): Unit =
+      if (req.nonEmpty) required = req
+    override def build(): Scan = new Scan with V1Scan {
+      override def readSchema(): StructType = required
+      override def description(): String =
+        s"GraftBranchScan[$dir@$branch]"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = required
+          override def buildScan(): RDD[Row] =
+            BranchOps.readBranch(spark, dir, branch, pc)
+              .select(required.fieldNames.toSeq.map(col): _*).rdd
+        }.asInstanceOf[T]
+    }
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  s"INSERT OVERWRITE on $ident: a branch replace has " +
+                    "no write-audit-publish meaning — drop and " +
+                    "re-create the branch instead")
+                val key = Versioned.tableProps(spark, dir,
+                    Versioned.currentVersion(spark, dir).get)
+                  .collectFirst { case (k, v)
+                      if k.equalsIgnoreCase("keyCol") => v }
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"INSERT INTO $ident needs the ROOT table's merge " +
+                      "key: ALTER TABLE … SET TBLPROPERTIES" +
+                      "('keyCol'='…') on the main table first"))
+                BranchOps.branchUpsert(spark, dir, branch, data, key, pc)
+              }
+            }
+        }
+    }
+}
+
 object GraftSqlQueries {
   import graft.engine.Tables.documents
   import org.apache.spark.sql.DataFrame
@@ -2469,5 +2577,77 @@ object GraftSqlQueries {
     require(addFailed, "ADD PARTITION must decline loudly — " +
       "partitions exist exactly when a write lands rows")
     s.sql(s"SHOW PARTITIONS graft.$tbl").orderBy("partition")
+  }
+
+  /** Declared sql_branch_wap query: the WRITE-AUDIT-PUBLISH pattern
+    * with no Scala in sight — `CALL graft.system.create_branch` forks
+    * (one metadata copy), `INSERT INTO graft.branches.`t@audit``
+    * lands the backfill on the branch's own version chain (REQUIRE:
+    * main is byte-unchanged while the branch shows the delta),
+    * `CALL graft.system.publish_branch` fast-forwards main atomically
+    * AFTER the audit — a second branch holding constraint-violating
+    * rows is REQUIRE-pinned to FAIL its publish with main untouched,
+    * then abandoned with `drop_branch`. The oracle replays the
+    * published union, so equality proves the only thing that ever
+    * reached main is the audited branch content. */
+  def sqlBranchWapQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlwap_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (col("doc_id") % 4).as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "ADD CONSTRAINT nonneg CHECK (n_chars >= 0)")                 // v3
+    docs.createOrReplaceTempView(s"${tbl}_src")
+    s.sql(s"CALL graft.system.create_branch('$tbl', 'audit')")
+    // the backfill lands on the BRANCH: new band + a replayed update
+    s.sql(
+      s"""INSERT INTO graft.branches.`$tbl@audit`
+         |SELECT doc_id, source, n_chars, doc_id % 4 FROM ${tbl}_src
+         |WHERE doc_id >= 300
+         |UNION ALL
+         |SELECT doc_id, source, n_chars + 1000, doc_id % 4
+         |FROM ${tbl}_src WHERE doc_id < 50""".stripMargin)
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "a branch write must be INVISIBLE to main — no main commit")
+    require(s.sql(s"SELECT count(*) FROM graft.$tbl").head.getLong(0) <
+        s.sql(s"SELECT count(*) FROM graft.branches.`$tbl@audit`")
+          .head.getLong(0),
+      "the branch read must show the landed backfill")
+    // a RISKY branch: rows main's persisted constraint forbids land
+    // fine on the branch (the gate is publish), but its publish FAILS
+    s.sql(s"CALL graft.system.create_branch('$tbl', 'risky')")
+    s.sql(
+      s"""INSERT INTO graft.branches.`$tbl@risky`
+         |SELECT doc_id, source, -1 - doc_id, doc_id % 4
+         |FROM ${tbl}_src WHERE doc_id < 10""".stripMargin)
+    val auditFailed =
+      try { s.sql(s"CALL graft.system.publish_branch('$tbl', 'risky')")
+              .collect(); false }
+      catch { case _: Exception => true }
+    require(auditFailed,
+      "publishing a constraint-violating branch must FAIL its audit")
+    require(Versioned.currentVersion(s, dir).contains(3L),
+      "a failed publish must leave main untouched")
+    s.sql(s"CALL graft.system.drop_branch('$tbl', 'risky')")
+    // the audited branch publishes: ONE atomic fast-forward
+    s.sql(s"CALL graft.system.publish_branch('$tbl', 'audit')")     // v4
+    require(Versioned.currentVersion(s, dir).contains(4L),
+      "publish must be exactly one main commit")
+    s.sql(
+      s"""SELECT doc_id, CAST(source AS STRING) AS source, n_chars
+         |FROM graft.$tbl ORDER BY doc_id""".stripMargin)
   }
 }

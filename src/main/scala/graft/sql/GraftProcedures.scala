@@ -35,6 +35,13 @@ import graft.ops.MergeOps
   *  - `expire_partitions(table, names)` —
   *    [[graft.ops.MergeOps.applyRetention]] dropping the named
   *    partition dirs (comma-separated entry names).
+  *  - `create_branch(table, name)` / `publish_branch(table, name)` /
+  *    `drop_branch(table, name)` — the WAP verbs
+  *    ([[graft.ops.BranchOps]]): fork = one metadata copy, publish =
+  *    the audited atomic fast-forward (persisted constraints checked
+  *    on the branch's changed partitions), drop = abandon. With the
+  *    readable/INSERT-able `graft.branches.`t@name`` tables, the
+  *    risky-backfill pattern runs entirely in SQL.
   *  - `detail(table)` — DESCRIBE DETAIL
   *    ([[graft.engine.Versioned.storeDetail]]): one metadata-only
   *    snapshot row of the store's operational state.
@@ -44,7 +51,8 @@ import graft.ops.MergeOps
 private[sql] object GraftProcedures {
 
   def names: Seq[String] = Seq("optimize", "compact_deletes", "vacuum",
-    "refresh_stats", "expire_partitions", "detail", "history")
+    "refresh_stats", "expire_partitions", "detail", "history",
+    "create_branch", "publish_branch", "drop_branch")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     val mk: Option[(Seq[ProcedureParameter],
@@ -102,6 +110,38 @@ private[sql] object GraftProcedures {
             dictKeys = csv(str(args, 2)),
             bloomKeys = csv(str(args, 3)))
           Nil
+        }))
+      case "create_branch" => Some((Seq(
+          in("table", StringType),
+          in("name", StringType)),
+        (s, dir, args) => {
+          val n = str(args, 1).getOrElse(
+            throw new IllegalArgumentException(
+              "create_branch needs a branch name"))
+          graft.ops.BranchOps.createBranch(s, dir, n)
+          Seq(("branch", StringType, n),
+              ("fork_version", LongType,
+               graft.ops.BranchOps.forkVersion(s, dir, n)))
+        }))
+      case "publish_branch" => Some((Seq(
+          in("table", StringType),
+          in("name", StringType)),
+        (s, dir, args) => {
+          val n = str(args, 1).getOrElse(
+            throw new IllegalArgumentException(
+              "publish_branch needs a branch name"))
+          graft.ops.BranchOps.publishBranch(s, dir, n)
+          Seq(("branch", StringType, n))
+        }))
+      case "drop_branch" => Some((Seq(
+          in("table", StringType),
+          in("name", StringType)),
+        (s, dir, args) => {
+          val n = str(args, 1).getOrElse(
+            throw new IllegalArgumentException(
+              "drop_branch needs a branch name"))
+          graft.ops.BranchOps.dropBranch(s, dir, n)
+          Seq(("branch", StringType, n))
         }))
       case "expire_partitions" => Some((Seq(
           in("table", StringType),
