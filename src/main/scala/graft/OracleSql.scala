@@ -1452,6 +1452,18 @@ object OracleSql {
         |SELECT doc_id, n_chars FROM documents WHERE doc_id >= 300
         |ORDER BY doc_id, n_chars""".stripMargin,
 
+    // stream_table_write: writeStream.toTable INTO the versioned store
+    // (one upsert-committed version per micro-batch, exactly-once by
+    // the applied-batch ledger): v1 = docs < 300; trigger 1 inserts
+    // the rest; trigger 2 upserts docs < 50 with n_chars + 1000 — the
+    // final table is every doc at its LATEST image.
+    "stream_table_write" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // sql_store_agg: COUNT(*)/MIN/MAX through the SQL catalog answered
     // from parquet footers + manifest names (REQUIRE-pinned: zero data
     // files in the plan) — the oracle proves the metadata numbers are

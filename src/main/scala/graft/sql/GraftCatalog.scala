@@ -721,6 +721,14 @@ private[sql] object FilterColumns {
 private[graft] object GraftScanObservable {
   @volatile var lastKeptDirs: Seq[String] = Nil
   @volatile var lastAggPushed: Option[String] = None
+  /** Why the most recent readerV2 request fell back to the V1 route
+    * (None = the V2 scan was built). */
+  @volatile var lastV2Decline: Option[String] = None
+  /** Input-partition count the most recent V2 scan planned. */
+  @volatile var lastV2PlannedPartitions: Option[Int] = None
+  /** Entry names surviving the most recent V2 RUNTIME filter
+    * (dynamic partition pruning), when one was applied. */
+  @volatile var lastV2RuntimePruned: Option[Seq[String]] = None
   /** Parquet footers the most recent aggregate answer actually read —
     * 0 when the manifest-recorded row counts (`rows` stats lines)
     * answered COUNT without touching a file. */
@@ -924,7 +932,25 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
                          TableCapability.MICRO_BATCH_READ,
                          TableCapability.BATCH_WRITE,
                          TableCapability.V1_BATCH_WRITE,
+                         TableCapability.STREAMING_WRITE,
                          TableCapability.TRUNCATE)
+
+  /** The merge key every write verb needs: the writer option wins,
+    * else the persisted `keyCol` table property at the CURRENT
+    * version (a stale handle must not resurrect a renamed key);
+    * absent both, fail loudly before staging a byte. */
+  private def resolvedKeyCol(opts: Map[String, String],
+                             verb: String): String =
+    opts.get("keycol").orElse(
+      Versioned.tableProps(spark, dir,
+          Versioned.currentVersion(spark, dir).getOrElse(version))
+        .collectFirst { case (k, v)
+            if k.equalsIgnoreCase("keyCol") => v })
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb $ident needs the table's merge key: " +
+          "persist it once with ALTER TABLE … SET " +
+          "TBLPROPERTIES('keyCol'='…') or pass " +
+          ".option(\"keyCol\", …) on the writer"))
 
   /** SQL DELETE: translatable WHERE + a partitioned store → the
     * predicate delete. Declining (`false`) surfaces Spark's loud
@@ -960,7 +986,9 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
     val opts = info.options().asScala.toMap.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend {
       private var replaceAll = false
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -972,17 +1000,7 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                                   overwrite: Boolean): Unit = {
-                val key = opts.get("keycol").orElse(
-                  Versioned.tableProps(spark, dir,
-                      Versioned.currentVersion(spark, dir)
-                        .getOrElse(version))
-                    .collectFirst { case (k, v)
-                        if k.equalsIgnoreCase("keyCol") => v })
-                  .getOrElse(throw new IllegalArgumentException(
-                    s"INSERT INTO $ident needs the table's merge key: " +
-                      "persist it once with ALTER TABLE … SET " +
-                      "TBLPROPERTIES('keyCol'='…') or pass " +
-                      ".option(\"keyCol\", …) on the writer"))
+                val key = resolvedKeyCol(opts, "INSERT INTO")
                 val pc = partCol.getOrElse(
                   throw new UnsupportedOperationException(
                     s"INSERT INTO $ident: the store under $dir is " +
@@ -993,6 +1011,29 @@ class GraftTable(spark: SparkSession, dir: String, ident: String,
                   MergeOps.mergeUpsert(spark, dir, data, key, pc)
               }
             }
+
+          /** `df.writeStream.toTable("graft.t")`: one store version per
+            * micro-batch, exactly-once by the applied-batch ledger —
+            * see [[GraftStreamingWrite]]. Append and update modes only
+            * (update = upsert by the merge key, exactly this sink's
+            * semantics); complete mode's per-trigger replace has no
+            * ledger slot, so it declines loudly rather than replay a
+            * non-idempotent epoch. */
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            if (replaceAll) throw new UnsupportedOperationException(
+              s"writeStream to $ident: complete mode (per-trigger " +
+                "full-table replace) is not exactly-once under " +
+                "epoch replay — use foreachBatch with " +
+                "MergeOps.replaceTable, or update/append mode")
+            val key = resolvedKeyCol(opts, "writeStream to")
+            val pc = partCol.getOrElse(
+              throw new UnsupportedOperationException(
+                s"writeStream to $ident: the store under $dir is " +
+                  "unpartitioned — use foreachBatch with the merge API"))
+            new GraftStreamingWrite(spark, dir, ident,
+              info.queryId(), info.schema(), key, pc)
+          }
         }
     }
   }
@@ -1477,6 +1518,7 @@ class GraftScanBuilder(spark: SparkSession, dir: String, version: Long,
       new GraftScan(spark, dir, version, scanMan, partCol, required,
                     ranges, values, fullSchema, options)
   }
+
 }
 
 /** A completely-pushed aggregate's answer: one precomputed row, no
@@ -2196,6 +2238,70 @@ object GraftSqlQueries {
       "a row-image stream must carry the TABLE schema, not the feed's")
     res.select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id", "n_chars")
+  }
+
+  /** Declared stream_table_write query: continuous ingestion INTO the
+    * versioned store through the catalog —
+    * `df.writeStream.toTable("graft.t")` ([[GraftStreamingWrite]]).
+    * Each micro-batch stages parquet on the executors and commits as
+    * ONE store version through `mergeUpsert` under a
+    * `stream:<queryId>:<epochId>` ledger id (exactly-once under epoch
+    * replay). The lifecycle drives two file-source triggers —
+    * inserts, then updates of existing keys — and REQUIREs pin that
+    * each trigger committed its own version and that the updates
+    * REPLACED rows (upsert, not append). The oracle replays the
+    * final image over `documents`, so equality proves the sink
+    * applied exactly the streamed changes. */
+  def streamTableWriteQuery(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val tbl = s"graft_sqlsink_$key"
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .getAbsolutePath
+    val dir = new java.io.File(rootDir, tbl).getAbsolutePath
+    val src = new java.io.File(rootDir, s"${tbl}_src").getAbsolutePath
+    val ck = new java.io.File(rootDir, s"${tbl}_ck").getAbsolutePath
+    val fs = new Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(dir, src, ck).foreach { dd =>
+      val pp = new Path(dd)
+      if (fs.exists(pp)) fs.delete(pp, true)
+    }
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              (substring(col("source"), 4, 10).cast("long") / 5)
+                .cast("long").as("src_grp"))
+    MergeOps.mergeUpsert(s, dir, docs.where(col("doc_id") < 300),
+                         "doc_id", "src_grp")                       // v1
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rootDir)
+    s.sql(s"ALTER TABLE graft.$tbl " +
+      "SET TBLPROPERTIES('keyCol'='doc_id')")                       // v2
+    docs.where(col("doc_id") >= 300)
+      .write.mode("overwrite").parquet(src)
+    val q = s.readStream.schema(docs.schema).parquet(src)
+      .writeStream.option("checkpointLocation", ck)
+      .toTable(s"graft.$tbl")
+    try {
+      q.processAllAvailable()   // epoch: the >= 300 inserts
+      val vIns = Versioned.currentVersion(s, dir).get
+      require(vIns > 2L, "the insert trigger must commit a version")
+      docs.where(col("doc_id") < 50)
+        .withColumn("n_chars", col("n_chars") + lit(1000))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()   // epoch: upserts of existing keys
+      require(Versioned.currentVersion(s, dir).get > vIns,
+        "the update trigger must commit its OWN version")
+      val Seq(cntLow, sumIns, sumFin) = Seq(
+        s"SELECT count(*) FROM graft.$tbl WHERE doc_id < 50",
+        s"SELECT sum(n_chars) FROM graft.$tbl VERSION AS OF $vIns " +
+          "WHERE doc_id < 50",
+        s"SELECT sum(n_chars) FROM graft.$tbl WHERE doc_id < 50")
+        .map(sql => s.sql(sql).head.getLong(0))
+      require(sumFin == sumIns + cntLow * 1000L,
+        "the update trigger must have REPLACED (not appended) each " +
+          "low key's row, and time travel must predate it")
+    } finally q.stop()
+    s.sql(s"SELECT doc_id, n_chars FROM graft.$tbl ORDER BY doc_id")
   }
 
   /** Declared sql_update query: row-level UPDATE through the SQL front
