@@ -70,7 +70,13 @@ object TextOps {
   def textTfidf(s: SparkSession, d: String): DataFrame = {
     val tok = tokens(s, d).withColumnRenamed("token", "term")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df derived FROM tf (round-16, guide §2.4): tf already holds one
+    // row per distinct (doc, term), so count-per-term over tf IS the
+    // distinct document frequency — and because the df branch now
+    // starts from the same aggregate subplan as the join's probe side,
+    // Spark reuses the tokenize-explode exchange (ReusedExchange in the
+    // plan) instead of evaluating the explode twice.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
