@@ -615,6 +615,53 @@ object MergeOps {
                   dictKeys: Seq[String] = Nil,
                   constraints: Seq[(String, Column)] = Nil,
                   bloomKeys: Seq[String] = Nil): Unit = {
+    // OCC snapshot FIRST, input materialization second: persist() plans
+    // its input eagerly, and a local-relation input can evaluate
+    // DRIVER-SIDE during that planning (ConvertToLocalRelation) — so a
+    // persist-before-snapshot order would let work that happens inside
+    // the input's evaluation (the Wave27 gate, a slow upstream read)
+    // shift this write's derivation to a version a racer committed
+    // meanwhile. The snapshot the write derives from is pinned before
+    // the input's first possible evaluation, exactly as un-cached code
+    // ordered it.
+    val v0 = Versioned.currentVersion(s, corpusDir)
+    withMaterialized(batch) { b =>
+      mergeUpsertImpl(s, corpusDir, v0, b, keyCol, partCol, statsKey,
+        statsKeys, ledgerId, dictKeys, constraints, bloomKeys)
+    }
+  }
+
+  /** Materialize a write verb's INPUT DataFrame once for the verb's
+    * several passes over it (round-16 optimization, guide §2.4/§5).
+    * Every verb probes its input repeatedly — touched-partition
+    * distinct, foreign-layout key probes, the anti-join's key side, the
+    * final union — and uncached, each pass re-evaluates the input
+    * subtree from scratch: for pipeline_cdc_mirror / sql_merge the
+    * input is itself a multi-join change feed, re-run 4-5× per commit
+    * (ProfileOne: 80 jobs for one sql_merge lifecycle). Persisting for
+    * exactly the verb's scope evaluates it once; unpersist runs after
+    * the verb's last action (all staging actions complete inside the
+    * verb), so nothing persists across queries or runs. This is also
+    * Delta's merge-source materialization move, which it makes for
+    * determinism: a source that reads differently between the probe
+    * pass and the write pass (non-deterministic sampling, a table a
+    * concurrent writer advances) could otherwise stage rows the probe
+    * never saw. */
+  private def withMaterialized[A](df: DataFrame)(f: DataFrame => A): A = {
+    val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(m) finally m.unpersist(false)
+  }
+
+  private def mergeUpsertImpl(s: SparkSession, corpusDir: String,
+                  v0: Option[Long],
+                  batch: DataFrame,
+                  keyCol: String, partCol: String,
+                  statsKey: Option[String],
+                  statsKeys: Seq[String],
+                  ledgerId: Option[String],
+                  dictKeys: Seq[String],
+                  constraints: Seq[(String, Column)],
+                  bloomKeys: Seq[String]): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
@@ -623,7 +670,7 @@ object MergeOps {
       freshStatsLines(df, partCol, statsKey, statsKeys, dictKeys, bloomKeys)
     val wantStats = statsKey.isDefined || statsKeys.nonEmpty ||
       dictKeys.nonEmpty || bloomKeys.nonEmpty
-    Versioned.currentVersion(s, corpusDir) match {
+    v0 match {
       case None =>
         // OCC rule: allocate from the snapshot this write DERIVES from
         // (here: the empty table → version 1), never from a re-listing
@@ -1031,7 +1078,17 @@ object MergeOps {
     * snapshot+1 under the same OCC claim as every writer. */
   def mergeDelete(s: SparkSession, corpusDir: String, keys: DataFrame,
                   keyCol: String, partCol: String): Unit = {
-    val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
+    // snapshot before materialization — see mergeUpsert's ordering note
+    val v0 = Versioned.currentVersion(s, corpusDir)
+    withMaterialized(keys) { k =>
+      mergeDeleteImpl(s, corpusDir, v0, k, keyCol, partCol)
+    }
+  }
+
+  private def mergeDeleteImpl(s: SparkSession, corpusDir: String,
+                  v0: Option[Long], keys: DataFrame,
+                  keyCol: String, partCol: String): Unit = {
+    val v = v0.getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
     // LIVE reads throughout: a key already tombstoned by a MOR delete is
     // not present, so re-deleting it is the no-op idempotence promises,
@@ -1446,6 +1503,9 @@ object MergeOps {
     * (materializing that state is what fails fast). */
   def mergeDeleteMor(s: SparkSession, corpusDir: String, keys: DataFrame,
                      keyCol: String, partCol: String): Unit = {
+    // NOT withMaterialized: measured — the declared queries' key sets
+    // are cheap filters and the verb's passes each prune differently
+    // (the scope scan reads only keyCol), so caching cost ≥ re-eval.
     val v = Versioned.currentVersion(s, corpusDir).getOrElse(return)
     val man = Versioned.manifest(s, corpusDir, v)
     val corpus = Versioned.readEntriesLive(s, corpusDir, v, man,
@@ -1666,6 +1726,22 @@ object MergeOps {
                           statsKeys: Seq[String] = Nil,
                           ledgerId: Option[String] = None,
                           constraints: Seq[(String, Column)] = Nil): Unit = {
+    // snapshot before materialization — see mergeUpsert's ordering note
+    val v0 = Versioned.currentVersion(s, corpusDir)
+    withMaterialized(changes) { c =>
+      mergeApplyChangelogImpl(s, corpusDir, v0, c, keyCol, partCol, opCol,
+        statsKey, statsKeys, ledgerId, constraints)
+    }
+  }
+
+  private def mergeApplyChangelogImpl(s: SparkSession, corpusDir: String,
+                          v0: Option[Long],
+                          changes: DataFrame, keyCol: String,
+                          partCol: String, opCol: String,
+                          statsKey: Option[String],
+                          statsKeys: Seq[String],
+                          ledgerId: Option[String],
+                          constraints: Seq[(String, Column)]): Unit = {
     require(statsKey.isEmpty || statsKeys.isEmpty,
       "pass statsKey (single legacy bound) or statsKeys (multi-column), " +
         "not both")
@@ -1673,7 +1749,7 @@ object MergeOps {
     // carry only a key and are exempt, as in every SQL engine
     if (constraints.nonEmpty)
       checkConstraints(changes.where(col(opCol) =!= "d"), constraints)
-    val v = Versioned.currentVersion(s, corpusDir).getOrElse(
+    val v = v0.getOrElse(
       throw new IllegalStateException(
         s"no committed version under $corpusDir — create the corpus " +
           "with mergeUpsert before applying changelogs"))
@@ -2608,7 +2684,10 @@ object MergeOps {
         // from must be the version its claim contends at
         val hist = Versioned.readVersion(s, historyDir, v, None)
         val open = hist.where(col("valid_to").isNull)
-        // keys whose open version differs on ANY attribute — or brand-new
+        // keys whose open version differs on ANY attribute — or brand-new.
+        // Materialized once (the withMaterialized rule): uncached, the
+        // change⋈open diff join re-ran FOUR times — the isEmpty probe,
+        // the two open-row semi/anti legs, and the new-version union leg.
         val diff = changes.alias("c")
           .join(open.alias("o"), col(s"c.$keyCol") === col(s"o.$keyCol"), "left")
           .where(col(s"o.$keyCol").isNull ||
@@ -2616,22 +2695,25 @@ object MergeOps {
                    .reduce(_ || _))
           .select(col(s"c.$keyCol").as(keyCol) +:
                   attrCols.map(a => col(s"c.$a").as(a)): _*)
-        if (diff.isEmpty) return  // nothing changed: the no-op that makes
-                                  // re-applying a batch idempotent
-        val diffKeys = diff.select(keyCol)
-        val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
-        val stageRel = Versioned.newStageRel(nv)
-        hist.where(col("valid_to").isNotNull)                          // closed: keep
-          .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))  // open, unchanged
-          .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi")   // open, changed:
-                         .withColumn("valid_to", lit(version)))        //   close
-          .unionByName(diff.withColumn("valid_from", lit(version))     // new version:
-                         .withColumn("valid_to", lit(null).cast("long")))// open
-          .selectExpr(outCols: _*)
-          .write.mode("overwrite")
-          .parquet(s"$historyDir/$stageRel")
-        Versioned.publish(s, historyDir, nv,
-          Versioned.wholeTableEntryAt(stageRel))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (diff.isEmpty) return  // nothing changed: the no-op that
+                                    // makes re-applying a batch idempotent
+          val diffKeys = diff.select(keyCol)
+          val nv = v + 1  // OCC: snapshot+1, see mergeUpsert
+          val stageRel = Versioned.newStageRel(nv)
+          hist.where(col("valid_to").isNotNull)                        // closed: keep
+            .unionByName(open.join(diffKeys, Seq(keyCol), "left_anti"))// open, unchanged
+            .unionByName(open.join(diffKeys, Seq(keyCol), "left_semi") // open, changed:
+                           .withColumn("valid_to", lit(version)))      //   close
+            .unionByName(diff.withColumn("valid_from", lit(version))   // new version:
+                           .withColumn("valid_to", lit(null).cast("long")))// open
+            .selectExpr(outCols: _*)
+            .write.mode("overwrite")
+            .parquet(s"$historyDir/$stageRel")
+          Versioned.publish(s, historyDir, nv,
+            Versioned.wholeTableEntryAt(stageRel))
+        } finally diff.unpersist(false)
     }
   }
 

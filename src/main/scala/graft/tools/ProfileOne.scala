@@ -41,6 +41,11 @@ object ProfileOne {
       val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
         "/root/testdata/sf0.01")
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      // ... and once on the measured dir: a fresh JVM's first sf0.1 run
+      // bills JIT/codec/committer warm-up to whatever job hits it first
+      // (observed 8 s on a job the warm bench runs in 0.5 s); the
+      // profiled pass below then sees steady state, like the bench.
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, JobRec]
     val stageToJob = scala.collection.mutable.HashMap.empty[Int, Int]
@@ -71,6 +76,7 @@ object ProfileOne {
               .totalBytesRead
             r.shufWrite += e.stageInfo.taskMetrics.shuffleWriteMetrics
               .bytesWritten
+            if (r.desc.isEmpty) r.desc = e.stageInfo.name.take(110)
           }
         }
     }
