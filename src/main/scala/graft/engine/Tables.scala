@@ -14,8 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on a directory plus partition pruning keeps the same call shape.
   */
 object Tables {
+  /** Schema-memoized read ([[Versioned.readParquetCached]]): the test
+    * tables are read-only for the process's life, and every schemaless
+    * `read.parquet` costs a footer-inference Spark job — one per table
+    * read, hundreds across a bench run, all inferring the same schemas. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Versioned.readParquetCached(spark, None, Seq(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

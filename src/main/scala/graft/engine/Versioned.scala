@@ -195,6 +195,44 @@ object Versioned {
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Inferred-schema memo for parquet reads of IMMUTABLE path sets.
+    *
+    * Every schemaless `read.parquet` pays a footer-inference Spark JOB
+    * (plus its driver-side planning gap) before the first real action —
+    * and a multi-pass write verb re-opens the same staged dirs 3-20×
+    * per commit (ProfileOne round 17: ~20 `parquet at Versioned` jobs of
+    * 25-40 ms inside one sql_merge lifecycle). Staged data dirs are
+    * write-once by protocol (every attempt's dir is tokenized, vacuum
+    * only ever deletes), and the bench's source tables are read-only,
+    * so an identical (basePath, path list) always carries the identical
+    * schema: memoize it and hand it back via `read.schema(...)`, which
+    * skips the inference job entirely. METADATA only — never rows, never
+    * results; the exact path list is the key, so a different file subset
+    * (whose partition-value inference could differ) never shares an
+    * entry. Bounded; eviction is whole-map (entries are a few hundred
+    * bytes and keys die with their temp dirs). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def readParquetCached(s: SparkSession,
+      basePath: Option[String], paths: Seq[String]): DataFrame = {
+    val key = basePath.getOrElse("") + "\u0000" +
+      (if (paths.length == 1) paths.head
+       else paths.sorted.mkString("\u0001"))
+    val rd = basePath.fold(s.read)(bp => s.read.option("basePath", bp))
+    if (sys.env.contains("SPARK_GRAFT_NO_SCHEMA_MEMO"))
+      return rd.parquet(paths: _*)
+    schemaMemo.get(key) match {
+      case null =>
+        val df = rd.parquet(paths: _*)
+        if (schemaMemo.size >= 8192) schemaMemo.clear()
+        schemaMemo.put(key, df.schema)
+        df
+      case st => rd.schema(st).parquet(paths: _*)
+    }
+  }
+
   /** Legacy fixed stage path (round-8 layout, version-only name). Still
     * readable — [[stageDirVersion]] parses both forms — and used by the
     * kill-tests to hand-craft torn states; live writers use
@@ -1489,9 +1527,10 @@ object Versioned {
             if (paths.isEmpty) None
             else Some(xform(partCol match {
               case Some(_) =>
-                s.read.option("basePath", s"$dd/$verDir")
-                  .parquet(paths.map(_.toString): _*)
-              case None => s.read.parquet(paths.map(_.toString): _*)
+                readParquetCached(s, Some(s"$dd/$verDir"),
+                  paths.map(_.toString))
+              case None =>
+                readParquetCached(s, None, paths.map(_.toString))
             }))
           }.reduceOption(_.unionByName(_, allowMissingColumns = true))
         // UPDATE substitution first (see [[readUvLines]] for why that
@@ -1515,9 +1554,9 @@ object Versioned {
             val ver = stageDirVersion(rel.split("/")(1)).getOrElse(0L)
             val df = partCol match {
               case Some(_) =>
-                s.read.option("basePath", s"$dd/$rel")
-                  .parquet(es.map(e => s"$dd/$rel/${e._1}"): _*)
-              case None => s.read.parquet(s"$dd/$rel")
+                readParquetCached(s, Some(s"$dd/$rel"),
+                  es.map(e => s"$dd/$rel/${e._1}"))
+              case None => readParquetCached(s, None, Seq(s"$dd/$rel"))
             }
             df.withColumn("__uv_v", lit(ver))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1576,7 +1615,7 @@ object Versioned {
         if (rs.isEmpty) base
         else {
           val rdirs = rs.map(_._1).distinct
-          val dv = rdirs.map(r => s.read.parquet(s"$dd/$r"))
+          val dv = rdirs.map(r => readParquetCached(s, None, Seq(s"$dd/$r")))
             .reduce(_.unionByName(_))
           // tombstone dirs are partitioned by the partition column of
           // the SPEC THAT WROTE THEM — under metadata-tier partition
@@ -1690,7 +1729,8 @@ object Versioned {
       }
     partCol match {
       case None =>
-        translate(s.read.parquet(entries.map(e => s"$dir/${e._2}"): _*))
+        translate(readParquetCached(s, None,
+          entries.map(e => s"$dir/${e._2}")))
       case Some(_) =>
         // allowMissingColumns: version groups may disagree on schema
         // after a schema-evolving merge (a later version's partitions
@@ -1699,8 +1739,8 @@ object Versioned {
         entries.groupBy(_._2.split("/").take(2).mkString("/"))
           .toSeq.sortBy(_._1)
           .map { case (verDir, es) =>
-            translate(s.read.option("basePath", s"$dir/$verDir")
-              .parquet(es.map(e => s"$dir/${e._2}"): _*))
+            translate(readParquetCached(s, Some(s"$dir/$verDir"),
+              es.map(e => s"$dir/${e._2}")))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }

@@ -71,6 +71,8 @@ object GraftExtensions {
     d("graft_theta_est", classOf[ThetaEstimate], c => ThetaEstimate(c(0))),
     d("graft_theta_setop", classOf[ThetaSetOp],
       c => ThetaSetOp(c(0), c(1), c(2))),
+    d("graft_minset", classOf[MinKDistinctAgg],
+      c => MinKDistinctAgg(c(0), c(1))),
     d("graft_ngrams", classOf[NgramGenerator],
       c => NgramGenerator(c(0), c(1))),
     d("graft_pq_adc", classOf[PqAdcScore], c => PqAdcScore(c(0), c(1))),

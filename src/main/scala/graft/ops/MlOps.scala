@@ -162,8 +162,8 @@ object MlOps {
     // aggregate, so Spark's ReusedExchange computes the join +
     // collect_set pass once — a driver-side baskets.count() would run
     // it twice (once column-pruned, once full; ProfileOne showed both).
-    // Threshold arithmetic is the same IEEE double product + ceil on
-    // both engines (and the same FPGrowth.fit used).
+    // Threshold arithmetic matches the oracle's CEIL(0.01*n) exactly:
+    // the same IEEE double product + ceil on both engines.
     val nb = baskets.agg(count(lit(1)).as("n"))
     baskets
       .select(explode(concat(

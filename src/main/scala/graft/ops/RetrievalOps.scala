@@ -305,18 +305,25 @@ object RetrievalOps {
     // and explode the sorted set's ordered pairs (a < b by sort order).
     // Gram subtree evaluated once; two exchanges total (fp, pair).
     // Measured 7.2 s → ~1.3 s at sf0.1; plan 4 Exchanges → 2, no join.
-    // Bound honesty at 100 TB: a boilerplate fp with huge df holds its
-    // doc set in the aggregation buffer only until the HAVING drops it;
-    // if the df distribution is heavy-tailed enough to matter, a
-    // count-first pre-filter pass (the dv-writer's two-pass pattern)
-    // re-bounds it at the cost of re-evaluating the gram subtree once.
+    // Buffer bound at 100 TB (round 17, the round-16 honesty note made
+    // real): the doc set accumulates through graft_minset — the 11
+    // SMALLEST distinct doc_ids per fp, an O(11)-long buffer at every
+    // moment — instead of an unbounded collect_set a boilerplate
+    // 16-gram (shared header text, millions of docs) would blow up
+    // before the HAVING dropped it. For df ≤ 10 the capped set IS the
+    // full sorted distinct set, and df ≥ 11 yields size 11 — outside
+    // the 2 ≤ df ≤ 10 rarity gate either way, so results are identical
+    // to the unbounded aggregate while the buffer never exceeds the cap
+    // (one pass — no count-first re-evaluation of the gram subtree).
+    graft.functions.MinKDistinctAgg.register(s)
     val pairs = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """transform(slice(toks, 1, greatest(size(toks) - 15, 0)),
           |  (x, i) -> md5(concat_ws(' ', slice(toks, i + 1, 16))))"""
           .stripMargin)).as("fp"))
-      .groupBy("fp").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .groupBy("fp")
+      .agg(call_function("graft_minset", col("doc_id"), lit(11)).as("ds"))
       .where(size(col("ds")) >= 2 && size(col("ds")) <= 10)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->

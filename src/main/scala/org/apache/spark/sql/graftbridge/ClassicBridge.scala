@@ -18,4 +18,10 @@ object ClassicBridge {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The reverse seam: the (possibly unresolved) Catalyst expression a
+    * `Column` wraps — what `Column.expr` was before the Connect split.
+    * Used by the WHERE-verb pruning-hint extractor. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
