@@ -6,7 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // scale-adaptive: partition count from DATA SIZE (64 MB target,
+      // floor 8, cap 4×cores — see graft.engine.Scale.shufflePartitions),
+      // not pinned to the core count; identical local shuffle layout at
+      // every bench core count, so the driver's 8-vs-32-core ratios
+      // measure parallelism rather than partition-count noise
+      .config("spark.sql.shuffle.partitions",
+        graft.engine.Scale.shufflePartitions(sfDir, cpus.toInt).toString)
       // UTC pin (r7 advice): Verify/BenchOne/tests all run UTC — without
       // it, events-derived wall-clock bucketing silently shifts on a
       // non-UTC machine relative to the oracle semantics.

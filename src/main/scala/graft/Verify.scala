@@ -12,7 +12,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",    // Bench parity
+        graft.engine.Scale.shufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // INT96 (the default TZ-timestamp encoding) reads back as ns-unit
       // in pandas while NTZ timestamps read as us — write every

